@@ -1,0 +1,913 @@
+"""H.264 CABAC slice-data parser (clauses 7.3.4/7.3.5, 9.3.3.1).
+
+This is the framework's replacement for the reference's inverted-control hook
+surface (av_decoder + patched ffmpeg, recode.cpp:79-237 / SURVEY.md C5/C18):
+a *forward* parser that walks macroblock syntax and drives an abstract coder,
+so the same code runs:
+
+  compress   — bins come from the real CABAC payload (CompressCoder decodes
+               them, re-encodes for self-verification, and feeds the model)
+  decompress — bins come from the recoded model stream and are fed to the
+               CABAC re-encoder to regenerate the original payload
+  trace      — compress-direction without a model (bring-up/validation)
+
+Determinism-elision protocol (the reference's C9/C12 num_nonzeros + EOB
+trick, recode.cpp:852-936, 1444-1446, generalized):
+  * per-block num_nonzeros is coded out-of-band with spatial priors;
+    significance/last flags that become deterministic given nnz are never
+    entropy-coded (last flags vanish entirely; trailing sig runs too),
+  * end_of_slice_flag is never entropy-coded: the slice's mb_count is stored
+    in the container, making every terminate bin deterministic,
+  * at compress time every "deterministic" bin is asserted against the real
+    decoded bin — a mismatch raises ParseDesync -> literal fallback.
+
+Scope (round 1): progressive frames, 4:2:0 8-bit, I/P/B slices, High profile
+transform-8x8.  I_PCM and interlace raise UnsupportedStream -> fallback.
+"""
+
+import numpy as np
+
+from ..ops._tables_data import (
+    COEFF_ABS_LEVEL1_CTX,
+    COEFF_ABS_LEVEL_M1_OFFSET,
+    COEFF_ABS_LEVEL_TRANSITION,
+    COEFF_ABS_LEVELGT1_CTX,
+    LAST_COEFF_FLAG_OFFSET,
+    LAST_COEFF_FLAG_OFFSET_8X8,
+    SIG_COEFF_FLAG_OFFSET,
+    SIG_COEFF_FLAG_OFFSET_8X8,
+)
+from .geometry import BLK4_X, BLK4_Y, RASTER_TO_BLK4, blk4_neighbor, chroma_blk_neighbor
+from .params import UnsupportedStream
+from .slicehdr import SLICE_B, SLICE_I, SLICE_P
+
+
+class ParseDesync(Exception):
+    """A bin predicted as deterministic disagreed with the decoded bin."""
+
+
+# ---------------------------------------------------------------------------
+# MB classes (stored per MB for neighbor context derivation)
+MB_UNSEEN = 0
+MB_P_SKIP = 1
+MB_B_SKIP = 2
+MB_B_DIRECT = 3  # B_Direct_16x16
+MB_INTER = 4
+MB_I_NXN = 5  # I_4x4 / I_8x8
+MB_I16 = 6
+MB_I_PCM = 7
+
+# inter partition prediction modes
+PRED_L0, PRED_L1, PRED_BI, PRED_DIRECT, PRED_NONE = 1, 2, 3, 4, 0
+
+# B mb_type table: mb_type index -> (npart, part_shape, [pred modes])
+# part_shape: 0=16x16, 1=16x8, 2=8x16, 3=8x8(sub)
+_B_TYPE_INFO = {
+    0: (1, 0, [PRED_DIRECT]),
+    1: (1, 0, [PRED_L0]),
+    2: (1, 0, [PRED_L1]),
+    3: (1, 0, [PRED_BI]),
+    4: (2, 1, [PRED_L0, PRED_L0]),
+    5: (2, 2, [PRED_L0, PRED_L0]),
+    6: (2, 1, [PRED_L1, PRED_L1]),
+    7: (2, 2, [PRED_L1, PRED_L1]),
+    8: (2, 1, [PRED_L0, PRED_L1]),
+    9: (2, 2, [PRED_L0, PRED_L1]),
+    10: (2, 1, [PRED_L1, PRED_L0]),
+    11: (2, 2, [PRED_L1, PRED_L0]),
+    12: (2, 1, [PRED_L0, PRED_BI]),
+    13: (2, 2, [PRED_L0, PRED_BI]),
+    14: (2, 1, [PRED_L1, PRED_BI]),
+    15: (2, 2, [PRED_L1, PRED_BI]),
+    16: (2, 1, [PRED_BI, PRED_L0]),
+    17: (2, 2, [PRED_BI, PRED_L0]),
+    18: (2, 1, [PRED_BI, PRED_L1]),
+    19: (2, 2, [PRED_BI, PRED_L1]),
+    20: (2, 1, [PRED_BI, PRED_BI]),
+    21: (2, 2, [PRED_BI, PRED_BI]),
+    22: (4, 3, None),  # B_8x8
+}
+
+# B sub_mb_type -> (n subparts, subpart shape 0=8x8,1=8x4,2=4x8,3=4x4, pred)
+_B_SUB_INFO = {
+    0: (1, 0, PRED_DIRECT),
+    1: (1, 0, PRED_L0),
+    2: (1, 0, PRED_L1),
+    3: (1, 0, PRED_BI),
+    4: (2, 1, PRED_L0),
+    5: (2, 2, PRED_L0),
+    6: (2, 1, PRED_L1),
+    7: (2, 2, PRED_L1),
+    8: (2, 1, PRED_BI),
+    9: (2, 2, PRED_BI),
+    10: (4, 3, PRED_L0),
+    11: (4, 3, PRED_L1),
+    12: (4, 3, PRED_BI),
+}
+
+# residual block categories (ctxBlockCat)
+CAT_LUMA_DC = 0
+CAT_LUMA_AC = 1
+CAT_LUMA_4x4 = 2
+CAT_CHROMA_DC = 3
+CAT_CHROMA_AC = 4
+CAT_LUMA_8x8 = 5
+
+_MAX_COEFF = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15, 5: 64}
+
+
+class PicState:
+    """Per-picture macroblock state arrays — the FrameBuffer analog
+    (framebuffer.h:5-88 / block.h:4-23) as dense numpy tensors, which is
+    exactly the layout mirrored into HBM for the device model."""
+
+    def __init__(self, width_mbs, height_mbs):
+        w, h = width_mbs, height_mbs
+        self.w, self.h = w, h
+        self.slice_id = np.full((h, w), -1, np.int32)
+        self.mbclass = np.zeros((h, w), np.uint8)
+        self.skip = np.zeros((h, w), np.uint8)
+        self.cbp_luma = np.zeros((h, w), np.uint8)  # 4 bits
+        self.cbp_chroma = np.zeros((h, w), np.uint8)  # 0..2
+        self.t8x8 = np.zeros((h, w), np.uint8)
+        self.chroma_mode = np.zeros((h, w), np.uint8)
+        # effective coded_block_flag maps (incl. PCM=1 / derived-from-cbp rules)
+        self.cbf_luma_dc = np.zeros((h, w), np.uint8)
+        self.cbf_luma = np.zeros((h, w, 16), np.uint8)
+        self.cbf_chroma_dc = np.zeros((h, w, 2), np.uint8)
+        self.cbf_chroma_ac = np.zeros((h, w, 8), np.uint8)
+        # num_nonzeros per block (model priors / OOB coding priors)
+        self.nnz_luma = np.zeros((h, w, 16), np.uint8)
+        self.nnz_luma_dc = np.zeros((h, w), np.uint8)
+        self.nnz_chroma_dc = np.zeros((h, w, 2), np.uint8)
+        self.nnz_chroma_ac = np.zeros((h, w, 8), np.uint8)
+        # motion: |mvd| stored per 4x4 per list per comp; ref per 8x8 per list
+        self.mvd = np.zeros((2, h, w, 16, 2), np.int32)
+        self.refidx = np.full((2, h, w, 4), -1, np.int8)
+        self.intra_nxn = np.zeros((h, w), np.uint8)  # is I_NxN (for mb_type ctx)
+
+
+class SliceParser:
+    def __init__(self, sps, pps, header, pic, prev_pic, coder, slice_id):
+        self.sps = sps
+        self.pps = pps
+        self.hdr = header
+        self.pic = pic
+        self.prev = prev_pic
+        self.c = coder
+        self.sid = slice_id
+        self.W = sps.pic_width_in_mbs
+        self.H = sps.pic_height_in_map_units
+        self.stype = header.slice_type
+        self.nref0 = header.num_ref_idx_l0_active
+        self.nref1 = header.num_ref_idx_l1_active
+        self.prev_qp_delta_nz = 0
+        self.mb_count = 0
+        self.mbx = 0
+        self.mby = 0
+
+    # -- availability ----------------------------------------------------
+    def _avail(self, pos):
+        if pos is None:
+            return False
+        x, y = pos
+        if x < 0 or y < 0 or x >= self.W or y >= self.H:
+            return False
+        return self.pic.slice_id[y, x] == self.sid
+
+    def _left(self):
+        return (self.mbx - 1, self.mby)
+
+    def _up(self):
+        return (self.mbx, self.mby - 1)
+
+    # -- coder shims -----------------------------------------------------
+    def _bin(self, ctx, mkey=None):
+        return self.c.coded_bin(ctx, mkey if mkey is not None else ("ctx", ctx))
+
+    def _bin_det(self, ctx, value):
+        return self.c.coded_bin_det(ctx, value)
+
+    def _bypass(self, mkey):
+        return self.c.bypass_bin(mkey)
+
+    # -- element parsers -------------------------------------------------
+    def parse_mb_skip(self):
+        base = 11 if self.stype == SLICE_P else 24
+        a, b = self._left(), self._up()
+        inc = 0
+        if self._avail(a) and not self.pic.skip[a[1], a[0]]:
+            inc += 1
+        if self._avail(b) and not self.pic.skip[b[1], b[0]]:
+            inc += 1
+        return self._bin(base + inc, ("skip", self.stype, inc))
+
+    def parse_mb_type_i_suffix(self, base, intra_slice):
+        """Shared I16x16/PCM suffix after the I_NxN bin (Table 9-36).
+
+        Context layout verified against libavcodec's compiled decoder:
+        I slice (base=3, +2 skew): cbf_luma ctx 6, chroma 7/8, pred 9/10;
+        inter suffix (base=17/32): cbf_luma +1, chroma +2/+2, pred +3/+3.
+        """
+        skew = 2 if intra_slice else 0
+        if self.c.cabac_terminate_pcm():
+            raise UnsupportedStream("I_PCM macroblock")
+        cbf_luma = self._bin(base + skew + 1, ("i16cbf",))
+        cbp_chroma = 0
+        if self._bin(base + skew + 2, ("i16cbc0",)):
+            cbp_chroma = 1 + self._bin(
+                base + skew + (3 if intra_slice else 2), ("i16cbc1",)
+            )
+        pm1 = self._bin(base + skew + (4 if intra_slice else 3), ("i16pm1",))
+        pm0 = self._bin(base + skew + (5 if intra_slice else 3), ("i16pm0",))
+        pred_mode = 2 * pm1 + pm0
+        return cbf_luma, cbp_chroma, pred_mode
+
+    def parse_mb_type(self):
+        """Returns (mbclass, info) where info depends on class."""
+        p = self.pic
+        if self.stype == SLICE_I:
+            a, b = self._left(), self._up()
+            inc = 0
+            if self._avail(a) and p.mbclass[a[1], a[0]] != MB_I_NXN:
+                inc += 1
+            if self._avail(b) and p.mbclass[b[1], b[0]] != MB_I_NXN:
+                inc += 1
+            if not self._bin(3 + inc, ("imbtype", inc)):
+                return MB_I_NXN, None
+            return MB_I16, self.parse_mb_type_i_suffix(3, True)
+
+        if self.stype == SLICE_P:
+            if self._bin(14, ("pmbtype0",)):
+                if not self._bin(17, ("pmbtype_intra",)):
+                    return MB_I_NXN, None
+                return MB_I16, self.parse_mb_type_i_suffix(17, False)
+            if not self._bin(15, ("pmbtype1",)):
+                # '00x': 16x16 or 8x8
+                if self._bin(16, ("pmbtype2a",)):
+                    return MB_INTER, ("P8x8",)
+                return MB_INTER, ("P16x16",)
+            # '01x': 16x8 / 8x16
+            if self._bin(17, ("pmbtype2b",)):
+                return MB_INTER, ("P16x8",)
+            return MB_INTER, ("P8x16",)
+
+        # B slice (prefix base 27, Table 9-37)
+        a, bpos = self._left(), self._up()
+        inc = 0
+        for pos in (a, bpos):
+            if self._avail(pos):
+                cls = p.mbclass[pos[1], pos[0]]
+                if cls not in (MB_B_SKIP, MB_B_DIRECT):
+                    inc += 1
+        if not self._bin(27 + inc, ("bmbtype0", inc)):
+            return MB_B_DIRECT, None
+        if not self._bin(30, ("bmbtype1",)):
+            t = 1 + self._bin(32, ("bmbtype2",))
+            return MB_INTER, ("B", t)
+        v = self._bin(31, ("bmbtype3",)) << 3
+        v |= self._bin(32, ("bmbtype4",)) << 2
+        v |= self._bin(32, ("bmbtype5",)) << 1
+        v |= self._bin(32, ("bmbtype6",))
+        if v < 8:
+            return MB_INTER, ("B", v + 3)
+        if v == 13:
+            if not self._bin(32, ("bmbtype_intra",)):
+                return MB_I_NXN, None
+            return MB_I16, self.parse_mb_type_i_suffix(32, False)
+        if v == 14:
+            return MB_INTER, ("B", 11)
+        if v == 15:
+            return MB_INTER, ("B", 22)
+        v = ((v - 8) << 1) | self._bin(32, ("bmbtype7",))
+        return MB_INTER, ("B", v + 12)
+
+    def parse_sub_mb_type_p(self):
+        if self._bin(21, ("psub0",)):
+            return 0  # 8x8
+        if not self._bin(22, ("psub1",)):
+            return 1  # 8x4
+        if self._bin(23, ("psub2",)):
+            return 2  # 4x8
+        return 3  # 4x4
+
+    def parse_sub_mb_type_b(self):
+        if not self._bin(36, ("bsub0",)):
+            return 0  # direct
+        if not self._bin(37, ("bsub1",)):
+            return 1 + self._bin(39, ("bsub2",))
+        t = 3
+        if self._bin(38, ("bsub3",)):
+            if self._bin(39, ("bsub4",)):
+                return 11 + self._bin(39, ("bsub5",))
+            t += 4
+        t += 2 * self._bin(39, ("bsub6",))
+        t += self._bin(39, ("bsub7",))
+        return t
+
+    def parse_transform_8x8(self):
+        a, b = self._left(), self._up()
+        inc = 0
+        if self._avail(a) and self.pic.t8x8[a[1], a[0]]:
+            inc += 1
+        if self._avail(b) and self.pic.t8x8[b[1], b[0]]:
+            inc += 1
+        return self._bin(399 + inc, ("t8x8", inc))
+
+    def parse_intra_pred_modes(self, n_blocks):
+        for _ in range(n_blocks):
+            if not self._bin(68, ("ipredf",)):
+                for j in range(3):
+                    self._bin(69, ("ipredr", j))
+
+    def parse_chroma_pred_mode(self):
+        a, b = self._left(), self._up()
+        p = self.pic
+        inc = 0
+        for pos in (a, b):
+            if self._avail(pos):
+                cls = p.mbclass[pos[1], pos[0]]
+                if cls in (MB_I_NXN, MB_I16) and p.chroma_mode[pos[1], pos[0]] != 0:
+                    inc += 1
+        if not self._bin(64 + inc, ("cpred0", inc)):
+            return 0
+        if not self._bin(67, ("cpred1",)):
+            return 1
+        return 2 + self._bin(67, ("cpred2",))
+
+    def parse_cbp(self, mbclass):
+        p = self.pic
+        a, b = self._left(), self._up()
+        avail_a, avail_b = self._avail(a), self._avail(b)
+        cbp = 0
+        # luma bits, 8x8 raster order; cond = 1 when neighbor 8x8 NOT coded
+        for i8 in range(4):
+            x8, y8 = i8 & 1, i8 >> 1
+            if x8 == 0:
+                cond_a = 1
+                if avail_a:
+                    cond_a = 0 if (p.cbp_luma[a[1], a[0]] >> (y8 * 2 + 1)) & 1 else 1
+                else:
+                    cond_a = 0
+            else:
+                cond_a = 0 if (cbp >> (y8 * 2)) & 1 else 1
+            if y8 == 0:
+                if avail_b:
+                    cond_b = 0 if (p.cbp_luma[b[1], b[0]] >> (2 + x8)) & 1 else 1
+                else:
+                    cond_b = 0
+            else:
+                cond_b = 0 if (cbp >> x8) & 1 else 1
+            if self._bin(73 + cond_a + 2 * cond_b, ("cbpl", i8, cond_a + 2 * cond_b)):
+                cbp |= 1 << i8
+        # chroma: TU cMax=2
+        cond_a = 1 if (avail_a and p.cbp_chroma[a[1], a[0]] != 0) else 0
+        cond_b = 1 if (avail_b and p.cbp_chroma[b[1], b[0]] != 0) else 0
+        cbp_c = 0
+        if self._bin(77 + cond_a + 2 * cond_b, ("cbpc0", cond_a + 2 * cond_b)):
+            cond_a = 1 if (avail_a and p.cbp_chroma[a[1], a[0]] == 2) else 0
+            cond_b = 1 if (avail_b and p.cbp_chroma[b[1], b[0]] == 2) else 0
+            cbp_c = 1 + self._bin(
+                81 + cond_a + 2 * cond_b, ("cbpc1", cond_a + 2 * cond_b)
+            )
+        return cbp, cbp_c
+
+    def parse_mb_qp_delta(self):
+        if not self._bin(60 + self.prev_qp_delta_nz, ("qpd0", self.prev_qp_delta_nz)):
+            self.prev_qp_delta_nz = 0
+            return 0
+        v = 1
+        if self._bin(62, ("qpd1",)):
+            v = 2
+            while self._bin(63, ("qpd2", min(v - 2, 4))):
+                v += 1
+                if v > 128:
+                    raise UnsupportedStream("qp_delta overflow")
+        self.prev_qp_delta_nz = 1
+        # mapped unary -> signed (9.3.2.7)
+        return (v + 1) >> 1 if v & 1 else -(v >> 1)
+
+    # -- motion ----------------------------------------------------------
+    def parse_ref_idx(self, lst, blk):
+        """blk = top-left 4x4 blk idx of the partition."""
+        p = self.pic
+        inc = 0
+        for dx, dy, weight in ((-1, 0, 1), (0, -1, 2)):
+            (nmb, nblk) = blk4_neighbor(self.mbx, self.mby, blk, dx, dy)
+            if self._avail(nmb):
+                quad = (int(BLK4_Y[nblk]) >> 1) * 2 + (int(BLK4_X[nblk]) >> 1)
+                r = p.refidx[lst, nmb[1], nmb[0], quad]
+                if r > 0:
+                    inc += weight
+        v = 0
+        ctxs = (54 + inc, 58, 59)
+        while self._bin(ctxs[min(v, 2)], ("ref", min(v, 2), inc if v == 0 else 0)):
+            v += 1
+            if v > 32:
+                raise UnsupportedStream("ref_idx overflow")
+        return v
+
+    def parse_mvd(self, lst, blk, comp):
+        p = self.pic
+        base = 40 if comp == 0 else 47
+        s = 0
+        for dx, dy in ((-1, 0), (0, -1)):
+            (nmb, nblk) = blk4_neighbor(self.mbx, self.mby, blk, dx, dy)
+            if self._avail(nmb):
+                s += int(p.mvd[lst, nmb[1], nmb[0], nblk, comp])
+        inc = 0 if s < 3 else (1 if s <= 32 else 2)
+        mkey = ("mvd", comp, inc)
+        if not self._bin(base + inc, mkey):
+            return 0
+        v = 1
+        ctx_off = (3, 4, 5, 6, 6, 6, 6, 6)
+        while v < 9 and self._bin(base + ctx_off[v - 1], ("mvdp", comp, min(v, 5))):
+            v += 1
+        if v == 9:
+            k = 3
+            while self._bypass(("mvde", comp, min(k - 3, 5))):
+                v += 1 << k
+                k += 1
+                if k > 30:
+                    raise UnsupportedStream("mvd overflow")
+            while k:
+                k -= 1
+                v += self._bypass(("mvdb", comp, min(k, 7))) << k
+        sign = self._bypass(("mvds", comp))
+        return -v if sign else v
+
+    def _store_mvd(self, lst, blk, w4, h4, vx, vy):
+        p = self.pic
+        x0, y0 = int(BLK4_X[blk]), int(BLK4_Y[blk])
+        for yy in range(y0, y0 + h4):
+            for xx in range(x0, x0 + w4):
+                b = int(RASTER_TO_BLK4[yy * 4 + xx])
+                p.mvd[lst, self.mby, self.mbx, b, 0] = abs(vx)
+                p.mvd[lst, self.mby, self.mbx, b, 1] = abs(vy)
+
+    def _parse_mvd_part(self, lst, blk, w4, h4):
+        vx = self.parse_mvd(lst, blk, 0)
+        vy = self.parse_mvd(lst, blk, 1)
+        self._store_mvd(lst, blk, w4, h4, vx, vy)
+
+    # -- residuals -------------------------------------------------------
+    def _cbf_neighbor(self, cat, blk, is_intra):
+        """ctxIdxInc for coded_block_flag (9.3.3.1.1.9) via effective maps."""
+        p = self.pic
+        inc = 0
+        for di, (dx, dy) in enumerate(((-1, 0), (0, -1))):
+            if cat == CAT_LUMA_DC:
+                nmb = (self.mbx + dx, self.mby + dy)
+                if not self._avail(nmb):
+                    cond = 1 if is_intra else 0
+                else:
+                    cond = int(p.cbf_luma_dc[nmb[1], nmb[0]])
+            elif cat in (CAT_LUMA_AC, CAT_LUMA_4x4):
+                nmb, nblk = blk4_neighbor(self.mbx, self.mby, blk, dx, dy)
+                if not self._avail(nmb):
+                    cond = 1 if is_intra else 0
+                else:
+                    cond = int(p.cbf_luma[nmb[1], nmb[0], nblk])
+            elif cat == CAT_CHROMA_DC:
+                nmb = (self.mbx + dx, self.mby + dy)
+                if not self._avail(nmb):
+                    cond = 1 if is_intra else 0
+                else:
+                    cond = int(p.cbf_chroma_dc[nmb[1], nmb[0], blk])
+            else:  # CAT_CHROMA_AC: blk = comp*4 + idx(2x2)
+                comp, sub = blk >> 2, blk & 3
+                nmb, nsub = chroma_blk_neighbor(self.mbx, self.mby, sub, dx, dy)
+                if not self._avail(nmb):
+                    cond = 1 if is_intra else 0
+                else:
+                    cond = int(p.cbf_chroma_ac[nmb[1], nmb[0], comp * 4 + nsub])
+            inc += cond << di
+        return inc
+
+    def parse_residual_block(self, cat, blk, is_intra, has_cbf, nnz_prior):
+        """Parse one residual block; returns (nnz, coeff levels summary).
+
+        Implements the OOB-nnz + determinism-elision protocol described in
+        the module docstring.  `blk` identifies the block for neighbor maps.
+        """
+        c = self.c
+        max_coeff = _MAX_COEFF[cat]
+        if has_cbf:
+            inc = self._cbf_neighbor(cat, blk, is_intra)
+            cbf = self._bin(85 + 4 * cat + inc, ("cbf", cat, inc, min(nnz_prior, 7)))
+            self._last_cbf = cbf
+            if not cbf:
+                return 0
+        else:
+            self._last_cbf = 1
+        # --- significance map ---
+        if cat == CAT_LUMA_8x8:
+            sig_ctx = [402 + SIG_COEFF_FLAG_OFFSET_8X8[0][i] for i in range(63)]
+            last_ctx = [417 + LAST_COEFF_FLAG_OFFSET_8X8[i] for i in range(63)]
+        else:
+            sig_base = SIG_COEFF_FLAG_OFFSET[0][cat]
+            last_base = LAST_COEFF_FLAG_OFFSET[0][cat]
+            if cat == CAT_CHROMA_DC:
+                sig_ctx = [sig_base + min(i, 2) for i in range(max_coeff - 1)]
+                last_ctx = [last_base + min(i, 2) for i in range(max_coeff - 1)]
+            else:
+                sig_ctx = [sig_base + i for i in range(max_coeff - 1)]
+                last_ctx = [last_base + i for i in range(max_coeff - 1)]
+
+        if c.is_compress:
+            # decode the real sig map, then emit nnz + non-deterministic bins
+            sig = []
+            n_sig = 0
+            for i in range(max_coeff - 1):
+                s = c.cabac_raw_bin(sig_ctx[i])
+                sig.append(s)
+                if s:
+                    n_sig += 1
+                    if c.cabac_raw_bin(last_ctx[i]):
+                        break
+            else:
+                sig.append(1)  # implicit last position significant
+                n_sig += 1
+            nnz = n_sig
+            c.put_nnz(nnz, cat, max_coeff, nnz_prior, blk)
+            self._replay_sig(cat, sig, nnz, sig_ctx, last_ctx, emit=True)
+        else:
+            nnz = c.get_nnz(cat, max_coeff, nnz_prior, blk)
+            sig = self._replay_sig(cat, None, nnz, sig_ctx, last_ctx, emit=False)
+
+        # --- levels (backward from last significant) ---
+        positions = [i for i, s in enumerate(sig) if s]
+        assert len(positions) == nnz
+        node = 0
+        abs_base = COEFF_ABS_LEVEL_M1_OFFSET[cat]
+        gt1_off = 8 if cat == CAT_CHROMA_DC else 0
+        for pos in reversed(positions):
+            ctx1 = abs_base + COEFF_ABS_LEVEL1_CTX[node]
+            if self._bin(ctx1, ("lvl1", cat, COEFF_ABS_LEVEL1_CTX[node])):
+                coeff = 2
+                ctxg = abs_base + COEFF_ABS_LEVELGT1_CTX[gt1_off + node]
+                while coeff < 15 and self._bin(
+                    ctxg, ("lvlg", cat, COEFF_ABS_LEVELGT1_CTX[gt1_off + node], min(coeff, 7))
+                ):
+                    coeff += 1
+                if coeff == 15:
+                    j = 0
+                    while self._bypass(("lvle", cat, min(j, 7))):
+                        j += 1
+                        if j > 30:
+                            raise UnsupportedStream("level overflow")
+                    add = 1
+                    while j:
+                        j -= 1
+                        add += add + self._bypass(("lvlb", cat, min(j, 7)))
+                    coeff += add - 1
+                node = COEFF_ABS_LEVEL_TRANSITION[1][node]
+            else:
+                coeff = 1
+                node = COEFF_ABS_LEVEL_TRANSITION[0][node]
+            self._bypass(("sgn", cat))
+        return nnz
+
+    def _replay_sig(self, cat, sig, nnz, sig_ctx, last_ctx, emit):
+        """Walk the sig/last map applying determinism elision.
+
+        emit=True (compress): `sig` is the decoded map; non-deterministic sig
+        bins are sent to the model; deterministic ones are asserted.
+        emit=False (decompress): reconstruct `sig` from nnz + model bins and
+        replay every implied CABAC bin into the re-encoder.
+        Returns the sig list.
+        """
+        c = self.c
+        max_coeff = len(sig_ctx) + 1
+        out = [] if sig is None else None
+        found = 0
+        i = 0
+        while i < max_coeff:
+            remaining_pos = max_coeff - i
+            need = nnz - found
+            if i == max_coeff - 1:
+                s = 1 if need > 0 else 0  # implicit final position
+                det = True
+            elif need == 0:
+                s, det = 0, True
+            elif need == remaining_pos:
+                s, det = 1, True
+            else:
+                s, det = None, False
+            if emit:
+                actual = sig[i] if i < len(sig) else 0
+                if det:
+                    if actual != s:
+                        raise ParseDesync(f"sig map det mismatch cat={cat} i={i}")
+                else:
+                    c.put_modeled(("sig", cat, i, min(found, 7), min(need, 7)), actual)
+                s = actual
+            else:
+                if not det:
+                    s = c.get_modeled(("sig", cat, i, min(found, 7), min(need, 7)))
+                out.append(s)
+                # replay implied CABAC bins for the re-encoder
+                if i < max_coeff - 1:
+                    c.cabac_raw_bin_put(sig_ctx[i], s)
+            if s:
+                found += 1
+                if i < max_coeff - 1 and not emit:
+                    c.cabac_raw_bin_put(last_ctx[i], 1 if found == nnz else 0)
+                if found == nnz and i < max_coeff - 1:
+                    # last flag terminates the map
+                    if emit:
+                        pass  # compress already consumed real last flags
+                    break
+            i += 1
+        if emit:
+            return None
+        # pad remaining positions as non-significant
+        while len(out) < max_coeff:
+            out.append(0)
+        return out
+
+    # -- macroblock layer ------------------------------------------------
+    def parse_macroblock(self):
+        p = self.pic
+        x, y = self.mbx, self.mby
+        stype = self.stype
+        self._sub_types = None
+
+        skip = 0
+        if stype != SLICE_I:
+            skip = self.parse_mb_skip()
+        if skip:
+            p.slice_id[y, x] = self.sid
+            p.mbclass[y, x] = MB_P_SKIP if stype == SLICE_P else MB_B_SKIP
+            p.skip[y, x] = 1
+            p.refidx[:, y, x, :] = 0 if stype == SLICE_P else -1
+            self.prev_qp_delta_nz = 0
+            return
+
+        mbclass, info = self.parse_mb_type()
+        p.slice_id[y, x] = self.sid
+        p.mbclass[y, x] = mbclass
+        p.skip[y, x] = 0
+
+        t8x8 = 0
+        is_intra = mbclass in (MB_I_NXN, MB_I16)
+        cbp_luma = cbp_chroma = 0
+        i16_cbf_luma = 0
+
+        if mbclass == MB_I_NXN:
+            if self.pps.transform_8x8_mode_flag:
+                t8x8 = self.parse_transform_8x8()
+            self.parse_intra_pred_modes(4 if t8x8 else 16)
+            p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
+        elif mbclass == MB_I16:
+            i16_cbf_luma, cbp_chroma, _pred = info
+            cbp_luma = 15 if i16_cbf_luma else 0
+            p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
+        elif mbclass == MB_B_DIRECT:
+            pass  # no mb_pred syntax
+        else:
+            self._parse_inter_pred(info)
+
+        # coded_block_pattern (not for I16)
+        sub_types = getattr(self, "_sub_types", None)
+        if mbclass not in (MB_I16,):
+            cbp_luma, cbp_chroma = self.parse_cbp(mbclass)
+            # transform_size_8x8_flag for inter MBs (7.3.5 condition)
+            if (
+                cbp_luma
+                and self.pps.transform_8x8_mode_flag
+                and mbclass != MB_I_NXN
+                and self._t8x8_allowed(mbclass, info, sub_types)
+            ):
+                t8x8 = self.parse_transform_8x8()
+        p.cbp_luma[y, x] = cbp_luma
+        p.cbp_chroma[y, x] = cbp_chroma
+        p.t8x8[y, x] = t8x8
+
+        if cbp_luma or cbp_chroma or mbclass == MB_I16:
+            self.parse_mb_qp_delta()
+            self._parse_residuals(mbclass, cbp_luma, cbp_chroma, t8x8, is_intra)
+        else:
+            self.prev_qp_delta_nz = 0
+
+    def _t8x8_allowed(self, mbclass, info, sub_types):
+        if mbclass == MB_B_DIRECT:
+            return bool(self.sps.direct_8x8_inference_flag)
+        if info and info[0] == "P8x8":
+            return all(t == 0 for t in sub_types)
+        if info and info[0] == "B" and info[1] == 22:
+            # all sub parts must be 8x8 (and direct subs need 8x8 inference)
+            for t in sub_types:
+                if t == 0:
+                    if not self.sps.direct_8x8_inference_flag:
+                        return False
+                elif t > 3:
+                    return False
+            return True
+        return True
+
+    def _parse_inter_pred(self, info):
+        p = self.pic
+        x, y = self.mbx, self.mby
+        self._sub_types = None
+        blk_bottom = int(RASTER_TO_BLK4[2 * 4 + 0])  # (x4=0, y4=2)
+        blk_right = int(RASTER_TO_BLK4[0 * 4 + 2])  # (x4=2, y4=0)
+        if info[0] == "P16x16":
+            parts = [(0, 4, 4, PRED_L0)]
+        elif info[0] == "P16x8":
+            parts = [(0, 4, 2, PRED_L0), (blk_bottom, 4, 2, PRED_L0)]
+        elif info[0] == "P8x16":
+            parts = [(0, 2, 4, PRED_L0), (blk_right, 2, 4, PRED_L0)]
+        elif info[0] == "P8x8":
+            sub = [self.parse_sub_mb_type_p() for _ in range(4)]
+            self._sub_types = sub
+            self._parse_p8x8(sub)
+            return
+        else:  # B
+            btype = info[1]
+            npart, shape, modes = _B_TYPE_INFO[btype]
+            if btype == 22:
+                sub = [self.parse_sub_mb_type_b() for _ in range(4)]
+                self._sub_types = sub
+                self._parse_b8x8(sub)
+                return
+            if shape == 0:
+                parts = [(0, 4, 4, modes[0])]
+            elif shape == 1:
+                parts = [(0, 4, 2, modes[0]), (blk_bottom, 4, 2, modes[1])]
+            else:
+                parts = [(0, 2, 4, modes[0]), (blk_right, 2, 4, modes[1])]
+
+        refs = {0: {}, 1: {}}
+        for lst, nref in ((0, self.nref0), (1, self.nref1)):
+            for blk, w4, h4, mode in parts:
+                if mode == PRED_BI or mode - 1 == lst:
+                    r = self.parse_ref_idx(lst, blk) if nref > 1 else 0
+                    refs[lst][blk] = r
+                    # store on all covered 8x8 quadrants
+                    self._store_ref(lst, blk, w4, h4, r)
+        for lst in (0, 1):
+            for blk, w4, h4, mode in parts:
+                if mode == PRED_BI or mode - 1 == lst:
+                    self._parse_mvd_part(lst, blk, w4, h4)
+
+    def _store_ref(self, lst, blk, w4, h4, r):
+        p = self.pic
+        x0, y0 = int(BLK4_X[blk]), int(BLK4_Y[blk])
+        for yy in range(y0, y0 + h4, 2):
+            for xx in range(x0, x0 + w4, 2):
+                p.refidx[lst, self.mby, self.mbx, (yy >> 1) * 2 + (xx >> 1)] = r
+
+    def _parse_p8x8(self, sub):
+        # sub_mb_pred (7.3.5.2): all ref_idx_l0, then all mvd_l0
+        for i8 in range(4):
+            blk = int(RASTER_TO_BLK4[(i8 >> 1) * 2 * 4 + (i8 & 1) * 2])
+            if self.nref0 > 1:
+                r = self.parse_ref_idx(0, blk)
+            else:
+                r = 0
+            self._store_ref(0, blk, 2, 2, r)
+        for i8 in range(4):
+            self._parse_sub_mvds(0, i8, sub[i8], is_b=False)
+
+    def _parse_b8x8(self, sub):
+        for lst, nref in ((0, self.nref0), (1, self.nref1)):
+            for i8 in range(4):
+                t = sub[i8]
+                if t == 0:
+                    continue  # direct
+                _, _, mode = _B_SUB_INFO[t]
+                if mode == PRED_BI or mode - 1 == lst:
+                    blk = int(RASTER_TO_BLK4[(i8 >> 1) * 2 * 4 + (i8 & 1) * 2])
+                    r = self.parse_ref_idx(lst, blk) if nref > 1 else 0
+                    self._store_ref(lst, blk, 2, 2, r)
+        for lst in (0, 1):
+            for i8 in range(4):
+                t = sub[i8]
+                if t == 0:
+                    continue
+                _, _, mode = _B_SUB_INFO[t]
+                if mode == PRED_BI or mode - 1 == lst:
+                    self._parse_sub_mvds(lst, i8, t, is_b=True)
+
+    def _parse_sub_mvds(self, lst, i8, subtype, is_b):
+        x0, y0 = (i8 & 1) * 2, (i8 >> 1) * 2
+        if is_b:
+            nsp, shape, _mode = _B_SUB_INFO[subtype]
+        else:
+            shape = subtype  # P: 0=8x8,1=8x4,2=4x8,3=4x4
+            nsp = (1, 2, 2, 4)[shape]
+        for sp in range(nsp):
+            if shape == 0:
+                bx, by, w4, h4 = x0, y0, 2, 2
+            elif shape == 1:  # 8x4
+                bx, by, w4, h4 = x0, y0 + sp, 2, 1
+            elif shape == 2:  # 4x8
+                bx, by, w4, h4 = x0 + sp, y0, 1, 2
+            else:  # 4x4
+                bx, by, w4, h4 = x0 + (sp & 1), y0 + (sp >> 1), 1, 1
+            blk = int(RASTER_TO_BLK4[by * 4 + bx])
+            self._parse_mvd_part(lst, blk, w4, h4)
+
+    def _parse_residuals(self, mbclass, cbp_luma, cbp_chroma, t8x8, is_intra):
+        p = self.pic
+        x, y = self.mbx, self.mby
+        prev = self.prev
+
+        def prior_luma(blk):
+            # neighbor + previous-frame nnz prior (reference's FrameBuffer
+            # prior, recode.cpp:865-895) — bucketed average
+            tot, n = 0, 0
+            for dx, dy in ((-1, 0), (0, -1)):
+                nmb, nblk = blk4_neighbor(x, y, blk, dx, dy)
+                if 0 <= nmb[0] < self.W and 0 <= nmb[1] < self.H and p.slice_id[
+                    nmb[1], nmb[0]
+                ] >= 0:
+                    tot += int(p.nnz_luma[nmb[1], nmb[0], nblk])
+                    n += 1
+            if prev is not None:
+                tot += int(prev.nnz_luma[y, x, blk])
+                n += 1
+            return tot // n if n else 0
+
+        if mbclass == MB_I16:
+            nnz = self.parse_residual_block(
+                CAT_LUMA_DC, 0, True, True, int(prev.nnz_luma_dc[y, x]) if prev is not None else 0
+            )
+            p.cbf_luma_dc[y, x] = self._last_cbf
+            p.nnz_luma_dc[y, x] = nnz
+            if cbp_luma:
+                for i8 in range(4):
+                    for j in range(4):
+                        blk = i8 * 4 + j
+                        nnz = self.parse_residual_block(
+                            CAT_LUMA_AC, blk, True, True, prior_luma(blk)
+                        )
+                        p.cbf_luma[y, x, blk] = self._last_cbf
+                        p.nnz_luma[y, x, blk] = nnz
+        else:
+            for i8 in range(4):
+                if not (cbp_luma >> i8) & 1:
+                    continue
+                if t8x8:
+                    blk0 = int(RASTER_TO_BLK4[(i8 >> 1) * 8 + (i8 & 1) * 2])
+                    nnz = self.parse_residual_block(
+                        CAT_LUMA_8x8, blk0, is_intra, False, prior_luma(blk0)
+                    )
+                    for j in range(4):
+                        blk = i8 * 4 + j
+                        p.cbf_luma[y, x, blk] = 1
+                        p.nnz_luma[y, x, blk] = min(nnz, 255) >> 2
+                else:
+                    for j in range(4):
+                        blk = i8 * 4 + j
+                        nnz = self.parse_residual_block(
+                            CAT_LUMA_4x4, blk, is_intra, True, prior_luma(blk)
+                        )
+                        p.cbf_luma[y, x, blk] = self._last_cbf
+                        p.nnz_luma[y, x, blk] = nnz
+
+        if cbp_chroma:
+            for comp in range(2):
+                pr = int(prev.nnz_chroma_dc[y, x, comp]) if prev is not None else 0
+                nnz = self.parse_residual_block(CAT_CHROMA_DC, comp, is_intra, True, pr)
+                p.cbf_chroma_dc[y, x, comp] = self._last_cbf
+                p.nnz_chroma_dc[y, x, comp] = nnz
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for sub in range(4):
+                    idx = comp * 4 + sub
+                    pr = int(prev.nnz_chroma_ac[y, x, idx]) if prev is not None else 0
+                    nnz = self.parse_residual_block(
+                        CAT_CHROMA_AC, idx, is_intra, True, pr
+                    )
+                    p.cbf_chroma_ac[y, x, idx] = self._last_cbf
+                    p.nnz_chroma_ac[y, x, idx] = nnz
+
+    # The cbf bit of the most recent parse_residual_block call (set there).
+    _last_cbf = 0
+
+    # -- slice loop ------------------------------------------------------
+    def parse_slice_data(self, mb_count=None):
+        """Parse the whole slice.  compress: mb_count=None (discovered);
+        decompress: mb_count from the container (makes end_of_slice
+        deterministic).  Returns number of MBs parsed."""
+        addr = self.hdr.first_mb_in_slice
+        n = 0
+        total = self.W * self.H
+        while True:
+            if addr >= total:
+                raise ParseDesync("mb address beyond picture")
+            self.mbx, self.mby = addr % self.W, addr // self.W
+            self.parse_macroblock()
+            n += 1
+            if mb_count is None:
+                eos = self.c.cabac_terminate_eos()
+            else:
+                eos = 1 if n == mb_count else 0
+                self.c.cabac_terminate_eos_put(eos)
+            if eos:
+                break
+            addr += 1
+        self.mb_count = n
+        return n

@@ -1,0 +1,156 @@
+"""Stream-level slice walking: parameter-set tracking, picture state ring,
+and per-slice parse orchestration shared by compress/decompress/validate.
+
+The picture ring (cur/prev PicState) is the analog of the reference's
+FrameBuffer frames[2] ping-pong (recode.cpp:630-631, 831-850).
+"""
+
+from dataclasses import dataclass
+
+from ..utils.bitio import unescape_rbsp
+from ..utils.mp4 import demux
+from .coders import CompressCoder
+from .mbparse import PicState, SliceParser, ParseDesync
+from .params import UnsupportedStream, parse_pps, parse_sps
+from .slicehdr import parse_slice_header
+
+
+@dataclass
+class SliceRecord:
+    nal_index: int
+    offset: int  # absolute file offset of NAL start
+    size: int
+    header: object
+    sps: object
+    pps: object
+    rbsp: bytes  # unescaped NAL payload (incl. nal header byte)
+    cabac_offset: int  # offset of CABAC data within rbsp
+
+
+class StreamWalker:
+    """Iterates a file's slice NALs in decode order, maintaining SPS/PPS maps
+    and the cur/prev picture-state ring."""
+
+    def __init__(self, data):
+        self.data = data
+        self.stream = demux(bytes(data))
+        self.sps_map = {}
+        self.pps_map = {}
+        self.cur_pic = None
+        self.prev_pic = None
+        self.slice_id = 0
+        if self.stream is not None:
+            for sps in self.stream.sps_list:
+                try:
+                    s = parse_sps(sps)
+                    self.sps_map[s.sps_id] = s
+                except Exception:
+                    pass
+            for pps in self.stream.pps_list:
+                try:
+                    p = parse_pps(pps, self.sps_map)
+                    self.pps_map[p.pps_id] = p
+                except Exception:
+                    pass
+
+    def slices(self):
+        """Yield SliceRecord for each parseable coded-slice NAL.
+
+        Unparseable slices (unsupported features) are skipped — the caller's
+        literal fallback covers them.  SPS/PPS NALs encountered mid-stream
+        update the maps (in-band parameter sets)."""
+        if self.stream is None:
+            return
+        for i, nal in enumerate(self.stream.nals):
+            raw = self.data[nal.offset : nal.offset + nal.size]
+            if nal.nal_type == 7:
+                try:
+                    s = parse_sps(raw)
+                    self.sps_map[s.sps_id] = s
+                except Exception:
+                    pass
+                continue
+            if nal.nal_type == 8:
+                try:
+                    p = parse_pps(raw, self.sps_map)
+                    self.pps_map[p.pps_id] = p
+                except Exception:
+                    pass
+                continue
+            if nal.nal_type not in (1, 5):
+                continue
+            try:
+                rbsp = unescape_rbsp(raw[1:])
+                hdr, sps, pps = parse_slice_header(
+                    rbsp, nal.nal_type, nal.nal_ref_idc, self.sps_map, self.pps_map
+                )
+            except (UnsupportedStream, EOFError, ValueError):
+                continue
+            yield SliceRecord(
+                nal_index=i,
+                offset=nal.offset,
+                size=nal.size,
+                header=hdr,
+                sps=sps,
+                pps=pps,
+                rbsp=b"\x00" + rbsp,  # keep 1-byte header placeholder offset
+                cabac_offset=1 + hdr.cabac_start_byte,
+            )
+
+    def picture_for(self, rec):
+        """Return (cur, prev) PicState for this slice, advancing the ring on
+        picture boundaries (first_mb_in_slice == 0)."""
+        if rec.header.first_mb_in_slice == 0 or self.cur_pic is None:
+            self.prev_pic = self.cur_pic
+            self.cur_pic = PicState(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units)
+        self.slice_id += 1
+        return self.cur_pic, self.prev_pic
+
+    def make_parser(self, rec, coder):
+        cur, prev = self.picture_for(rec)
+        return SliceParser(rec.sps, rec.pps, rec.header, cur, prev, coder, self.slice_id)
+
+
+def validate_file(data, max_slices=None, collect=None):
+    """Parse every slice with a verification-only CompressCoder.
+
+    Returns stats dict: slices attempted/parsed/byte-exact, bins, fallbacks.
+    This is the bring-up oracle for the parser: on a conformant encoder's
+    output every slice must parse to completion AND re-encode to a byte
+    prefix of the original payload."""
+    w = StreamWalker(data)
+    stats = {
+        "slices": 0,
+        "parsed": 0,
+        "byte_exact": 0,
+        "bins": 0,
+        "errors": [],
+    }
+    for rec in w.slices():
+        if max_slices is not None and stats["slices"] >= max_slices:
+            break
+        stats["slices"] += 1
+        payload = rec.rbsp[rec.cabac_offset :]
+        coder = CompressCoder(
+            payload,
+            rec.header.slice_qp,
+            None if rec.header.slice_type == 2 else rec.header.cabac_init_idc,
+        )
+        parser = w.make_parser(rec, coder)
+        try:
+            n_mbs = parser.parse_slice_data()
+        except (UnsupportedStream, ParseDesync, EOFError, AssertionError) as e:
+            stats["errors"].append((rec.nal_index, repr(e)))
+            continue
+        stats["parsed"] += 1
+        stats["bins"] += coder.n_bins
+        ok, tail = coder.verify_tail()
+        if ok:
+            stats["byte_exact"] += 1
+            stats["tail_bytes"] = stats.get("tail_bytes", 0) + len(tail)
+        else:
+            tail = None
+            stats["errors"].append((rec.nal_index, "re-encode mismatch"))
+        if collect is not None:
+            collect.append((rec, n_mbs, tail, coder))
+    return stats

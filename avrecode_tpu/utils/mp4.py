@@ -1,0 +1,253 @@
+"""Container demux: locate H.264 NAL units (by absolute file offset) plus
+SPS/PPS, for ISO-BMFF (MP4/MOV) and Annex-B elementary streams.
+
+Replaces the reference's libavformat demux + memmem payload search
+(recode.cpp:89-96, 1282-1290): instead of string-searching the file for the
+slice payload ffmpeg handed us, we read the sample tables, so every NAL's
+byte range is known exactly — O(index) instead of O(file_size * slices).
+
+Only the byte *layout* is needed (the recoder never touches pixels): the
+demuxer returns NalSpan(offset, size, header_offset) records; all other file
+bytes pass through as literals.
+"""
+
+import struct
+from dataclasses import dataclass
+
+
+@dataclass
+class NalSpan:
+    """One NAL unit in the file. offset/size cover the NAL payload itself
+    (starting at the nal header byte), excluding start code / length prefix."""
+
+    offset: int
+    size: int
+    nal_type: int
+    nal_ref_idc: int
+
+
+@dataclass
+class H264Stream:
+    sps_list: list  # raw RBSP-escaped SPS NAL payloads (without header byte? no: full NAL incl header)
+    pps_list: list
+    nals: list  # NalSpan for every video NAL in file order
+
+
+SLICE_TYPES = (1, 2, 5)  # non-IDR, partition A (unsupported->fallback), IDR
+
+
+def _boxes(data, start, end):
+    """Iterate (type, body_start, body_end) over ISO-BMFF boxes."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            break
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(data, start, end, path):
+    """Find first box at path like [b'moov', b'trak', ...]. Returns (s, e)."""
+    if not path:
+        return start, end
+    for btype, s, e in _boxes(data, start, end):
+        if btype == path[0]:
+            r = _find_box(data, s, e, path[1:])
+            if r:
+                return r
+    return None
+
+
+def _parse_stbl(data, stbl_s, stbl_e):
+    tables = {}
+    for btype, s, e in _boxes(data, stbl_s, stbl_e):
+        tables[btype] = (s, e)
+    return tables
+
+
+def _parse_avcc(avcc):
+    """avcC box body -> (length_size, sps_list, pps_list)."""
+    assert avcc[0] == 1, "avcC configurationVersion"
+    length_size = (avcc[4] & 3) + 1
+    pos = 5
+    n_sps = avcc[pos] & 0x1F
+    pos += 1
+    sps = []
+    for _ in range(n_sps):
+        ln = struct.unpack(">H", avcc[pos : pos + 2])[0]
+        pos += 2
+        sps.append(avcc[pos : pos + ln])
+        pos += ln
+    n_pps = avcc[pos]
+    pos += 1
+    pps = []
+    for _ in range(n_pps):
+        ln = struct.unpack(">H", avcc[pos : pos + 2])[0]
+        pos += 2
+        pps.append(avcc[pos : pos + ln])
+        pos += ln
+    return length_size, sps, pps
+
+
+def _sample_sizes(data, tables, count):
+    s, e = tables[b"stsz"]
+    uniform, n = struct.unpack(">II", data[s + 4 : s + 12])
+    if uniform:
+        return [uniform] * n
+    return list(struct.unpack(f">{n}I", data[s + 12 : s + 12 + 4 * n]))
+
+
+def _chunk_offsets(data, tables):
+    if b"stco" in tables:
+        s, e = tables[b"stco"]
+        n = struct.unpack(">I", data[s + 4 : s + 8])[0]
+        return list(struct.unpack(f">{n}I", data[s + 8 : s + 8 + 4 * n]))
+    s, e = tables[b"co64"]
+    n = struct.unpack(">I", data[s + 4 : s + 8])[0]
+    return list(struct.unpack(f">{n}Q", data[s + 8 : s + 8 + 8 * n]))
+
+
+def _stsc(data, tables):
+    s, e = tables[b"stsc"]
+    n = struct.unpack(">I", data[s + 4 : s + 8])[0]
+    ents = []
+    for i in range(n):
+        first_chunk, spc, sdi = struct.unpack(
+            ">III", data[s + 8 + 12 * i : s + 20 + 12 * i]
+        )
+        ents.append((first_chunk, spc))
+    return ents
+
+
+def _sample_offsets(data, tables):
+    """Absolute file offset of each sample, in sample order."""
+    sizes = _sample_sizes(data, tables, None)
+    chunks = _chunk_offsets(data, tables)
+    stsc = _stsc(data, tables)
+    offsets = []
+    si = 0
+    for ci, chunk_off in enumerate(chunks):
+        # samples-per-chunk for this chunk
+        spc = 1
+        for first_chunk, v in stsc:
+            if ci + 1 >= first_chunk:
+                spc = v
+            else:
+                break
+        pos = chunk_off
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    return offsets, sizes
+
+
+def _is_avc_track(data, trak_s, trak_e):
+    stsd = _find_box(data, trak_s, trak_e, [b"mdia", b"minf", b"stbl", b"stsd"])
+    if not stsd:
+        return None
+    s, e = stsd
+    for btype, bs, be in _boxes(data, s + 8, e):
+        if btype in (b"avc1", b"avc3"):
+            # visual sample entry: 78 bytes of fields before sub-boxes
+            for sb, ss, se in _boxes(data, bs + 78, be):
+                if sb == b"avcC":
+                    return data[ss:se]
+    return None
+
+
+def demux_mp4(data):
+    """Parse an MP4 file -> H264Stream, or None if no AVC track."""
+    moov = _find_box(data, 0, len(data), [b"moov"])
+    if not moov:
+        return None
+    for btype, trak_s, trak_e in _boxes(data, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        avcc = _is_avc_track(data, trak_s, trak_e)
+        if avcc is None:
+            continue
+        length_size, sps, pps = _parse_avcc(avcc)
+        stbl = _find_box(data, trak_s, trak_e, [b"mdia", b"minf", b"stbl"])
+        tables = _parse_stbl(data, stbl[0], stbl[1])
+        offsets, sizes = _sample_offsets(data, tables)
+        nals = []
+        for off, size in zip(offsets, sizes):
+            pos = off
+            end = off + size
+            while pos + length_size <= end:
+                if length_size == 4:
+                    ln = struct.unpack(">I", data[pos : pos + 4])[0]
+                elif length_size == 2:
+                    ln = struct.unpack(">H", data[pos : pos + 2])[0]
+                else:
+                    ln = data[pos]
+                pos += length_size
+                if ln == 0 or pos + ln > end:
+                    break
+                hdr = data[pos]
+                nals.append(
+                    NalSpan(pos, ln, nal_type=hdr & 0x1F, nal_ref_idc=(hdr >> 5) & 3)
+                )
+                pos += ln
+        return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
+    return None
+
+
+def demux_annexb(data):
+    """Parse an Annex-B elementary stream -> H264Stream."""
+    nals = []
+    sps, pps = [], []
+    n = len(data)
+    # find start codes
+    starts = []
+    i = 0
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0:
+            if data[i + 2] == 1:
+                starts.append(i + 3)
+                i += 3
+                continue
+            if i + 4 <= n and data[i + 2] == 0 and data[i + 3] == 1:
+                starts.append(i + 4)
+                i += 4
+                continue
+        i += 1
+    if not starts:
+        return None
+    for k, s in enumerate(starts):
+        if k + 1 == len(starts):
+            e = n
+        else:
+            e = starts[k + 1] - 3  # 3-byte prefix
+            if e - 1 >= s and data[e - 1] == 0:
+                e -= 1  # 4-byte prefix (leading zero)
+        if e <= s:
+            continue
+        hdr = data[s]
+        span = NalSpan(s, e - s, nal_type=hdr & 0x1F, nal_ref_idc=(hdr >> 5) & 3)
+        nals.append(span)
+        if span.nal_type == 7:
+            sps.append(bytes(data[s:e]))
+        elif span.nal_type == 8:
+            pps.append(bytes(data[s:e]))
+    return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
+
+
+def demux(data):
+    """Auto-detect container type."""
+    if len(data) > 12 and data[4:8] in (b"ftyp", b"moov", b"mdat", b"wide", b"free"):
+        stream = demux_mp4(data)
+        if stream:
+            return stream
+    return demux_annexb(data)

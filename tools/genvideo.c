@@ -1,0 +1,134 @@
+/* Test-corpus generator: encodes synthetic footage to H.264 CABAC MP4/Annex-B
+ * using the system libavformat/libavcodec (libx264 encoder).
+ *
+ * This replaces the reference's reliance on stock GoPro footage
+ * (README.md:23, data/GOPR4542.MP4 — not shipped): we generate deterministic
+ * clips with realistic spatial/temporal structure so the recoder's
+ * neighbor/temporal priors have real signal to exploit.
+ *
+ * Usage: genvideo out.mp4 WIDTH HEIGHT FRAMES FPS GOP BFRAMES CRF SEED [slices]
+ */
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/opt.h>
+#include <libavutil/imgutils.h>
+#include <math.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+static unsigned rng_state;
+static unsigned xrand(void) {
+  rng_state ^= rng_state << 13;
+  rng_state ^= rng_state >> 17;
+  rng_state ^= rng_state << 5;
+  return rng_state;
+}
+
+/* Deterministic moving-texture frame: blobs + gradient + noise, so motion
+ * estimation, intra prediction, and residual coding all get exercised. */
+static void fill_frame(AVFrame *f, int t, int w, int h) {
+  for (int y = 0; y < h; y++) {
+    uint8_t *row = f->data[0] + y * f->linesize[0];
+    for (int x = 0; x < w; x++) {
+      int v = ((x + t * 3) * 255 / w + (y * 128 / h)) & 0xFF;
+      double dx = x - (w / 2 + w / 3 * sin(t * 0.1));
+      double dy = y - (h / 2 + h / 3 * cos(t * 0.13));
+      double d = sqrt(dx * dx + dy * dy);
+      v = (v + (int)(127 * exp(-d / 40.0))) & 0xFF;
+      v += (int)(xrand() % 17) - 8; /* mild noise -> nonzero residuals */
+      row[x] = v < 0 ? 0 : v > 255 ? 255 : v;
+    }
+  }
+  for (int y = 0; y < h / 2; y++) {
+    uint8_t *u = f->data[1] + y * f->linesize[1];
+    uint8_t *v = f->data[2] + y * f->linesize[2];
+    for (int x = 0; x < w / 2; x++) {
+      u[x] = 128 + (int)(40 * sin((x + t) * 0.05));
+      v[x] = 128 + (int)(40 * cos((y + t * 2) * 0.07));
+    }
+  }
+}
+
+int main(int argc, char **argv) {
+  if (argc < 10) {
+    fprintf(stderr,
+            "usage: %s out.mp4 W H FRAMES FPS GOP BFRAMES CRF SEED [slices]\n",
+            argv[0]);
+    return 2;
+  }
+  const char *path = argv[1];
+  int w = atoi(argv[2]), h = atoi(argv[3]), nframes = atoi(argv[4]);
+  int fps = atoi(argv[5]), gop = atoi(argv[6]), bframes = atoi(argv[7]);
+  int crf = atoi(argv[8]);
+  rng_state = (unsigned)atoi(argv[9]) | 1;
+  int slices = argc > 10 ? atoi(argv[10]) : 1;
+
+  const AVCodec *codec = avcodec_find_encoder_by_name("libx264");
+  if (!codec) { fprintf(stderr, "libx264 encoder not available\n"); return 1; }
+
+  AVFormatContext *fmt = NULL;
+  avformat_alloc_output_context2(&fmt, NULL, NULL, path);
+  if (!fmt) { fprintf(stderr, "bad output path\n"); return 1; }
+
+  AVStream *st = avformat_new_stream(fmt, NULL);
+  AVCodecContext *c = avcodec_alloc_context3(codec);
+  c->width = w;
+  c->height = h;
+  c->time_base = (AVRational){1, fps};
+  c->framerate = (AVRational){fps, 1};
+  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  c->gop_size = gop;
+  c->max_b_frames = bframes;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  char x264opts[256];
+  snprintf(x264opts, sizeof x264opts, "cabac=1:slices=%d", slices);
+  av_opt_set(c->priv_data, "preset", "medium", 0);
+  av_opt_set(c->priv_data, "profile", bframes ? "high" : "high", 0);
+  av_opt_set_int(c->priv_data, "crf", crf, 0);
+  av_opt_set(c->priv_data, "x264-params", x264opts, 0);
+
+  if (avcodec_open2(c, codec, NULL) < 0) { fprintf(stderr, "open enc failed\n"); return 1; }
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+
+  if (!(fmt->oformat->flags & AVFMT_NOFILE))
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) { fprintf(stderr, "io open failed\n"); return 1; }
+  if (avformat_write_header(fmt, NULL) < 0) { fprintf(stderr, "write header failed\n"); return 1; }
+
+  AVFrame *frame = av_frame_alloc();
+  frame->format = c->pix_fmt;
+  frame->width = w;
+  frame->height = h;
+  av_frame_get_buffer(frame, 0);
+  AVPacket *pkt = av_packet_alloc();
+
+  for (int i = 0; i <= nframes; i++) {
+    AVFrame *f = NULL;
+    if (i < nframes) {
+      av_frame_make_writable(frame);
+      fill_frame(frame, i, w, h);
+      frame->pts = i;
+      f = frame;
+    }
+    if (avcodec_send_frame(c, f) < 0) { fprintf(stderr, "send_frame failed\n"); return 1; }
+    while (1) {
+      int r = avcodec_receive_packet(c, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+      if (r < 0) { fprintf(stderr, "receive failed\n"); return 1; }
+      av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+  }
+  av_write_trailer(fmt);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avcodec_free_context(&c);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avformat_free_context(fmt);
+  fprintf(stderr, "wrote %s\n", path);
+  return 0;
+}
