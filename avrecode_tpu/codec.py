@@ -1,0 +1,219 @@
+"""Compress / decompress drivers — the reference's C10/C11 equivalents.
+
+compress(data)   -> recoded container bytes (self-verifying: every recoded
+                    slice is re-encoded and byte-compared during compression;
+                    any mismatch falls back to a literal block, so
+                    decompress(compress(x)) == x holds for ANY input).
+decompress(blob) -> original file bytes.
+
+Compression pipeline per slice:
+  1. validation pass on a scratch copy of the picture state (parse + CABAC
+     re-encode prefix/tail check) — cheap insurance replacing the
+     reference's skip_coded heuristics (recode.cpp:1296-1303),
+  2. model pass on the real state: bins re-coded through the adaptive model
+     into the shared range-coder stream; model snapshot/rollback protects
+     against desync raising mid-slice.
+"""
+
+import copy
+
+from .h264.coders import CompressCoder, DecompressCoder
+from .h264.mbparse import ParseDesync, PicState
+from .h264.params import UnsupportedStream, parse_pps, parse_sps
+from .h264.slicehdr import parse_slice_header
+from .h264.stream import StreamWalker
+from .h264.mbparse import SliceParser
+from .models.h264_model import RecodeModel
+from .utils.bitio import escape_rbsp, unescape_rbsp
+from .utils.container import (
+    KIND_END,
+    KIND_LITERAL,
+    KIND_SLICE,
+    MAGIC,
+    Reader,
+    SCOPE_STREAM,
+    VERSION,
+    Writer,
+)
+
+
+def _try_slice(rec, cur_pic, prev_pic, slice_id, model):
+    """Model-pass parse of one slice. Returns (mb_count, tail) or raises."""
+    payload = rec.rbsp[rec.cabac_offset :]
+    idc = None if rec.header.slice_type == 2 else rec.header.cabac_init_idc
+    coder = CompressCoder(payload, rec.header.slice_qp, idc, model=model)
+    parser = SliceParser(rec.sps, rec.pps, rec.header, cur_pic, prev_pic, coder, slice_id)
+    n_mbs = parser.parse_slice_data()
+    ok, drop, tail = coder.verify_tail()
+    if not ok:
+        raise ParseDesync("re-encode mismatch")
+    return n_mbs, drop, tail, coder.n_bins
+
+
+def compress(data, verbose=False):
+    data = bytes(data)
+    w = StreamWalker(data)
+    out = Writer()
+    out.out += MAGIC
+    out.u8(VERSION)
+    out.u8(0)
+    out.u16(SCOPE_STREAM)
+    stream = w.stream
+    sps_list = list(stream.sps_list) if stream else []
+    pps_list = list(stream.pps_list) if stream else []
+    out.varint(len(sps_list))
+    for b in sps_list:
+        out.blob(bytes(b))
+    out.varint(len(pps_list))
+    for b in pps_list:
+        out.blob(bytes(b))
+
+    model = RecodeModel("encode")
+    blocks = []  # (kind, payload...)
+    pos = 0
+    stats = {"slices": 0, "recoded": 0, "bins": 0}
+
+    for rec in w.slices():
+        stats["slices"] += 1
+        # picture ring advance must mirror decompression exactly: only
+        # recoded slices advance/write state, so decide fallback first
+        # using scratch copies.
+        advance = rec.header.first_mb_in_slice == 0 or w.cur_pic is None
+        if advance:
+            cand_prev = w.cur_pic
+            cand_cur = PicState(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units)
+        else:
+            cand_prev = w.prev_pic
+            cand_cur = w.cur_pic
+
+        # canonical-escaping check: decompress rebuilds the NAL with
+        # escape_rbsp, so the original must round-trip through it
+        nal_bytes = data[rec.offset : rec.offset + rec.size]
+        if nal_bytes[0:1] + escape_rbsp(rec.rbsp[1:]) != nal_bytes:
+            continue  # non-canonical escaping: leave in literal stream
+
+        snap = model.snapshot()
+        scratch_cur = copy.deepcopy(cand_cur)
+        sid = w.slice_id + 1
+        try:
+            n_mbs, drop, tail, n_bins = _try_slice(rec, scratch_cur, cand_prev, sid, model)
+        except (UnsupportedStream, ParseDesync, EOFError, AssertionError, ValueError):
+            model.rollback(snap)
+            continue  # slice stays inside literal stream
+
+        # commit: replace state with scratch (parsed), advance ring
+        if advance:
+            w.prev_pic = cand_prev
+        w.cur_pic = scratch_cur
+        w.slice_id = sid
+        stats["recoded"] += 1
+        stats["bins"] += n_bins
+
+        # emit literal up to this NAL, then the slice block
+        if rec.offset > pos:
+            blocks.append((KIND_LITERAL, data[pos : rec.offset]))
+        head = rec.rbsp[: rec.cabac_offset]
+        head = bytes([data[rec.offset]]) + head[1:]  # real NAL header byte
+        blocks.append((KIND_SLICE, rec.size, head, n_mbs, drop, tail))
+        pos = rec.offset + rec.size
+
+    if pos < len(data):
+        blocks.append((KIND_LITERAL, data[pos:]))
+
+    for blk in blocks:
+        if blk[0] == KIND_LITERAL:
+            out.u8(KIND_LITERAL)
+            out.blob(blk[1])
+        else:
+            _, nal_size, head, mb_count, drop, tail = blk
+            out.u8(KIND_SLICE)
+            out.varint(nal_size)
+            out.blob(head)
+            out.varint(mb_count)
+            out.varint(drop)
+            out.blob(tail)
+    out.u8(KIND_END)
+    out.blob(model.finish())
+    if verbose:
+        import sys
+
+        bill = sorted(model.bill.items(), key=lambda kv: -kv[1])
+        print("recode bill (bits):", bill[:12], file=sys.stderr)
+        print(stats, file=sys.stderr)
+    return out.bytes()
+
+
+def decompress(blob):
+    r = Reader(blob)
+    assert blob[:4] == MAGIC, "bad magic"
+    r.pos = 4
+    version = r.u8()
+    assert version == VERSION
+    r.u8()
+    scope = r.u16()
+    assert scope == SCOPE_STREAM
+    sps_map, pps_map = {}, {}
+    for _ in range(r.varint()):
+        s = parse_sps(r.blob())
+        sps_map[s.sps_id] = s
+    for _ in range(r.varint()):
+        p = parse_pps(r.blob(), sps_map)
+        pps_map[p.pps_id] = p
+
+    # first pass over blocks (model stream is at the end)
+    blocks = []
+    while True:
+        kind = r.u8()
+        if kind == KIND_END:
+            break
+        if kind == KIND_LITERAL:
+            blocks.append((KIND_LITERAL, r.blob()))
+        else:
+            nal_size = r.varint()
+            head = r.blob()
+            mb_count = r.varint()
+            drop = r.varint()
+            tail = r.blob()
+            blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail))
+    model = RecodeModel("decode", r.blob())
+
+    out = bytearray()
+    cur_pic = prev_pic = None
+    slice_id = 0
+    for blk in blocks:
+        if blk[0] == KIND_LITERAL:
+            out += blk[1]
+            continue
+        _, nal_size, head, mb_count, drop, tail = blk
+        nal_type = head[0] & 0x1F
+        nal_ref_idc = (head[0] >> 5) & 3
+        hdr, sps, pps = parse_slice_header(
+            head[1:], nal_type, nal_ref_idc, sps_map, pps_map
+        )
+        if hdr.first_mb_in_slice == 0 or cur_pic is None:
+            prev_pic = cur_pic
+            cur_pic = PicState(sps.pic_width_in_mbs, sps.pic_height_in_map_units)
+        slice_id += 1
+        idc = None if hdr.slice_type == 2 else hdr.cabac_init_idc
+        coder = DecompressCoder(hdr.slice_qp, idc, model)
+        parser = SliceParser(sps, pps, hdr, cur_pic, prev_pic, coder, slice_id)
+        parser.parse_slice_data(mb_count=mb_count)
+        payload = coder.payload()
+        # apply stored tail: drop re-encoded suffix bytes (the x264-style
+        # final byte) and append the original suffix
+        full = (payload[:-drop] if drop else payload) + tail
+        rbsp = head[1:] + full
+        nal = head[0:1] + escape_rbsp(rbsp)
+        assert len(nal) == nal_size, "reconstructed NAL size mismatch"
+        out += nal
+    return bytes(out)
+
+
+def roundtrip(data, verbose=False):
+    """Reference's roundtrip oracle (recode.cpp:1601-1640): returns
+    (ok, ratio_percent, compressed, decompressed)."""
+    comp = compress(data, verbose=verbose)
+    dec = decompress(comp)
+    ok = dec == bytes(data)
+    ratio = 100.0 * len(comp) / max(1, len(data))
+    return ok, ratio, comp, dec

@@ -108,7 +108,7 @@ class CompressCoder:
         re-encode at decompress; it is stored in the container.
         """
         if not self.verify:
-            return False, b""
+            return False, 0, b""
         out = self.enc.bytes()
         orig = self.payload
         n = min(len(out), len(orig))
@@ -116,8 +116,9 @@ class CompressCoder:
         while common < n and out[common] == orig[common]:
             common += 1
         if common < len(out) - 1 or len(out) > len(orig):
-            return False, b""
-        return True, bytes(orig[common:])
+            return False, 0, b""
+        # drop: how many re-encoded suffix bytes the tail replaces (0 or 1)
+        return True, len(out) - common, bytes(orig[common:])
 
 
 class DecompressCoder:

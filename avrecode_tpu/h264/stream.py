@@ -144,7 +144,7 @@ def validate_file(data, max_slices=None, collect=None):
             continue
         stats["parsed"] += 1
         stats["bins"] += coder.n_bins
-        ok, tail = coder.verify_tail()
+        ok, _drop, tail = coder.verify_tail()
         if ok:
             stats["byte_exact"] += 1
             stats["tail_bytes"] = stats.get("tail_bytes", 0) + len(tail)

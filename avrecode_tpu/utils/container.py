@@ -1,0 +1,100 @@
+"""Recoded container format (successor of recode.proto / SURVEY.md C13).
+
+A compact self-describing binary format, no protobuf dependency:
+
+  header:  magic 'AVTR' | u8 version | u8 flags | u16 model_scope
+           varint n_sps, each: varint len + bytes (raw SPS NAL payloads)
+           varint n_pps, each: varint len + bytes
+  blocks:  u8 kind, then
+           kind 0 LITERAL: varint len, bytes
+           kind 1 SLICE:   varint nal_size, varint head_len, head bytes
+                           (unescaped: nal hdr byte + header RBSP up to the
+                           CABAC start), varint mb_count, varint tail_len,
+                           tail bytes (original payload suffix incl. the
+                           x264-style final byte — generalizes last_byte /
+                           length_parity, recode.proto:16-17)
+           kind 2 END
+  stream:  varint len, recoded model stream bytes (single stream for
+           model_scope=0 'stream'; per-shard streams in parallel scopes)
+
+The SLICE block carries no entropy payload of its own; all recoded bins from
+all slices share the model stream(s), like the reference's single adaptive
+model over the whole file (model scope is recorded so decompression can
+re-parallelize identically — SURVEY.md §2 'model scope' note).
+"""
+
+MAGIC = b"AVTR"
+VERSION = 1
+
+KIND_LITERAL = 0
+KIND_SLICE = 1
+KIND_END = 2
+
+SCOPE_STREAM = 0  # one adaptive model + one range stream for the whole file
+SCOPE_SLICE = 1  # independent model per slice (parallel decode)
+SCOPE_GOP = 2  # model reset at IDR boundaries (GOP-parallel decode)
+
+
+def put_varint(out, v):
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+class Reader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+
+    def u8(self):
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def u16(self):
+        v = int.from_bytes(self.data[self.pos : self.pos + 2], "little")
+        self.pos += 2
+        return v
+
+    def varint(self):
+        v = 0
+        shift = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    def blob(self):
+        n = self.varint()
+        b = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+
+class Writer:
+    def __init__(self):
+        self.out = bytearray()
+
+    def u8(self, v):
+        self.out.append(v)
+
+    def u16(self, v):
+        self.out += v.to_bytes(2, "little")
+
+    def varint(self, v):
+        put_varint(self.out, v)
+
+    def blob(self, b):
+        self.varint(len(b))
+        self.out += b
+
+    def bytes(self):
+        return bytes(self.out)
