@@ -47,7 +47,7 @@ def _try_slice(rec, cur_pic, prev_pic, slice_id, model):
     ok, drop, tail = coder.verify_tail()
     if not ok:
         raise ParseDesync("re-encode mismatch")
-    return n_mbs, drop, tail, coder.n_bins
+    return n_mbs, drop, tail, coder
 
 
 def compress(data, verbose=False):
@@ -72,6 +72,7 @@ def compress(data, verbose=False):
     blocks = []  # (kind, payload...)
     pos = 0
     stats = {"slices": 0, "recoded": 0, "bins": 0}
+    cabac_bill = {}
 
     for rec in w.slices():
         stats["slices"] += 1
@@ -96,7 +97,7 @@ def compress(data, verbose=False):
         scratch_cur = copy.deepcopy(cand_cur)
         sid = w.slice_id + 1
         try:
-            n_mbs, drop, tail, n_bins = _try_slice(rec, scratch_cur, cand_prev, sid, model)
+            n_mbs, drop, tail, coder = _try_slice(rec, scratch_cur, cand_prev, sid, model)
         except (UnsupportedStream, ParseDesync, EOFError, AssertionError, ValueError):
             model.rollback(snap)
             continue  # slice stays inside literal stream
@@ -107,7 +108,9 @@ def compress(data, verbose=False):
         w.cur_pic = scratch_cur
         w.slice_id = sid
         stats["recoded"] += 1
-        stats["bins"] += n_bins
+        stats["bins"] += coder.n_bins
+        for k, v in coder.cabac_bill.items():
+            cabac_bill[k] = cabac_bill.get(k, 0) + v
 
         # emit literal up to this NAL, then the slice block
         if rec.offset > pos:
@@ -137,8 +140,18 @@ def compress(data, verbose=False):
     if verbose:
         import sys
 
-        bill = sorted(model.bill.items(), key=lambda kv: -kv[1])
-        print("recode bill (bits):", bill[:12], file=sys.stderr)
+        # the reference's dual ledger (Avrecode Bill vs CABAC Bill,
+        # recode.cpp:642-668): per element class, recoded vs original bits
+        classes = sorted(
+            set(model.bill) | set(cabac_bill),
+            key=lambda k: -cabac_bill.get(k, 0),
+        )
+        print(f"{'class':>10} {'cabac':>10} {'recode':>10} {'delta':>8}", file=sys.stderr)
+        for k in classes:
+            c, m = cabac_bill.get(k, 0), model.bill.get(k, 0)
+            print(f"{str(k):>10} {c:>10} {m:>10} {m - c:>8}", file=sys.stderr)
+        tc, tm = sum(cabac_bill.values()), sum(model.bill.values())
+        print(f"{'TOTAL':>10} {tc:>10} {tm:>10} {tm - tc:>8}", file=sys.stderr)
         print(stats, file=sys.stderr)
     return out.bytes()
 

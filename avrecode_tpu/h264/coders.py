@@ -15,7 +15,7 @@ num_nonzeros.  model=None turns CompressCoder into a pure validation pass
 
 import numpy as np
 
-from ..ops.cabac import CabacDecoder, CabacEncoder, init_context_states
+from ..ops.cabac import CABAC_P1, CabacDecoder, CabacEncoder, init_context_states
 from .mbparse import ParseDesync
 
 
@@ -32,13 +32,23 @@ class CompressCoder:
             self.enc = CabacEncoder()
         self.model = model
         self.n_bins = 0
+        # per-class original-CABAC bit ledger (the reference's "CABAC Bill",
+        # recode.cpp:642-668): bits consumed from the payload per element
+        self.cabac_bill = {}
+        self._bill_anchor = self.dec.bitpos
+
+    def _bill(self, cls):
+        pos = self.dec.bitpos
+        self.cabac_bill[cls] = self.cabac_bill.get(cls, 0) + (pos - self._bill_anchor)
+        self._bill_anchor = pos
 
     # raw CABAC layer ----------------------------------------------------
-    def cabac_raw_bin(self, ctx):
+    def cabac_raw_bin(self, ctx, cls="sig"):
         b = self.dec.decision(self.states, ctx)
         if self.verify:
             self.enc.decision(self.vstates, ctx, b)
         self.n_bins += 1
+        self._bill(cls)
         return b
 
     def _raw_bypass(self):
@@ -53,6 +63,7 @@ class CompressCoder:
         if self.verify:
             self.enc.terminate(b)
         self.n_bins += 1
+        self._bill("eos")
         return b
 
     def cabac_terminate_eos(self):
@@ -64,28 +75,33 @@ class CompressCoder:
         # mb_type I escape bin (ctx 276); value 0 for everything but I_PCM
         return self._raw_terminate()
 
+    def cabac_p1(self, ctx):
+        return int(CABAC_P1[self.states[ctx]])
+
     # modeled layer ------------------------------------------------------
     def coded_bin(self, ctx, mkey):
-        b = self.cabac_raw_bin(ctx)
+        pcab = int(CABAC_P1[self.states[ctx]])
+        b = self.cabac_raw_bin(ctx, mkey[0])
         if self.model is not None:
-            self.model.put_bit(mkey, b)
+            self.model.put_bit(mkey, b, pcab)
         return b
 
     def coded_bin_det(self, ctx, value):
-        b = self.cabac_raw_bin(ctx)
+        b = self.cabac_raw_bin(ctx, "det")
         if b != value:
             raise ParseDesync("deterministic decision bin mismatch")
         return b
 
     def bypass_bin(self, mkey):
         b = self._raw_bypass()
+        self._bill(mkey[0])
         if self.model is not None:
             self.model.put_bit(mkey, b)
         return b
 
-    def put_modeled(self, mkey, b):
+    def put_modeled(self, mkey, b, pcab=None):
         if self.model is not None:
-            self.model.put_bit(mkey, b)
+            self.model.put_bit(mkey, b, pcab)
 
     def put_nnz(self, nnz, cat, max_coeff, prior, blk):
         if self.model is not None:
@@ -141,9 +157,12 @@ class DecompressCoder:
         self.enc.terminate(0)
         return 0
 
+    def cabac_p1(self, ctx):
+        return int(CABAC_P1[self.states[ctx]])
+
     # modeled layer ------------------------------------------------------
     def coded_bin(self, ctx, mkey):
-        b = self.model.get_bit(mkey)
+        b = self.model.get_bit(mkey, int(CABAC_P1[self.states[ctx]]))
         self.enc.decision(self.states, ctx, b)
         return b
 
@@ -156,8 +175,8 @@ class DecompressCoder:
         self.enc.bypass(b)
         return b
 
-    def get_modeled(self, mkey):
-        return self.model.get_bit(mkey)
+    def get_modeled(self, mkey, pcab=None):
+        return self.model.get_bit(mkey, pcab)
 
     def get_nnz(self, cat, max_coeff, prior, blk):
         return self.model.get_nnz(cat, max_coeff, prior)

@@ -515,10 +515,13 @@ class SliceParser:
                 last_ctx = [last_base + i for i in range(max_coeff - 1)]
 
         if c.is_compress:
-            # decode the real sig map, then emit nnz + non-deterministic bins
+            # decode the real sig map (capturing the CABAC-state mixing prior
+            # per position BEFORE each decode), then emit nnz + bins
             sig = []
+            pcabs = []
             n_sig = 0
             for i in range(max_coeff - 1):
+                pcabs.append(c.cabac_p1(sig_ctx[i]))
                 s = c.cabac_raw_bin(sig_ctx[i])
                 sig.append(s)
                 if s:
@@ -530,7 +533,7 @@ class SliceParser:
                 n_sig += 1
             nnz = n_sig
             c.put_nnz(nnz, cat, max_coeff, nnz_prior, blk)
-            self._replay_sig(cat, sig, nnz, sig_ctx, last_ctx, emit=True)
+            self._replay_sig(cat, sig, nnz, sig_ctx, last_ctx, emit=True, pcabs=pcabs)
         else:
             nnz = c.get_nnz(cat, max_coeff, nnz_prior, blk)
             sig = self._replay_sig(cat, None, nnz, sig_ctx, last_ctx, emit=False)
@@ -568,7 +571,7 @@ class SliceParser:
             self._bypass(("sgn", cat))
         return nnz
 
-    def _replay_sig(self, cat, sig, nnz, sig_ctx, last_ctx, emit):
+    def _replay_sig(self, cat, sig, nnz, sig_ctx, last_ctx, emit, pcabs=None):
         """Walk the sig/last map applying determinism elision.
 
         emit=True (compress): `sig` is the decoded map; non-deterministic sig
@@ -600,11 +603,18 @@ class SliceParser:
                     if actual != s:
                         raise ParseDesync(f"sig map det mismatch cat={cat} i={i}")
                 else:
-                    c.put_modeled(("sig", cat, i, min(found, 7), min(need, 7)), actual)
+                    c.put_modeled(
+                        ("sig", cat, i, min(found, 7), min(need, 7)),
+                        actual,
+                        pcabs[i],
+                    )
                 s = actual
             else:
                 if not det:
-                    s = c.get_modeled(("sig", cat, i, min(found, 7), min(need, 7)))
+                    s = c.get_modeled(
+                        ("sig", cat, i, min(found, 7), min(need, 7)),
+                        c.cabac_p1(sig_ctx[i]),
+                    )
                 out.append(s)
                 # replay implied CABAC bins for the re-encoder
                 if i < max_coeff - 1:

@@ -43,31 +43,38 @@ class RecodeModel:
         self.bill = {}  # key-class -> recoded bits (approx, for the ledger)
 
     # -- estimator core --------------------------------------------------
-    def _prob_update(self, key, bit=None):
+    def _prob_update(self, key, pcab):
         e = self.est.get(key)
         if e is None:
             e = self.est[key] = [1, 1]
         p1 = (e[0] << 16) // (e[0] + e[1])
+        if pcab is not None:
+            # mix with the live CABAC-state prior: weight shifts toward the
+            # estimator as it accumulates evidence (total grows to the halve
+            # limit), fixing cold starts without diluting steady state
+            total = e[0] + e[1]
+            w = min(4 * total, 78)
+            p1 = (p1 * w + pcab * (80 - w)) // 80
         p1 = 1 if p1 < 1 else (0xFFFF if p1 > 0xFFFF else p1)
         return e, p1
 
     def _adapt(self, key, e, bit):
-        e[bit ^ 1] += 1  # e = [pos(=count of 1s)? see below]
+        e[bit ^ 1] += 1  # index 0 counts ones, index 1 counts zeros
         limit = HALVE_SIG if key[0] == "sig" else HALVE_DEFAULT
         if e[0] + e[1] > limit:
             e[0] = (e[0] + 1) >> 1
             e[1] = (e[1] + 1) >> 1
 
-    def put_bit(self, key, bit):
-        e, p1 = self._prob_update(key)
+    def put_bit(self, key, bit, pcab=None):
+        e, p1 = self._prob_update(key, pcab)
         n0 = len(self.rc.out)
         self.rc.put(bit, p1)
         cls = key[0]
         self.bill[cls] = self.bill.get(cls, 0) + (len(self.rc.out) - n0) * 8
         self._adapt(key, e, bit)
 
-    def get_bit(self, key):
-        e, p1 = self._prob_update(key)
+    def get_bit(self, key, pcab=None):
+        e, p1 = self._prob_update(key, pcab)
         bit = self.rc.get(p1)
         self._adapt(key, e, bit)
         return bit

@@ -33,6 +33,18 @@ from ._tables_data import (
 NUM_CTX = 1024
 CTX_TERMINATE = 276  # end_of_slice_flag / I_PCM escape context (no adaptation)
 
+# P(bin == 1) per packed CABAC state, 16-bit: the standard CABAC state
+# machine approximates p_LPS(sigma) = 0.5 * alpha^sigma with alpha ~ 0.9492.
+# Used by the recode model as a mixing prior (the CABAC engine state is a
+# free second predictor with qp-tuned initialization).
+CABAC_P1 = np.zeros(128, dtype=np.uint16)
+for _s in range(128):
+    _sigma, _mps = _s >> 1, _s & 1
+    _plps = int(round(65536 * 0.5 * (0.9492 ** _sigma)))
+    _plps = max(32, min(32768, _plps))
+    _p1 = 65536 - _plps if _mps else _plps
+    CABAC_P1[_s] = max(1, min(0xFFFF, _p1))
+
 _RANGE_TAB_LPS = np.asarray(RANGE_TAB_LPS, dtype=np.uint8)
 _TRANS_MPS = np.asarray(TRANS_IDX_MPS, dtype=np.uint8)
 _TRANS_LPS = np.asarray(TRANS_IDX_LPS, dtype=np.uint8)

@@ -36,7 +36,7 @@ static void fill_frame(AVFrame *f, int t, int w, int h) {
       double dy = y - (h / 2 + h / 3 * cos(t * 0.13));
       double d = sqrt(dx * dx + dy * dy);
       v = (v + (int)(127 * exp(-d / 40.0))) & 0xFF;
-      v += (int)(xrand() % 17) - 8; /* mild noise -> nonzero residuals */
+      v += (int)(xrand() % 5) - 2; /* mild noise -> nonzero residuals */
       row[x] = v < 0 ? 0 : v > 255 ? 255 : v;
     }
   }
