@@ -1,0 +1,153 @@
+"""Command-line interface — the reference's C15/C16 equivalents.
+
+  python -m avrecode_tpu compress   <in> [out]     (default out: <in>.avtr)
+  python -m avrecode_tpu decompress <in> [out]
+  python -m avrecode_tpu roundtrip  <in>
+  python -m avrecode_tpu test      <dir>           corpus driver -> metrics.csv
+
+The corpus driver mirrors test.cpp:113-148 (the -ms fork's addition) with
+structured collection instead of stderr scraping: per file it records
+duration-equivalent stream facts, sizes, ratios, and timings into
+<dir>/output/metrics.csv and writes decompressed outputs for inspection.
+"""
+
+import csv
+import os
+import sys
+import time
+
+from .codec import compress, decompress, roundtrip
+
+
+def _human(n):
+    return f"{n / 1e6:.2f}MB"
+
+
+def cmd_compress(argv):
+    inp = argv[0]
+    out = argv[1] if len(argv) > 1 else inp + ".avtr"
+    data = open(inp, "rb").read()
+    t0 = time.time()
+    blob = compress(data, verbose=True)
+    dt = time.time() - t0
+    open(out, "wb").write(blob)
+    print(
+        f"compressed {inp}: {len(data)} -> {len(blob)} bytes "
+        f"({100.0 * len(blob) / max(1, len(data)):.2f}%) in {dt:.2f}s "
+        f"({len(data) / 1e6 / max(dt, 1e-9):.2f} MB/s)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_decompress(argv):
+    inp = argv[0]
+    out = argv[1] if len(argv) > 1 else inp.removesuffix(".avtr") + ".out"
+    blob = open(inp, "rb").read()
+    t0 = time.time()
+    data = decompress(blob)
+    dt = time.time() - t0
+    open(out, "wb").write(data)
+    print(
+        f"decompressed {inp}: {len(blob)} -> {len(data)} bytes in {dt:.2f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_roundtrip(argv):
+    inp = argv[0]
+    data = open(inp, "rb").read()
+    t0 = time.time()
+    comp = compress(data)
+    t1 = time.time()
+    dec = decompress(comp)
+    t2 = time.time()
+    ok = dec == data
+    ratio = 100.0 * len(comp) / max(1, len(data))
+    print(
+        f"{'roundtrip OK' if ok else 'ROUNDTRIP MISMATCH'}: "
+        f"compression ratio: {ratio:.2f}% "
+        f"(compress {t1 - t0:.2f}s, decompress {t2 - t1:.2f}s)",
+        file=sys.stderr,
+    )
+    return 0 if ok else 1
+
+
+def cmd_test(argv):
+    """Corpus driver (test.cpp analog): roundtrip every file in a directory,
+    write metrics.csv + decompressed outputs to <dir>/output/."""
+    d = argv[0]
+    outdir = os.path.join(d, "output")
+    os.makedirs(outdir, exist_ok=True)
+    rows = []
+    failures = 0
+    files = sorted(
+        f
+        for f in os.listdir(d)
+        if os.path.isfile(os.path.join(d, f)) and not f.startswith(".")
+    )
+    for name in files:
+        path = os.path.join(d, name)
+        data = open(path, "rb").read()
+        try:
+            t0 = time.time()
+            comp = compress(data)
+            t1 = time.time()
+            dec = decompress(comp)
+            t2 = time.time()
+            ok = dec == data
+        except Exception as e:  # corpus keeps going on per-file failure
+            print(f"{name}: EXCEPTION {e!r}", file=sys.stderr)
+            failures += 1
+            continue
+        if not ok:
+            failures += 1
+        open(os.path.join(outdir, name), "wb").write(dec)
+        ctime, dtime = t1 - t0, t2 - t1
+        ratio = 100.0 * len(comp) / max(1, len(data))
+        rows.append(
+            {
+                "File": name,
+                "Initial size (MB)": f"{len(data) / 1e6:.3f}",
+                "Compressed size (MB)": f"{len(comp) / 1e6:.3f}",
+                "Compression rate (%)": f"{ratio:.2f}",
+                "Space saving (%)": f"{100 - ratio:.2f}",
+                "Total time (ms)": f"{(ctime + dtime) * 1000:.0f}",
+                "Compression time (ms)": f"{ctime * 1000:.0f}",
+                "Decompression time (ms)": f"{dtime * 1000:.0f}",
+                "Compression speed (MB/s)": f"{len(data) / 1e6 / max(ctime, 1e-9):.2f}",
+                "Decompression speed (MB/s)": f"{len(data) / 1e6 / max(dtime, 1e-9):.2f}",
+                "Roundtrip": "OK" if ok else "FAIL",
+            }
+        )
+        print(f"{name}: {'OK' if ok else 'FAIL'} ratio {ratio:.2f}%", file=sys.stderr)
+    if rows:
+        with open(os.path.join(outdir, "metrics.csv"), "w", newline="") as f:
+            wcsv = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            wcsv.writeheader()
+            wcsv.writerows(rows)
+    print(f"{len(rows)} files, {failures} failures", file=sys.stderr)
+    return 1 if failures else 0
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    cmd, rest = argv[0], argv[1:]
+    try:
+        return {
+            "compress": cmd_compress,
+            "decompress": cmd_decompress,
+            "roundtrip": cmd_roundtrip,
+            "test": cmd_test,
+        }[cmd](rest)
+    except KeyError:
+        print(f"unknown command {cmd}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

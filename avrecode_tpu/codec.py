@@ -51,7 +51,28 @@ def _try_slice(rec, cur_pic, prev_pic, slice_id, model):
 
 
 def compress(data, verbose=False):
+    """Compress with total-function semantics: any failure anywhere in
+    demux/parse degrades to literal passthrough, never an error."""
     data = bytes(data)
+    try:
+        return _compress_inner(data, verbose)
+    except Exception:
+        out = Writer()
+        out.out += MAGIC
+        out.u8(VERSION)
+        out.u8(0)
+        out.u16(SCOPE_STREAM)
+        out.varint(0)
+        out.varint(0)
+        if data:
+            out.u8(KIND_LITERAL)
+            out.blob(data)
+        out.u8(KIND_END)
+        out.blob(RecodeModel("encode").finish())
+        return out.bytes()
+
+
+def _compress_inner(data, verbose=False):
     w = StreamWalker(data)
     out = Writer()
     out.out += MAGIC

@@ -1,0 +1,67 @@
+"""End-to-end roundtrip oracle tests (the acceptance test, SURVEY.md §4:
+recode.cpp:1601-1640 analog) over generated x264 CABAC clips, plus
+garbage-input robustness (everything unparseable must pass through as
+literals, bit-exact)."""
+
+import os
+import subprocess
+
+import pytest
+
+from avrecode_tpu.codec import compress, decompress, roundtrip
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+GEN = os.path.join(os.path.dirname(__file__), "..", "tools", "genvideo")
+
+
+def _clip(name, *args):
+    path = os.path.join(DATA, name)
+    if not os.path.exists(path):
+        if not os.path.exists(GEN):
+            subprocess.run(
+                ["gcc", "-O2", "-o", GEN, GEN + ".c", "-lavformat", "-lavcodec", "-lavutil", "-lm"],
+                check=True,
+            )
+        subprocess.run([GEN, path, *map(str, args)], check=True, capture_output=True)
+    return open(path, "rb").read()
+
+
+def test_roundtrip_tiny_ipp():
+    data = _clip("rt_tiny.mp4", 160, 128, 8, 30, 4, 0, 26, 11, 1)
+    ok, ratio, comp, dec = roundtrip(data)
+    assert ok
+    assert len(comp) < len(data) * 1.02  # tiny clips may not compress much
+
+
+def test_roundtrip_bframes():
+    data = _clip("rt_b.mp4", 192, 160, 10, 30, 5, 2, 24, 5, 1)
+    ok, ratio, comp, dec = roundtrip(data)
+    assert ok
+
+
+def test_roundtrip_multislice():
+    data = _clip("rt_ms.mp4", 320, 256, 6, 30, 3, 1, 28, 3, 3)
+    ok, ratio, comp, dec = roundtrip(data)
+    assert ok
+
+
+def test_roundtrip_calm_compresses():
+    data = _clip("test_calm.mp4", 320, 240, 30, 30, 10, 0, 23, 42, 1)
+    ok, ratio, comp, dec = roundtrip(data)
+    assert ok
+    assert ratio < 96.0  # the headline ratio target band
+
+
+def test_garbage_passthrough():
+    # non-video bytes must roundtrip as pure literals
+    for blob in (b"", b"\x00" * 100, bytes(range(256)) * 5, b"not a video"):
+        comp = compress(blob)
+        assert decompress(comp) == blob
+
+
+def test_truncated_video_passthrough():
+    data = _clip("rt_tiny.mp4", 160, 128, 8, 30, 4, 0, 26, 11, 1)
+    for cut in (10, 100, len(data) // 2, len(data) - 3):
+        blob = data[:cut]
+        comp = compress(blob)
+        assert decompress(comp) == blob
