@@ -31,18 +31,21 @@ from .utils.container import (
     KIND_SLICE,
     MAGIC,
     Reader,
+    SCOPE_SLICE,
     SCOPE_STREAM,
     VERSION,
     Writer,
 )
 
 
-def _try_slice(rec, cur_pic, prev_pic, slice_id, model):
+def _try_slice(rec, cur_pic, prev_pic, slice_id, model, isolate=False):
     """Model-pass parse of one slice. Returns (mb_count, tail) or raises."""
     payload = rec.rbsp[rec.cabac_offset :]
     idc = None if rec.header.slice_type == 2 else rec.header.cabac_init_idc
     coder = CompressCoder(payload, rec.header.slice_qp, idc, model=model)
-    parser = SliceParser(rec.sps, rec.pps, rec.header, cur_pic, prev_pic, coder, slice_id)
+    parser = SliceParser(
+        rec.sps, rec.pps, rec.header, cur_pic, prev_pic, coder, slice_id, isolate=isolate
+    )
     n_mbs = parser.parse_slice_data()
     ok, drop, tail = coder.verify_tail()
     if not ok:
@@ -50,12 +53,26 @@ def _try_slice(rec, cur_pic, prev_pic, slice_id, model):
     return n_mbs, drop, tail, coder
 
 
-def compress(data, verbose=False):
+SCOPE_NAMES = {"stream": SCOPE_STREAM, "slice": SCOPE_SLICE}
+
+
+def compress(data, verbose=False, scope="stream", slice_model_factory=None):
     """Compress with total-function semantics: any failure anywhere in
-    demux/parse degrades to literal passthrough, never an error."""
+    demux/parse degrades to literal passthrough, never an error.
+
+    scope='stream': one adaptive model over the file (best ratio, serial).
+    scope='slice' : model reset + separate range stream per slice with
+                    isolated priors — slices of a picture are independently
+                    decodable, the unit of device/mesh parallelism.
+    """
     data = bytes(data)
     try:
-        return _compress_inner(data, verbose)
+        return _compress_inner(
+            data,
+            verbose,
+            scope=SCOPE_NAMES.get(scope, scope),
+            slice_model_factory=slice_model_factory,
+        )
     except Exception:
         out = Writer()
         out.out += MAGIC
@@ -72,13 +89,14 @@ def compress(data, verbose=False):
         return out.bytes()
 
 
-def _compress_inner(data, verbose=False):
+def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory=None):
+    per_slice = scope != SCOPE_STREAM
     w = StreamWalker(data)
     out = Writer()
     out.out += MAGIC
     out.u8(VERSION)
     out.u8(0)
-    out.u16(SCOPE_STREAM)
+    out.u16(scope)
     stream = w.stream
     sps_list = list(stream.sps_list) if stream else []
     pps_list = list(stream.pps_list) if stream else []
@@ -97,6 +115,8 @@ def _compress_inner(data, verbose=False):
 
     for rec in w.slices():
         stats["slices"] += 1
+        if per_slice:
+            model = (slice_model_factory or (lambda: RecodeModel("encode")))()
         # picture ring advance must mirror decompression exactly: only
         # recoded slices advance/write state, so decide fallback first
         # using scratch copies.
@@ -114,13 +134,16 @@ def _compress_inner(data, verbose=False):
         if nal_bytes[0:1] + escape_rbsp(rec.rbsp[1:]) != nal_bytes:
             continue  # non-canonical escaping: leave in literal stream
 
-        snap = model.snapshot()
+        snap = None if per_slice else model.snapshot()
         scratch_cur = copy.deepcopy(cand_cur)
         sid = w.slice_id + 1
         try:
-            n_mbs, drop, tail, coder = _try_slice(rec, scratch_cur, cand_prev, sid, model)
+            n_mbs, drop, tail, coder = _try_slice(
+                rec, scratch_cur, cand_prev, sid, model, isolate=per_slice
+            )
         except (UnsupportedStream, ParseDesync, EOFError, AssertionError, ValueError):
-            model.rollback(snap)
+            if snap is not None:
+                model.rollback(snap)
             continue  # slice stays inside literal stream
 
         # commit: replace state with scratch (parsed), advance ring
@@ -138,7 +161,8 @@ def _compress_inner(data, verbose=False):
             blocks.append((KIND_LITERAL, data[pos : rec.offset]))
         head = rec.rbsp[: rec.cabac_offset]
         head = bytes([data[rec.offset]]) + head[1:]  # real NAL header byte
-        blocks.append((KIND_SLICE, rec.size, head, n_mbs, drop, tail))
+        sstream = model.finish() if per_slice else None
+        blocks.append((KIND_SLICE, rec.size, head, n_mbs, drop, tail, sstream))
         pos = rec.offset + rec.size
 
     if pos < len(data):
@@ -149,16 +173,18 @@ def _compress_inner(data, verbose=False):
             out.u8(KIND_LITERAL)
             out.blob(blk[1])
         else:
-            _, nal_size, head, mb_count, drop, tail = blk
+            _, nal_size, head, mb_count, drop, tail, sstream = blk
             out.u8(KIND_SLICE)
             out.varint(nal_size)
             out.blob(head)
             out.varint(mb_count)
             out.varint(drop)
             out.blob(tail)
+            if per_slice:
+                out.blob(sstream)
     out.u8(KIND_END)
-    out.blob(model.finish())
-    if verbose:
+    out.blob(b"" if per_slice else model.finish())
+    if verbose and not per_slice:
         import sys
 
         # the reference's dual ledger (Avrecode Bill vs CABAC Bill,
@@ -185,7 +211,7 @@ def decompress(blob):
     assert version == VERSION
     r.u8()
     scope = r.u16()
-    assert scope == SCOPE_STREAM
+    per_slice = scope != SCOPE_STREAM
     sps_map, pps_map = {}, {}
     for _ in range(r.varint()):
         s = parse_sps(r.blob())
@@ -208,8 +234,9 @@ def decompress(blob):
             mb_count = r.varint()
             drop = r.varint()
             tail = r.blob()
-            blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail))
-    model = RecodeModel("decode", r.blob())
+            sstream = r.blob() if per_slice else None
+            blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, sstream))
+    model = None if per_slice else RecodeModel("decode", r.blob())
 
     out = bytearray()
     cur_pic = prev_pic = None
@@ -218,7 +245,7 @@ def decompress(blob):
         if blk[0] == KIND_LITERAL:
             out += blk[1]
             continue
-        _, nal_size, head, mb_count, drop, tail = blk
+        _, nal_size, head, mb_count, drop, tail, sstream = blk
         nal_type = head[0] & 0x1F
         nal_ref_idc = (head[0] >> 5) & 3
         hdr, sps, pps = parse_slice_header(
@@ -229,8 +256,11 @@ def decompress(blob):
             cur_pic = PicState(sps.pic_width_in_mbs, sps.pic_height_in_map_units)
         slice_id += 1
         idc = None if hdr.slice_type == 2 else hdr.cabac_init_idc
-        coder = DecompressCoder(hdr.slice_qp, idc, model)
-        parser = SliceParser(sps, pps, hdr, cur_pic, prev_pic, coder, slice_id)
+        smodel = RecodeModel("decode", sstream) if per_slice else model
+        coder = DecompressCoder(hdr.slice_qp, idc, smodel)
+        parser = SliceParser(
+            sps, pps, hdr, cur_pic, prev_pic, coder, slice_id, isolate=per_slice
+        )
         parser.parse_slice_data(mb_count=mb_count)
         payload = coder.payload()
         # apply stored tail: drop re-encoded suffix bytes (the x264-style

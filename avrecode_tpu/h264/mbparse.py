@@ -148,7 +148,7 @@ class PicState:
 
 
 class SliceParser:
-    def __init__(self, sps, pps, header, pic, prev_pic, coder, slice_id):
+    def __init__(self, sps, pps, header, pic, prev_pic, coder, slice_id, isolate=False):
         self.sps = sps
         self.pps = pps
         self.hdr = header
@@ -156,6 +156,11 @@ class SliceParser:
         self.prev = prev_pic
         self.c = coder
         self.sid = slice_id
+        # isolate=True restricts model priors to this slice + the previous
+        # picture, making slices of a picture decodable in parallel
+        # (container model_scope=SLICE); CABAC contexts are same-slice-only
+        # regardless (clause 6.4.8 availability).
+        self.isolate = isolate
         self.W = sps.pic_width_in_mbs
         self.H = sps.pic_height_in_map_units
         self.stype = header.slice_type
@@ -830,11 +835,11 @@ class SliceParser:
             tot, n = 0, 0
             for dx, dy in ((-1, 0), (0, -1)):
                 nmb, nblk = blk4_neighbor(x, y, blk, dx, dy)
-                if 0 <= nmb[0] < self.W and 0 <= nmb[1] < self.H and p.slice_id[
-                    nmb[1], nmb[0]
-                ] >= 0:
-                    tot += int(p.nnz_luma[nmb[1], nmb[0], nblk])
-                    n += 1
+                if 0 <= nmb[0] < self.W and 0 <= nmb[1] < self.H:
+                    nsid = p.slice_id[nmb[1], nmb[0]]
+                    if (nsid == self.sid) if self.isolate else (nsid >= 0):
+                        tot += int(p.nnz_luma[nmb[1], nmb[0], nblk])
+                        n += 1
             if prev is not None:
                 tot += int(prev.nnz_luma[y, x, blk])
                 n += 1
