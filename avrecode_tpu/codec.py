@@ -89,29 +89,22 @@ def compress(data, verbose=False, scope="stream", slice_model_factory=None):
         return out.bytes()
 
 
-def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory=None):
+def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
+    """Walk the file, parse/verify every slice, build the block list.
+
+    Per-slice-scope slice blocks carry the finished per-slice MODEL OBJECT in
+    the sstream position (finished to bytes at serialization) so the device
+    pipeline can batch-encode traces.  Returns (sps_list, pps_list, blocks,
+    stream_model)."""
     per_slice = scope != SCOPE_STREAM
     w = StreamWalker(data)
-    out = Writer()
-    out.out += MAGIC
-    out.u8(VERSION)
-    out.u8(0)
-    out.u16(scope)
     stream = w.stream
     sps_list = list(stream.sps_list) if stream else []
     pps_list = list(stream.pps_list) if stream else []
-    out.varint(len(sps_list))
-    for b in sps_list:
-        out.blob(bytes(b))
-    out.varint(len(pps_list))
-    for b in pps_list:
-        out.blob(bytes(b))
 
     model = RecodeModel("encode")
     blocks = []  # (kind, payload...)
     pos = 0
-    stats = {"slices": 0, "recoded": 0, "bins": 0}
-    cabac_bill = {}
 
     for rec in w.slices():
         stats["slices"] += 1
@@ -161,13 +154,31 @@ def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory
             blocks.append((KIND_LITERAL, data[pos : rec.offset]))
         head = rec.rbsp[: rec.cabac_offset]
         head = bytes([data[rec.offset]]) + head[1:]  # real NAL header byte
-        sstream = model.finish() if per_slice else None
+        sstream = model if per_slice else None
         blocks.append((KIND_SLICE, rec.size, head, n_mbs, drop, tail, sstream))
         pos = rec.offset + rec.size
 
     if pos < len(data):
         blocks.append((KIND_LITERAL, data[pos:]))
+    return sps_list, pps_list, blocks, model
 
+
+def serialize_container(scope, sps_list, pps_list, blocks, stream_model, finisher=None):
+    """Serialize scanned blocks into the AVTR container.  `finisher` maps a
+    per-slice model object to its stream bytes (default: model.finish())."""
+    per_slice = scope != SCOPE_STREAM
+    finisher = finisher or (lambda m: m.finish())
+    out = Writer()
+    out.out += MAGIC
+    out.u8(VERSION)
+    out.u8(0)
+    out.u16(scope)
+    out.varint(len(sps_list))
+    for b in sps_list:
+        out.blob(bytes(b))
+    out.varint(len(pps_list))
+    for b in pps_list:
+        out.blob(bytes(b))
     for blk in blocks:
         if blk[0] == KIND_LITERAL:
             out.u8(KIND_LITERAL)
@@ -181,9 +192,20 @@ def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory
             out.varint(drop)
             out.blob(tail)
             if per_slice:
-                out.blob(sstream)
+                out.blob(finisher(sstream))
     out.u8(KIND_END)
-    out.blob(b"" if per_slice else model.finish())
+    out.blob(b"" if per_slice else stream_model.finish())
+    return out.bytes()
+
+
+def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory=None):
+    per_slice = scope != SCOPE_STREAM
+    stats = {"slices": 0, "recoded": 0, "bins": 0}
+    cabac_bill = {}
+    sps_list, pps_list, blocks, model = _scan_blocks(
+        data, scope, slice_model_factory, stats, cabac_bill
+    )
+    result = serialize_container(scope, sps_list, pps_list, blocks, model)
     if verbose and not per_slice:
         import sys
 
@@ -200,7 +222,7 @@ def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory
         tc, tm = sum(cabac_bill.values()), sum(model.bill.values())
         print(f"{'TOTAL':>10} {tc:>10} {tm:>10} {tm - tc:>8}", file=sys.stderr)
         print(stats, file=sys.stderr)
-    return out.bytes()
+    return result
 
 
 def decompress(blob):

@@ -1,0 +1,54 @@
+"""Trace-recording model: captures the per-slice recode bin stream as dense
+arrays for the device (JAX/Pallas) compress path.
+
+In compress direction the model never influences parsing (bins come from the
+real CABAC payload), so a recorder is a drop-in replacement for RecodeModel:
+the parser runs once on the host producing, per slice,
+
+    slots : int32[T]   dense estimator slot per bin (first-appearance order)
+    bits  : int32[T]   the bin values
+    pcabs : int32[T]   CABAC-state mixing prior (0 = no mixing)
+    limits: int32[S]   per-slot halving limit (0x50 sig / 0x60 default)
+
+which the device consumes to reproduce the exact host model arithmetic
+(ops/estimator_jax.py) and range encoding — the dense-array replacement for
+the per-bin std::map path called out as the reference's hotspot
+(SURVEY.md §3 hot loop #3).
+"""
+
+from .h264_model import HALVE_DEFAULT, HALVE_SIG
+
+
+class TraceModel:
+    def __init__(self):
+        self.slot_of = {}
+        self.limits = []
+        self.slots = []
+        self.bits = []
+        self.pcabs = []
+
+    def _slot(self, key):
+        s = self.slot_of.get(key)
+        if s is None:
+            s = len(self.limits)
+            self.slot_of[key] = s
+            self.limits.append(HALVE_SIG if key[0] == "sig" else HALVE_DEFAULT)
+        return s
+
+    def put_bit(self, key, bit, pcab=None):
+        self.slots.append(self._slot(key))
+        self.bits.append(int(bit))
+        self.pcabs.append(0 if pcab is None else int(pcab))
+
+    def put_nnz(self, nnz, cat, max_coeff, prior):
+        v = nnz - 1
+        nb = (max_coeff - 1).bit_length()
+        prefix = 0
+        pb = min(prior, 15)
+        for i in range(nb - 1, -1, -1):
+            bit = (v >> i) & 1
+            self.put_bit(("nnz", cat, i, prefix, pb), bit)
+            prefix = (prefix << 1) | bit
+
+    def __len__(self):
+        return len(self.bits)

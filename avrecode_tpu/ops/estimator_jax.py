@@ -1,0 +1,159 @@
+"""Device-side recode model + range encoder as exact-integer JAX scans.
+
+This is the TPU compute path for compression: given per-slice bin traces
+extracted by the host parser (models/trace.py), the device reproduces the
+host model arithmetic bit-for-bit and range-encodes every slice's stream —
+slices ride the batch dimension (vmap/shard_map over the mesh), the serial
+recurrences ride lax.scan.  Output streams are byte-identical to the host
+RecodeModel + RangeEncoder pair (tests/test_device_path.py).
+
+Formulation notes (TPU-first):
+  * all state is int32/uint32 — `low` is kept in 32 bits with an explicit
+    pending-carry counter instead of a 33-bit register, so no 64-bit ints,
+  * byte emission is one *token* per renorm shift: (byte, carry) pairs;
+    carries are folded by a reverse scan (resolve_carries), the scan-friendly
+    equivalent of the host encoder's cache/0xFF-run deferral,
+  * the host drops never-flushed trailing tokens (pending cache/run); the
+    device mirrors that by truncating at the last token with
+    byte != 0xFF or carry == 1 (the host flush condition).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROB_BITS = 16
+TOP = 1 << 24
+M32 = jnp.uint32(0xFFFFFFFF)
+
+
+def model_probs(slots, bits, pcabs, limits, valid, n_slots):
+    """Adaptive estimator scan over one slice's trace (host-model mirror).
+
+    slots/bits/pcabs/valid: int32[T]; limits: int32[n_slots].
+    Returns p1 int32[T]."""
+
+    def step(est, x):
+        slot, bit, pcab, v = x
+        e = est[slot]
+        e0, e1 = e[0], e[1]
+        p1 = (e0 << 16) // (e0 + e1)
+        total = e0 + e1
+        w = jnp.minimum(4 * total, 78)
+        p_mix = (p1 * w + pcab * (80 - w)) // 80
+        p1 = jnp.where(pcab > 0, p_mix, p1)
+        p1 = jnp.clip(p1, 1, 0xFFFF)
+        inc1 = jnp.where(bit == 1, 1, 0)  # index 0 counts ones
+        e0n, e1n = e0 + inc1, e1 + (1 - inc1)
+        halve = (e0n + e1n) > limits[slot]
+        e0n = jnp.where(halve, (e0n + 1) >> 1, e0n)
+        e1n = jnp.where(halve, (e1n + 1) >> 1, e1n)
+        new = jnp.where(v == 1, jnp.stack([e0n, e1n]), e)
+        est = est.at[slot].set(new)
+        return est, jnp.where(v == 1, p1, 0x8000)
+
+    est0 = jnp.ones((n_slots, 2), jnp.int32)
+    _, p1s = jax.lax.scan(step, est0, (slots, bits, pcabs, valid))
+    return p1s
+
+
+def range_encode(bits, p1s, valid):
+    """Range-encoder scan for one slice -> (tokens, carries, n_tokens).
+
+    Each put triggers at most 2 renorm byte-shifts (range >= 2^24 before a
+    put and the split keeps range >= 2^8), plus 5 flush shifts at the end."""
+    T = bits.shape[0]
+    max_tok = 2 * T + 8
+
+    def emit(state, do):
+        low, pend, rng, pos, tokens, carries = state
+        byte = ((low >> 24) & jnp.uint32(0xFF)).astype(jnp.uint8)
+        tokens = jnp.where(do, tokens.at[pos].set(byte), tokens)
+        carries = jnp.where(do, carries.at[pos].set(pend), carries)
+        low = jnp.where(do, (low << 8) & M32, low)
+        pend = jnp.where(do, 0, pend)
+        pos = jnp.where(do, pos + 1, pos)
+        return low, pend, rng, pos, tokens, carries
+
+    def step(state, x):
+        bit, p1, v = x
+        low, pend, rng, pos, tokens, carries = state
+        r1 = ((rng >> 16) * p1.astype(jnp.uint32)) & M32
+        low_a = (low + r1) & M32
+        carry = (low_a < low).astype(jnp.int32)  # 32-bit wraparound
+        low_n = jnp.where(bit == 1, low, low_a)
+        pend_n = pend + jnp.where(bit == 1, 0, carry)
+        rng_n = jnp.where(bit == 1, r1, (rng - r1) & M32)
+
+        st = (low_n, pend_n, rng_n, pos, tokens, carries)
+        for _ in range(2):
+            do = jnp.logical_and(st[2] < TOP, v == 1)
+            low_, pend_, rng_, pos_, tk, cr = emit(st, do)
+            rng_ = jnp.where(do, (rng_ << 8) & M32, rng_)
+            st = (low_, pend_, rng_, pos_, tk, cr)
+        low_n, pend_n, rng_n, pos_n, tokens, carries = st
+        low = jnp.where(v == 1, low_n, low)
+        pend = jnp.where(v == 1, pend_n, pend)
+        rng = jnp.where(v == 1, rng_n, rng)
+        pos = jnp.where(v == 1, pos_n, pos)
+        return (low, pend, rng, pos, tokens, carries), None
+
+    state = (
+        jnp.uint32(0),
+        jnp.int32(0),
+        jnp.uint32(0xFFFFFFFF),
+        jnp.int32(0),
+        jnp.zeros(max_tok, jnp.uint8),
+        jnp.zeros(max_tok, jnp.int32),
+    )
+    state, _ = jax.lax.scan(step, state, (bits, p1s, valid))
+    # flush: 5 unconditional shifts
+    for _ in range(5):
+        state = emit(state, jnp.bool_(True))
+    _, _, _, pos, tokens, carries = state
+    return tokens, carries, pos
+
+
+def resolve_carries(tokens, carries, n_tokens):
+    """Reverse scan folding pending carries into final bytes, then the
+    host-equivalent tail truncation.  Returns (bytes uint8[Tmax], n_bytes)."""
+    T = tokens.shape[0]
+    idx = jnp.arange(T)
+    in_range = (idx < n_tokens).astype(jnp.int32)
+
+    def step(carry_in, x):
+        byte, flag, ir = x
+        s = byte.astype(jnp.int32) + jnp.where(ir == 1, carry_in, 0)
+        out = (s & 0xFF).astype(jnp.uint8)
+        carry_out = jnp.where(ir == 1, flag + (s >> 8), carry_in)
+        return carry_out, out
+
+    _, out = jax.lax.scan(step, jnp.int32(0), (tokens, carries, in_range), reverse=True)
+    # host flush condition at shift j: byte != 0xFF or carry pending; the
+    # host never emits tokens after the last such shift
+    flushable = jnp.logical_and(
+        in_range == 1, jnp.logical_or(tokens != 0xFF, carries > 0)
+    )
+    j_last = jnp.max(jnp.where(flushable, idx, -1))
+    return out, j_last  # bytes out[0:j_last]
+
+
+@jax.jit
+def encode_slices(slots, bits, pcabs, limits, valid):
+    """Batched device path: [S, T] arrays -> (bytes [S, 2T+8], lengths [S]).
+
+    The batch dimension is the parallel unit (slices); shard it over the
+    mesh for multi-chip compression (parallel/pipeline.py)."""
+    n_slots = limits.shape[1]
+
+    def one(slot, bit, pcab, lim, v):
+        p1s = model_probs(slot, bit, pcab, lim, v, n_slots)
+        tokens, carries, n_tok = range_encode(bit, p1s, v)
+        return resolve_carries(tokens, carries, n_tok)
+
+    return jax.vmap(one)(slots, bits, pcabs, limits, valid)
+
+
+def stream_bytes(out_row, n_bytes):
+    """Host-side: one batched row -> the slice's stream bytes."""
+    return bytes(np.asarray(out_row[: int(n_bytes)], dtype=np.uint8))

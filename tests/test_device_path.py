@@ -1,0 +1,102 @@
+"""Differential tests: the JAX device path (estimator scan + range-encoder
+scan) must produce streams BYTE-IDENTICAL to the host RecodeModel +
+RangeEncoder pair, on synthetic traces and on real traces extracted from an
+x264 clip."""
+
+import os
+import random
+import subprocess
+
+import numpy as np
+import pytest
+
+from avrecode_tpu.models.h264_model import RecodeModel
+from avrecode_tpu.models.trace import TraceModel
+from avrecode_tpu.ops.estimator_jax import encode_slices, stream_bytes
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+GEN = os.path.join(os.path.dirname(__file__), "..", "tools", "genvideo")
+
+
+def host_encode(trace):
+    """Encode a TraceModel's recorded trace with the host model."""
+    m = RecodeModel("encode")
+    inv = {v: k for k, v in trace.slot_of.items()}
+    for slot, bit, pcab in zip(trace.slots, trace.bits, trace.pcabs):
+        m.put_bit(inv[slot], bit, pcab if pcab else None)
+    return m.finish()
+
+
+def device_encode(traces, pad_t=None, pad_s=None):
+    """Batch-encode a list of TraceModels on the device path."""
+    T = pad_t or max(max((len(t) for t in traces), default=1), 1)
+    S = pad_s or max(max((len(t.limits) for t in traces), default=1), 1)
+    n = len(traces)
+    slots = np.zeros((n, T), np.int32)
+    bits = np.zeros((n, T), np.int32)
+    pcabs = np.zeros((n, T), np.int32)
+    valid = np.zeros((n, T), np.int32)
+    limits = np.full((n, S), 0x60, np.int32)
+    for i, t in enumerate(traces):
+        k = len(t)
+        slots[i, :k] = t.slots
+        bits[i, :k] = t.bits
+        pcabs[i, :k] = t.pcabs
+        valid[i, :k] = 1
+        limits[i, : len(t.limits)] = t.limits
+    out, lens = encode_slices(slots, bits, pcabs, limits, valid)
+    return [stream_bytes(out[i], lens[i]) for i in range(n)]
+
+
+def _random_trace(seed, n):
+    rng = random.Random(seed)
+    t = TraceModel()
+    keys = [("ctx", i) for i in range(40)] + [("sig", 2, i, 0, 1) for i in range(14)]
+    biases = {k: rng.random() for k in keys}
+    for _ in range(n):
+        k = rng.choice(keys)
+        bit = 1 if rng.random() < biases[k] else 0
+        pcab = rng.choice([None, None, rng.randint(1, 0xFFFF)])
+        t.put_bit(k, bit, pcab)
+    return t
+
+
+def test_device_matches_host_random():
+    traces = [_random_trace(s, 2000 + 137 * s) for s in range(4)]
+    host = [host_encode(t) for t in traces]
+    dev = device_encode(traces)
+    for i, (h, d) in enumerate(zip(host, dev)):
+        assert h == d, f"trace {i}: host {len(h)}B device {len(d)}B"
+
+
+def test_device_matches_host_carry_stress():
+    # near-certain symbols coded against the grain force carry chains
+    t = TraceModel()
+    for i in range(3000):
+        t.put_bit(("ctx", 0), 1 if i % 101 else 0, None)
+    h = host_encode(t)
+    d = device_encode([t])[0]
+    assert h == d
+
+
+def test_device_matches_host_real_traces():
+    """Extract real per-slice traces from an x264 clip, compare streams."""
+    from avrecode_tpu.codec import _scan_blocks
+    from avrecode_tpu.utils.container import KIND_SLICE, SCOPE_SLICE
+
+    path = os.path.join(DATA, "rt_tiny.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "160", "128", "8", "30", "4", "0", "26", "11", "1"],
+            check=True,
+            capture_output=True,
+        )
+    data = open(path, "rb").read()
+    stats = {"slices": 0, "recoded": 0, "bins": 0}
+    _, _, blocks, _ = _scan_blocks(data, SCOPE_SLICE, TraceModel, stats, {})
+    traces = [b[6] for b in blocks if b[0] == KIND_SLICE]
+    assert len(traces) >= 4
+    host = [host_encode(t) for t in traces]
+    dev = device_encode(traces)
+    for i, (h, d) in enumerate(zip(host, dev)):
+        assert h == d, f"slice {i}: host {len(h)}B device {len(d)}B"
