@@ -1,0 +1,419 @@
+// Compress / decompress drivers + C API — C++ mirror of codec.py.
+//
+// Self-verifying compression with literal fallback: any parse/verify failure
+// leaves the slice in the literal stream, so decompress(compress(x)) == x is
+// structural.  Byte-compatible with the Python codec (differential-tested).
+#include <cstring>
+#include <map>
+#include <memory>
+#include <string>
+
+#include "container.h"
+#include "h264.h"
+#include "model.h"
+#include "parser.h"
+
+namespace avtpu {
+
+struct SliceRec {
+  size_t nal_index;
+  uint64_t offset, size;
+  SliceHeader hdr;
+  SPS sps;
+  PPS pps;
+  Bytes rbsp;           // [0]=placeholder + unescaped payload after hdr byte
+  size_t cabac_offset;  // into rbsp
+};
+
+struct BlockRec {
+  int kind;
+  // literal
+  uint64_t lit_off = 0, lit_len = 0;
+  // slice
+  uint64_t nal_size = 0;
+  Bytes head;
+  int mb_count = 0, drop = 0;
+  Bytes tail;
+  Bytes sstream;  // per-slice scope
+};
+
+class Walker {
+ public:
+  explicit Walker(const uint8_t* data, size_t size) : data_(data), size_(size) {
+    stream_ = demux(data, size);
+    if (!stream_) return;
+    for (auto& b : stream_->sps_list) {
+      try {
+        SPS s = parse_sps(b);
+        sps_map_[s.sps_id] = s;
+      } catch (const ParseError&) {
+      }
+    }
+    for (auto& b : stream_->pps_list) {
+      try {
+        PPS p = parse_pps(b, sps_map_);
+        pps_map_[p.pps_id] = p;
+      } catch (const ParseError&) {
+      }
+    }
+  }
+
+  // iterate slice records; SPS/PPS NALs update maps in-band
+  template <typename F>
+  void slices(F f) {
+    if (!stream_) return;
+    for (size_t i = 0; i < stream_->nals.size(); i++) {
+      const NalSpan& nal = stream_->nals[i];
+      const uint8_t* raw = data_ + nal.offset;
+      if (nal.nal_type == 7) {
+        try {
+          Bytes b(raw, raw + nal.size);
+          SPS s = parse_sps(b);
+          sps_map_[s.sps_id] = s;
+        } catch (const ParseError&) {
+        }
+        continue;
+      }
+      if (nal.nal_type == 8) {
+        try {
+          Bytes b(raw, raw + nal.size);
+          PPS p = parse_pps(b, sps_map_);
+          pps_map_[p.pps_id] = p;
+        } catch (const ParseError&) {
+        }
+        continue;
+      }
+      if (nal.nal_type != 1 && nal.nal_type != 5) continue;
+      SliceRec rec;
+      try {
+        Bytes rbsp = unescape_rbsp(raw + 1, nal.size - 1);
+        rec.hdr = parse_slice_header(rbsp, nal.nal_type, nal.nal_ref_idc,
+                                     sps_map_, pps_map_, &rec.sps, &rec.pps);
+        rec.rbsp.clear();
+        rec.rbsp.push_back(0);
+        rec.rbsp.insert(rec.rbsp.end(), rbsp.begin(), rbsp.end());
+        rec.cabac_offset = 1 + rec.hdr.cabac_start_byte;
+      } catch (const ParseError&) {
+        continue;
+      }
+      rec.nal_index = i;
+      rec.offset = nal.offset;
+      rec.size = nal.size;
+      f(rec);
+    }
+  }
+
+  const H264Stream* stream() const { return stream_ ? &*stream_ : nullptr; }
+
+  std::map<int, SPS> sps_map_;
+  std::map<int, PPS> pps_map_;
+
+ private:
+  const uint8_t* data_;
+  size_t size_;
+  std::optional<H264Stream> stream_;
+};
+
+static Bytes literal_container(const uint8_t* data, size_t size) {
+  CWriter out;
+  out.out.insert(out.out.end(), {'A', 'V', 'T', 'R'});
+  out.u8(kVersion);
+  out.u8(0);
+  out.u16(SCOPE_STREAM);
+  out.varint(0);
+  out.varint(0);
+  if (size) {
+    out.u8(KIND_LITERAL);
+    out.blob(data, size);
+  }
+  out.u8(KIND_END);
+  RecodeModel m;
+  out.blob(m.finish());
+  return out.out;
+}
+
+static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
+  bool per_slice = scope != SCOPE_STREAM;
+  Walker w(data, size);
+  std::vector<Bytes> sps_list, pps_list;
+  if (w.stream()) {
+    sps_list = w.stream()->sps_list;
+    pps_list = w.stream()->pps_list;
+  }
+
+  auto stream_model = std::make_unique<RecodeModel>();
+  std::vector<BlockRec> blocks;
+  uint64_t pos = 0;
+
+  // picture ring
+  std::unique_ptr<PicState> cur, prev;
+  int slice_id = 0;
+
+  w.slices([&](const SliceRec& rec) {
+    bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
+
+    // canonical escaping check
+    {
+      Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
+      if (esc.size() + 1 != rec.size ||
+          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
+        return;
+    }
+
+    // scratch state: copy of the candidate current picture
+    PicState scratch;
+    const PicState* cand_prev;
+    if (advance) {
+      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      cand_prev = cur.get();
+    } else {
+      scratch = *cur;  // deep copy
+      cand_prev = prev.get();
+    }
+
+    int sid = slice_id + 1;
+    const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
+    size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
+    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+
+    // per-slice model (slice scope) or shared stream model.
+    // Stream scope: validate WITHOUT the model first (scratch), then rerun
+    // with the model on a fresh scratch — mirrors Python's snapshot logic
+    // without model snapshots.
+    std::unique_ptr<RecodeModel> slice_model;
+    RecodeModel* model = nullptr;
+
+    int mb_count, drop;
+    Bytes tail;
+    try {
+      if (!per_slice) {
+        // pass 1: validation only
+        PicState val = scratch;
+        Coder vc;
+        vc.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+        SliceParser vp(rec.sps, rec.pps, rec.hdr, &val, cand_prev, &vc, sid,
+                       false);
+        vp.parse_slice_data(-1);
+        Bytes t;
+        int d;
+        if (!vc.verify_tail(&d, &t)) return;
+        model = stream_model.get();
+      } else {
+        slice_model = std::make_unique<RecodeModel>();
+        model = slice_model.get();
+      }
+      Coder c;
+      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+      c.model = model;
+      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
+                    per_slice);
+      mb_count = p.parse_slice_data(-1);
+      if (!c.verify_tail(&drop, &tail)) return;
+    } catch (const ParseError&) {
+      return;  // literal fallback (stream model untouched by design)
+    }
+
+    // commit
+    if (advance) {
+      prev = std::move(cur);
+    }
+    cur = std::make_unique<PicState>(std::move(scratch));
+    slice_id = sid;
+
+    if (rec.offset > pos) {
+      blocks.push_back({KIND_LITERAL, pos, rec.offset - pos});
+    }
+    BlockRec b;
+    b.kind = KIND_SLICE;
+    b.nal_size = rec.size;
+    b.head.assign(rec.rbsp.begin(), rec.rbsp.begin() + rec.cabac_offset);
+    b.head[0] = data[rec.offset];
+    b.mb_count = mb_count;
+    b.drop = drop;
+    b.tail = tail;
+    if (per_slice) b.sstream = slice_model->finish();
+    blocks.push_back(std::move(b));
+    pos = rec.offset + rec.size;
+  });
+
+  if (pos < size) blocks.push_back({KIND_LITERAL, pos, size - pos});
+
+  CWriter out;
+  out.out.insert(out.out.end(), {'A', 'V', 'T', 'R'});
+  out.u8(kVersion);
+  out.u8(0);
+  out.u16((uint16_t)scope);
+  out.varint(sps_list.size());
+  for (auto& b : sps_list) out.blob(b);
+  out.varint(pps_list.size());
+  for (auto& b : pps_list) out.blob(b);
+  for (auto& b : blocks) {
+    if (b.kind == KIND_LITERAL) {
+      out.u8(KIND_LITERAL);
+      out.blob(data + b.lit_off, b.lit_len);
+    } else {
+      out.u8(KIND_SLICE);
+      out.varint(b.nal_size);
+      out.blob(b.head);
+      out.varint(b.mb_count);
+      out.varint(b.drop);
+      out.blob(b.tail);
+      if (per_slice) out.blob(b.sstream);
+    }
+  }
+  out.u8(KIND_END);
+  if (per_slice) {
+    out.varint(0);
+  } else {
+    out.blob(stream_model->finish());
+  }
+  return out.out;
+}
+
+Bytes compress(const uint8_t* data, size_t size, int scope) {
+  try {
+    return compress_inner(data, size, scope);
+  } catch (...) {
+    return literal_container(data, size);
+  }
+}
+
+Bytes decompress(const uint8_t* data, size_t size) {
+  CReader r{data, size};
+  if (size < 8 || memcmp(data, "AVTR", 4) != 0) throw ParseError("bad magic");
+  r.pos = 4;
+  if (r.u8() != kVersion) throw ParseError("bad version");
+  r.u8();
+  int scope = r.u16();
+  bool per_slice = scope != SCOPE_STREAM;
+
+  std::map<int, SPS> sps_map;
+  std::map<int, PPS> pps_map;
+  uint64_t n_sps = r.varint();
+  std::vector<Bytes> sps_raw, pps_raw;
+  for (uint64_t i = 0; i < n_sps; i++) {
+    Bytes b = r.blob();
+    SPS s = parse_sps(b);
+    sps_map[s.sps_id] = s;
+  }
+  uint64_t n_pps = r.varint();
+  for (uint64_t i = 0; i < n_pps; i++) {
+    Bytes b = r.blob();
+    PPS p = parse_pps(b, sps_map);
+    pps_map[p.pps_id] = p;
+  }
+
+  struct DBlock {
+    int kind;
+    Bytes lit;
+    uint64_t nal_size = 0;
+    Bytes head, tail, sstream;
+    int mb_count = 0, drop = 0;
+  };
+  std::vector<DBlock> blocks;
+  for (;;) {
+    int kind = r.u8();
+    if (kind == KIND_END) break;
+    DBlock b;
+    b.kind = kind;
+    if (kind == KIND_LITERAL) {
+      b.lit = r.blob();
+    } else if (kind == KIND_SLICE) {
+      b.nal_size = r.varint();
+      b.head = r.blob();
+      b.mb_count = (int)r.varint();
+      b.drop = (int)r.varint();
+      b.tail = r.blob();
+      if (per_slice) b.sstream = r.blob();
+    } else {
+      throw ParseError("bad block kind");
+    }
+    blocks.push_back(std::move(b));
+  }
+  Bytes stream_bytes = r.blob();
+  std::unique_ptr<RecodeModel> stream_model;
+  if (!per_slice)
+    stream_model = std::make_unique<RecodeModel>(stream_bytes.data(),
+                                                 stream_bytes.size());
+
+  Bytes out;
+  std::unique_ptr<PicState> cur, prev;
+  int slice_id = 0;
+  for (auto& b : blocks) {
+    if (b.kind == KIND_LITERAL) {
+      out.insert(out.end(), b.lit.begin(), b.lit.end());
+      continue;
+    }
+    int nal_type = b.head[0] & 0x1F;
+    int nal_ref_idc = (b.head[0] >> 5) & 3;
+    Bytes hdr_rbsp(b.head.begin() + 1, b.head.end());
+    SPS sps;
+    PPS pps;
+    SliceHeader hdr = parse_slice_header(hdr_rbsp, nal_type, nal_ref_idc,
+                                         sps_map, pps_map, &sps, &pps);
+    if (hdr.first_mb_in_slice == 0 || !cur) {
+      prev = std::move(cur);
+      cur = std::make_unique<PicState>();
+      cur->init(sps.pic_width_in_mbs, sps.pic_height_in_map_units);
+    }
+    slice_id++;
+    int idc = hdr.slice_type == SLICE_I ? -1 : hdr.cabac_init_idc;
+    std::unique_ptr<RecodeModel> slice_model;
+    RecodeModel* model;
+    if (per_slice) {
+      slice_model = std::make_unique<RecodeModel>(b.sstream.data(),
+                                                  b.sstream.size());
+      model = slice_model.get();
+    } else {
+      model = stream_model.get();
+    }
+    Coder c;
+    c.init_decompress(hdr.slice_qp, idc, model);
+    SliceParser p(sps, pps, hdr, cur.get(), prev.get(), &c, slice_id,
+                  per_slice);
+    p.parse_slice_data(b.mb_count);
+    const Bytes& payload = c.enc.bytes();
+    Bytes full(payload.begin(), payload.end() - b.drop);
+    full.insert(full.end(), b.tail.begin(), b.tail.end());
+    // rebuild the NAL: header byte + escape(header rbsp + payload)
+    Bytes rbsp(b.head.begin() + 1, b.head.end());
+    rbsp.insert(rbsp.end(), full.begin(), full.end());
+    Bytes esc = escape_rbsp(rbsp.data(), rbsp.size());
+    if (esc.size() + 1 != b.nal_size) throw ParseError("NAL size mismatch");
+    out.push_back(b.head[0]);
+    out.insert(out.end(), esc.begin(), esc.end());
+  }
+  return out;
+}
+
+}  // namespace avtpu
+
+// ----------------------------------------------------------------- C API --
+extern "C" {
+
+// Returns malloc'd buffer in *out (caller frees with avtpu_free), size as
+// return value; scope: 0=stream, 1=slice. Never fails (literal fallback).
+size_t avtpu_compress(const uint8_t* data, size_t size, int scope,
+                      uint8_t** out) {
+  avtpu::Bytes b = avtpu::compress(data, size, scope);
+  *out = (uint8_t*)malloc(b.size());
+  memcpy(*out, b.data(), b.size());
+  return b.size();
+}
+
+// Returns 0 and sets *out=nullptr on error.
+size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
+  try {
+    avtpu::Bytes b = avtpu::decompress(data, size);
+    *out = (uint8_t*)malloc(b.size());
+    memcpy(*out, b.data(), b.size());
+    return b.size();
+  } catch (...) {
+    *out = nullptr;
+    return 0;
+  }
+}
+
+void avtpu_free(uint8_t* p) { free(p); }
+
+}  // extern "C"

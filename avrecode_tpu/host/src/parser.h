@@ -1,0 +1,988 @@
+// H.264 CABAC slice-data parser — C++ mirror of h264/mbparse.py +
+// h264/coders.py (same walk, both directions, deterministic-bin elision).
+#pragma once
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include "cabac.h"
+#include "h264.h"
+#include "model.h"
+
+namespace avtpu {
+
+// MB classes (mbparse.py)
+enum MbClass : uint8_t {
+  MB_UNSEEN = 0, MB_P_SKIP, MB_B_SKIP, MB_B_DIRECT, MB_INTER,
+  MB_I_NXN, MB_I16, MB_I_PCM,
+};
+enum Pred : uint8_t { PRED_NONE = 0, PRED_L0 = 1, PRED_L1 = 2, PRED_BI = 3, PRED_DIRECT = 4 };
+
+// residual categories
+enum Cat { CAT_LUMA_DC = 0, CAT_LUMA_AC, CAT_LUMA_4x4, CAT_CHROMA_DC, CAT_CHROMA_AC, CAT_LUMA_8x8 };
+static const int kMaxCoeff[6] = {16, 15, 16, 4, 15, 64};
+
+// geometry (geometry.py): Z-order blk idx <-> 4x4 grid coords
+struct Geom {
+  int blk4_x[16], blk4_y[16], raster_to_blk4[16];
+  constexpr Geom() : blk4_x(), blk4_y(), raster_to_blk4() {
+    for (int i = 0; i < 16; i++) {
+      blk4_x[i] = 2 * ((i >> 2) & 1) + (i & 1);
+      blk4_y[i] = 2 * (i >> 3) + ((i >> 1) & 1);
+    }
+    for (int i = 0; i < 16; i++) raster_to_blk4[blk4_y[i] * 4 + blk4_x[i]] = i;
+  }
+};
+static constexpr Geom G{};
+
+// B mb_type table: (npart, shape 0=16x16,1=16x8,2=8x16,3=8x8sub, modes)
+struct BType { int npart, shape; Pred m0, m1; };
+static const BType kBType[23] = {
+    {1, 0, PRED_DIRECT, PRED_NONE}, {1, 0, PRED_L0, PRED_NONE},
+    {1, 0, PRED_L1, PRED_NONE},     {1, 0, PRED_BI, PRED_NONE},
+    {2, 1, PRED_L0, PRED_L0},       {2, 2, PRED_L0, PRED_L0},
+    {2, 1, PRED_L1, PRED_L1},       {2, 2, PRED_L1, PRED_L1},
+    {2, 1, PRED_L0, PRED_L1},       {2, 2, PRED_L0, PRED_L1},
+    {2, 1, PRED_L1, PRED_L0},       {2, 2, PRED_L1, PRED_L0},
+    {2, 1, PRED_L0, PRED_BI},       {2, 2, PRED_L0, PRED_BI},
+    {2, 1, PRED_L1, PRED_BI},       {2, 2, PRED_L1, PRED_BI},
+    {2, 1, PRED_BI, PRED_L0},       {2, 2, PRED_BI, PRED_L0},
+    {2, 1, PRED_BI, PRED_L1},       {2, 2, PRED_BI, PRED_L1},
+    {2, 1, PRED_BI, PRED_BI},       {2, 2, PRED_BI, PRED_BI},
+    {4, 3, PRED_NONE, PRED_NONE},
+};
+// B sub types: (nsub, shape 0=8x8,1=8x4,2=4x8,3=4x4, mode)
+struct BSub { int nsp, shape; Pred mode; };
+static const BSub kBSub[13] = {
+    {1, 0, PRED_DIRECT}, {1, 0, PRED_L0}, {1, 0, PRED_L1}, {1, 0, PRED_BI},
+    {2, 1, PRED_L0},     {2, 2, PRED_L0}, {2, 1, PRED_L1}, {2, 2, PRED_L1},
+    {2, 1, PRED_BI},     {2, 2, PRED_BI}, {4, 3, PRED_L0}, {4, 3, PRED_L1},
+    {4, 3, PRED_BI},
+};
+
+// Per-picture MB state (mbparse.py PicState / reference FrameBuffer analog).
+struct PicState {
+  int w = 0, h = 0;
+  std::vector<int32_t> slice_id;
+  std::vector<uint8_t> mbclass, skip, cbp_luma, cbp_chroma, t8x8, chroma_mode;
+  std::vector<uint8_t> cbf_luma_dc;            // [h*w]
+  std::vector<uint8_t> cbf_luma;               // [h*w*16]
+  std::vector<uint8_t> cbf_chroma_dc;          // [h*w*2]
+  std::vector<uint8_t> cbf_chroma_ac;          // [h*w*8]
+  std::vector<uint8_t> nnz_luma;               // [h*w*16]
+  std::vector<uint8_t> nnz_luma_dc;            // [h*w]
+  std::vector<uint8_t> nnz_chroma_dc;          // [h*w*2]
+  std::vector<uint8_t> nnz_chroma_ac;          // [h*w*8]
+  std::vector<int32_t> mvd;                    // [2*h*w*16*2] abs values
+  std::vector<int8_t> refidx;                  // [2*h*w*4]
+
+  void init(int W, int H) {
+    w = W;
+    h = H;
+    size_t n = (size_t)W * H;
+    slice_id.assign(n, -1);
+    mbclass.assign(n, 0);
+    skip.assign(n, 0);
+    cbp_luma.assign(n, 0);
+    cbp_chroma.assign(n, 0);
+    t8x8.assign(n, 0);
+    chroma_mode.assign(n, 0);
+    cbf_luma_dc.assign(n, 0);
+    cbf_luma.assign(n * 16, 0);
+    cbf_chroma_dc.assign(n * 2, 0);
+    cbf_chroma_ac.assign(n * 8, 0);
+    nnz_luma.assign(n * 16, 0);
+    nnz_luma_dc.assign(n, 0);
+    nnz_chroma_dc.assign(n * 2, 0);
+    nnz_chroma_ac.assign(n * 8, 0);
+    mvd.assign(n * 2 * 16 * 2, 0);
+    refidx.assign(n * 2 * 4, -1);
+  }
+};
+
+// Direction-aware coder (coders.py CompressCoder/DecompressCoder merged).
+struct Coder {
+  bool is_compress;
+  CtxStates states;
+  CabacDecoder* dec = nullptr;   // compress
+  CabacEncoder enc;              // compress: verify; decompress: output
+  CtxStates vstates;             // compress verify states
+  RecodeModel* model = nullptr;  // may be null (validation pass)
+  const uint8_t* payload = nullptr;
+  size_t payload_size = 0;
+  uint64_t n_bins = 0;
+
+  ~Coder() { delete dec; }
+
+  void init_compress(const uint8_t* p, size_t n, int qp, int idc) {
+    is_compress = true;
+    payload = p;
+    payload_size = n;
+    dec = new CabacDecoder(p, n);
+    states.init(qp, idc);
+    vstates.init(qp, idc);
+  }
+  void init_decompress(int qp, int idc, RecodeModel* m) {
+    is_compress = false;
+    states.init(qp, idc);
+    model = m;
+  }
+
+  int cabac_p1(int ctx) const { return kCabacP1[states.s[ctx]]; }
+
+  // compress primitives
+  int raw_bin(int ctx) {
+    int b = dec->decision(states, ctx);
+    enc.decision(vstates, ctx, b);
+    n_bins++;
+    return b;
+  }
+  int raw_bypass() {
+    int b = dec->bypass();
+    enc.bypass(b);
+    n_bins++;
+    return b;
+  }
+  int raw_terminate() {
+    int b = dec->terminate();
+    enc.terminate(b);
+    n_bins++;
+    return b;
+  }
+  // decompress primitives
+  void put_raw_bin(int ctx, int b) { enc.decision(states, ctx, b); }
+  void put_terminate(int b) { enc.terminate(b); }
+
+  // unified modeled bin
+  int bin(int ctx, uint64_t key) {
+    if (is_compress) {
+      int pcab = cabac_p1(ctx);
+      int b = raw_bin(ctx);
+      if (model) model->put_bit(key, b, pcab);
+      return b;
+    }
+    int b = model->get_bit(key, cabac_p1(ctx));
+    enc.decision(states, ctx, b);
+    return b;
+  }
+  int bypass(uint64_t key) {
+    if (is_compress) {
+      int b = raw_bypass();
+      if (model) model->put_bit(key, b, 0);
+      return b;
+    }
+    int b = model->get_bit(key, 0);
+    enc.bypass(b);
+    return b;
+  }
+
+  // verify: (ok, drop, tail) against original payload (coders.verify_tail)
+  bool verify_tail(int* drop, Bytes* tail) const {
+    const Bytes& out = enc.bytes();
+    size_t n = std::min(out.size(), payload_size);
+    size_t common = 0;
+    while (common < n && out[common] == payload[common]) common++;
+    if (out.size() > payload_size || common + 1 < out.size()) return false;
+    *drop = (int)(out.size() - common);
+    tail->assign(payload + common, payload + payload_size);
+    return true;
+  }
+};
+
+class SliceParser {
+ public:
+  SliceParser(const SPS& sps, const PPS& pps, const SliceHeader& hdr,
+              PicState* pic, const PicState* prev, Coder* c, int sid,
+              bool isolate)
+      : sps_(sps), pps_(pps), hdr_(hdr), pic_(pic), prev_(prev), c_(c),
+        sid_(sid), isolate_(isolate), W_(sps.pic_width_in_mbs),
+        H_(sps.pic_height_in_map_units) {
+    stype_ = hdr.slice_type;
+    nref0_ = hdr.num_ref_idx_l0_active;
+    nref1_ = hdr.num_ref_idx_l1_active;
+  }
+
+  // compress: mb_count < 0 (discovered); decompress: from container
+  int parse_slice_data(int mb_count) {
+    int addr = hdr_.first_mb_in_slice;
+    int n = 0;
+    int total = W_ * H_;
+    for (;;) {
+      if (addr >= total) throw Desync("mb address beyond picture");
+      mbx_ = addr % W_;
+      mby_ = addr / W_;
+      parse_macroblock();
+      n++;
+      int eos;
+      if (mb_count < 0) {
+        eos = c_->raw_terminate();
+      } else {
+        eos = n == mb_count ? 1 : 0;
+        c_->put_terminate(eos);
+      }
+      if (eos) break;
+      addr++;
+    }
+    return n;
+  }
+
+ private:
+  // -- availability ----------------------------------------------------
+  bool avail(int x, int y) const {
+    if (x < 0 || y < 0 || x >= W_ || y >= H_) return false;
+    return pic_->slice_id[(size_t)y * W_ + x] == sid_;
+  }
+  size_t mb(int x, int y) const { return (size_t)y * W_ + x; }
+
+  int bin(int ctx, uint64_t key) { return c_->bin(ctx, key); }
+  int bypass(uint64_t key) { return c_->bypass(key); }
+
+  // neighbor 4x4 blk: returns nmbx,nmby,nblk
+  void blk4_neighbor(int blk, int dx, int dy, int* nmbx, int* nmby,
+                     int* nblk) const {
+    int x = G.blk4_x[blk] + dx, y = G.blk4_y[blk] + dy;
+    *nmbx = mbx_;
+    *nmby = mby_;
+    if (x < 0) { (*nmbx)--; x += 4; } else if (x > 3) { (*nmbx)++; x -= 4; }
+    if (y < 0) { (*nmby)--; y += 4; } else if (y > 3) { (*nmby)++; y -= 4; }
+    *nblk = G.raster_to_blk4[y * 4 + x];
+  }
+  void chroma_neighbor(int blk, int dx, int dy, int* nmbx, int* nmby,
+                       int* nblk) const {
+    int x = (blk & 1) + dx, y = (blk >> 1) + dy;
+    *nmbx = mbx_;
+    *nmby = mby_;
+    if (x < 0) { (*nmbx)--; x += 2; } else if (x > 1) { (*nmbx)++; x -= 2; }
+    if (y < 0) { (*nmby)--; y += 2; } else if (y > 1) { (*nmby)++; y -= 2; }
+    *nblk = y * 2 + x;
+  }
+
+  // -- element parsers (mbparse.py mirrors) ----------------------------
+  int parse_mb_skip() {
+    int base = stype_ == SLICE_P ? 11 : 24;
+    int inc = 0;
+    if (avail(mbx_ - 1, mby_) && !pic_->skip[mb(mbx_ - 1, mby_)]) inc++;
+    if (avail(mbx_, mby_ - 1) && !pic_->skip[mb(mbx_, mby_ - 1)]) inc++;
+    return bin(base + inc, mkey(K_SKIP, stype_, inc));
+  }
+
+  struct I16Info { int cbf_luma, cbp_chroma, pred; };
+
+  I16Info parse_mb_type_i_suffix(int base, bool intra_slice) {
+    int skew = intra_slice ? 2 : 0;
+    int pcm;
+    if (c_->is_compress)
+      pcm = c_->raw_terminate();
+    else
+      pcm = (c_->put_terminate(0), 0);
+    if (pcm) throw Unsupported("I_PCM macroblock");
+    I16Info r;
+    r.cbf_luma = bin(base + skew + 1, mkey(K_I16CBF));
+    r.cbp_chroma = 0;
+    if (bin(base + skew + 2, mkey(K_I16CBC0)))
+      r.cbp_chroma = 1 + bin(base + skew + (intra_slice ? 3 : 2), mkey(K_I16CBC1));
+    int pm1 = bin(base + skew + (intra_slice ? 4 : 3), mkey(K_I16PM1));
+    int pm0 = bin(base + skew + (intra_slice ? 5 : 3), mkey(K_I16PM0));
+    r.pred = 2 * pm1 + pm0;
+    return r;
+  }
+
+  // returns mbclass; fills i16/pinfo/btype
+  MbClass parse_mb_type(I16Info* i16, int* p_kind, int* b_type) {
+    PicState* p = pic_;
+    if (stype_ == SLICE_I) {
+      int inc = 0;
+      if (avail(mbx_ - 1, mby_) && p->mbclass[mb(mbx_ - 1, mby_)] != MB_I_NXN) inc++;
+      if (avail(mbx_, mby_ - 1) && p->mbclass[mb(mbx_, mby_ - 1)] != MB_I_NXN) inc++;
+      if (!bin(3 + inc, mkey(K_IMBTYPE, inc))) return MB_I_NXN;
+      *i16 = parse_mb_type_i_suffix(3, true);
+      return MB_I16;
+    }
+    if (stype_ == SLICE_P) {
+      if (bin(14, mkey(K_PMBTYPE0))) {
+        if (!bin(17, mkey(K_PMBTYPE_INTRA))) return MB_I_NXN;
+        *i16 = parse_mb_type_i_suffix(17, false);
+        return MB_I16;
+      }
+      if (!bin(15, mkey(K_PMBTYPE1))) {
+        *p_kind = bin(16, mkey(K_PMBTYPE2A)) ? 3 : 0;  // P8x8 : P16x16
+      } else {
+        *p_kind = bin(17, mkey(K_PMBTYPE2B)) ? 1 : 2;  // P16x8 : P8x16
+      }
+      return MB_INTER;
+    }
+    // B slice
+    int inc = 0;
+    for (int k = 0; k < 2; k++) {
+      int nx = k == 0 ? mbx_ - 1 : mbx_, ny = k == 0 ? mby_ : mby_ - 1;
+      if (avail(nx, ny)) {
+        uint8_t cls = pic_->mbclass[mb(nx, ny)];
+        if (cls != MB_B_SKIP && cls != MB_B_DIRECT) inc++;
+      }
+    }
+    if (!bin(27 + inc, mkey(K_BMBTYPE0, inc))) return MB_B_DIRECT;
+    if (!bin(30, mkey(K_BMBTYPE1))) {
+      *b_type = 1 + bin(32, mkey(K_BMBTYPE2));
+      return MB_INTER;
+    }
+    int v = bin(31, mkey(K_BMBTYPE3)) << 3;
+    v |= bin(32, mkey(K_BMBTYPE4)) << 2;
+    v |= bin(32, mkey(K_BMBTYPE5)) << 1;
+    v |= bin(32, mkey(K_BMBTYPE6));
+    if (v < 8) { *b_type = v + 3; return MB_INTER; }
+    if (v == 13) {
+      if (!bin(32, mkey(K_BMBTYPE_INTRA))) return MB_I_NXN;
+      *i16 = parse_mb_type_i_suffix(32, false);
+      return MB_I16;
+    }
+    if (v == 14) { *b_type = 11; return MB_INTER; }
+    if (v == 15) { *b_type = 22; return MB_INTER; }
+    *b_type = (((v - 8) << 1) | bin(32, mkey(K_BMBTYPE7))) + 12;
+    return MB_INTER;
+  }
+
+  int parse_sub_mb_type_p() {
+    if (bin(21, mkey(K_PSUB0))) return 0;
+    if (!bin(22, mkey(K_PSUB1))) return 1;
+    return bin(23, mkey(K_PSUB2)) ? 2 : 3;
+  }
+  int parse_sub_mb_type_b() {
+    if (!bin(36, mkey(K_BSUB0))) return 0;
+    if (!bin(37, mkey(K_BSUB1))) return 1 + bin(39, mkey(K_BSUB2));
+    int t = 3;
+    if (bin(38, mkey(K_BSUB3))) {
+      if (bin(39, mkey(K_BSUB4))) return 11 + bin(39, mkey(K_BSUB5));
+      t += 4;
+    }
+    t += 2 * bin(39, mkey(K_BSUB6));
+    t += bin(39, mkey(K_BSUB7));
+    return t;
+  }
+
+  int parse_transform_8x8() {
+    int inc = 0;
+    if (avail(mbx_ - 1, mby_) && pic_->t8x8[mb(mbx_ - 1, mby_)]) inc++;
+    if (avail(mbx_, mby_ - 1) && pic_->t8x8[mb(mbx_, mby_ - 1)]) inc++;
+    return bin(399 + inc, mkey(K_T8X8, inc));
+  }
+
+  void parse_intra_pred_modes(int n_blocks) {
+    for (int i = 0; i < n_blocks; i++)
+      if (!bin(68, mkey(K_IPREDF)))
+        for (int j = 0; j < 3; j++) bin(69, mkey(K_IPREDR, j));
+  }
+
+  int parse_chroma_pred_mode() {
+    int inc = 0;
+    for (int k = 0; k < 2; k++) {
+      int nx = k == 0 ? mbx_ - 1 : mbx_, ny = k == 0 ? mby_ : mby_ - 1;
+      if (avail(nx, ny)) {
+        uint8_t cls = pic_->mbclass[mb(nx, ny)];
+        if ((cls == MB_I_NXN || cls == MB_I16) && pic_->chroma_mode[mb(nx, ny)])
+          inc++;
+      }
+    }
+    if (!bin(64 + inc, mkey(K_CPRED0, inc))) return 0;
+    if (!bin(67, mkey(K_CPRED1))) return 1;
+    return 2 + bin(67, mkey(K_CPRED2));
+  }
+
+  void parse_cbp(int* cbp_luma, int* cbp_chroma) {
+    PicState* p = pic_;
+    bool aa = avail(mbx_ - 1, mby_), ab = avail(mbx_, mby_ - 1);
+    int cbp = 0;
+    for (int i8 = 0; i8 < 4; i8++) {
+      int x8 = i8 & 1, y8 = i8 >> 1;
+      int cond_a, cond_b;
+      if (x8 == 0)
+        cond_a = aa ? (((p->cbp_luma[mb(mbx_ - 1, mby_)] >> (y8 * 2 + 1)) & 1) ? 0 : 1) : 0;
+      else
+        cond_a = ((cbp >> (y8 * 2)) & 1) ? 0 : 1;
+      if (y8 == 0)
+        cond_b = ab ? (((p->cbp_luma[mb(mbx_, mby_ - 1)] >> (2 + x8)) & 1) ? 0 : 1) : 0;
+      else
+        cond_b = ((cbp >> x8) & 1) ? 0 : 1;
+      if (bin(73 + cond_a + 2 * cond_b, mkey(K_CBPL, i8, cond_a + 2 * cond_b)))
+        cbp |= 1 << i8;
+    }
+    int cond_a = (aa && p->cbp_chroma[mb(mbx_ - 1, mby_)] != 0) ? 1 : 0;
+    int cond_b = (ab && p->cbp_chroma[mb(mbx_, mby_ - 1)] != 0) ? 1 : 0;
+    int cbp_c = 0;
+    if (bin(77 + cond_a + 2 * cond_b, mkey(K_CBPC0, cond_a + 2 * cond_b))) {
+      cond_a = (aa && p->cbp_chroma[mb(mbx_ - 1, mby_)] == 2) ? 1 : 0;
+      cond_b = (ab && p->cbp_chroma[mb(mbx_, mby_ - 1)] == 2) ? 1 : 0;
+      cbp_c = 1 + bin(81 + cond_a + 2 * cond_b, mkey(K_CBPC1, cond_a + 2 * cond_b));
+    }
+    *cbp_luma = cbp;
+    *cbp_chroma = cbp_c;
+  }
+
+  void parse_mb_qp_delta() {
+    if (!bin(60 + prev_qp_delta_nz_, mkey(K_QPD0, prev_qp_delta_nz_))) {
+      prev_qp_delta_nz_ = 0;
+      return;
+    }
+    int v = 1;
+    if (bin(62, mkey(K_QPD1))) {
+      v = 2;
+      while (bin(63, mkey(K_QPD2, std::min(v - 2, 4)))) {
+        if (++v > 128) throw Unsupported("qp_delta overflow");
+      }
+    }
+    prev_qp_delta_nz_ = 1;
+  }
+
+  int parse_ref_idx(int lst, int blk) {
+    int inc = 0;
+    static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+    for (int k = 0; k < 2; k++) {
+      int nmbx, nmby, nblk;
+      blk4_neighbor(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
+      if (avail(nmbx, nmby)) {
+        int quad = (G.blk4_y[nblk] >> 1) * 2 + (G.blk4_x[nblk] >> 1);
+        if (pic_->refidx[((size_t)lst * H_ * W_ + mb(nmbx, nmby)) * 4 + quad] > 0)
+          inc += k == 0 ? 1 : 2;
+      }
+    }
+    int v = 0;
+    static const int ctxs[3] = {0, 58, 59};
+    for (;;) {
+      int ctx = v == 0 ? 54 + inc : ctxs[std::min(v, 2)];
+      if (!bin(ctx, mkey(K_REF, std::min(v, 2), v == 0 ? inc : 0))) break;
+      if (++v > 32) throw Unsupported("ref_idx overflow");
+    }
+    return v;
+  }
+
+  int parse_mvd(int lst, int blk, int comp) {
+    int base = comp == 0 ? 40 : 47;
+    int s = 0;
+    static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+    for (int k = 0; k < 2; k++) {
+      int nmbx, nmby, nblk;
+      blk4_neighbor(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
+      if (avail(nmbx, nmby))
+        s += pic_->mvd[(((size_t)lst * H_ * W_ + mb(nmbx, nmby)) * 16 + nblk) * 2 + comp];
+    }
+    int inc = s < 3 ? 0 : (s <= 32 ? 1 : 2);
+    if (!bin(base + inc, mkey(K_MVD, comp, inc))) return 0;
+    int v = 1;
+    static const int ctx_off[8] = {3, 4, 5, 6, 6, 6, 6, 6};
+    while (v < 9 && bin(base + ctx_off[v - 1], mkey(K_MVDP, comp, std::min(v, 5))))
+      v++;
+    if (v == 9) {
+      int k = 3;
+      while (bypass(mkey(K_MVDE, comp, std::min(k - 3, 5)))) {
+        v += 1 << k;
+        if (++k > 30) throw Unsupported("mvd overflow");
+      }
+      while (k--) v += bypass(mkey(K_MVDB, comp, std::min(k, 7))) << k;
+    }
+    int sign = bypass(mkey(K_MVDS, comp));
+    return sign ? -v : v;
+  }
+
+  void store_mvd(int lst, int blk, int w4, int h4, int vx, int vy) {
+    int x0 = G.blk4_x[blk], y0 = G.blk4_y[blk];
+    for (int yy = y0; yy < y0 + h4; yy++)
+      for (int xx = x0; xx < x0 + w4; xx++) {
+        int b = G.raster_to_blk4[yy * 4 + xx];
+        size_t base = (((size_t)lst * H_ * W_ + mb(mbx_, mby_)) * 16 + b) * 2;
+        pic_->mvd[base] = vx < 0 ? -vx : vx;
+        pic_->mvd[base + 1] = vy < 0 ? -vy : vy;
+      }
+  }
+  void parse_mvd_part(int lst, int blk, int w4, int h4) {
+    int vx = parse_mvd(lst, blk, 0);
+    int vy = parse_mvd(lst, blk, 1);
+    store_mvd(lst, blk, w4, h4, vx, vy);
+  }
+  void store_ref(int lst, int blk, int w4, int h4, int r) {
+    int x0 = G.blk4_x[blk], y0 = G.blk4_y[blk];
+    for (int yy = y0; yy < y0 + h4; yy += 2)
+      for (int xx = x0; xx < x0 + w4; xx += 2)
+        pic_->refidx[((size_t)lst * H_ * W_ + mb(mbx_, mby_)) * 4 +
+                     (yy >> 1) * 2 + (xx >> 1)] = (int8_t)r;
+  }
+
+  // -- residuals -------------------------------------------------------
+  int cbf_neighbor_inc(int cat, int blk, bool is_intra) {
+    const PicState* p = pic_;
+    int inc = 0;
+    static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+    for (int di = 0; di < 2; di++) {
+      int cond;
+      if (cat == CAT_LUMA_DC || cat == CAT_CHROMA_DC) {
+        int nx = mbx_ + dxs[di], ny = mby_ + dys[di];
+        if (!avail(nx, ny))
+          cond = is_intra ? 1 : 0;
+        else if (cat == CAT_LUMA_DC)
+          cond = p->cbf_luma_dc[mb(nx, ny)];
+        else
+          cond = p->cbf_chroma_dc[mb(nx, ny) * 2 + blk];
+      } else if (cat == CAT_CHROMA_AC) {
+        int comp = blk >> 2, sub = blk & 3;
+        int nmbx, nmby, nsub;
+        chroma_neighbor(sub, dxs[di], dys[di], &nmbx, &nmby, &nsub);
+        if (!avail(nmbx, nmby))
+          cond = is_intra ? 1 : 0;
+        else
+          cond = p->cbf_chroma_ac[mb(nmbx, nmby) * 8 + comp * 4 + nsub];
+      } else {
+        int nmbx, nmby, nblk;
+        blk4_neighbor(blk, dxs[di], dys[di], &nmbx, &nmby, &nblk);
+        if (!avail(nmbx, nmby))
+          cond = is_intra ? 1 : 0;
+        else
+          cond = p->cbf_luma[mb(nmbx, nmby) * 16 + nblk];
+      }
+      inc += cond << di;
+    }
+    return inc;
+  }
+
+  // walk the sig map with determinism elision (mbparse._replay_sig)
+  void replay_sig(int cat, const int* sig_in, int nnz, const int* sig_ctx,
+                  const int* last_ctx, int max_coeff, const int* pcabs,
+                  int* sig_out) {
+    Coder* c = c_;
+    int found = 0;
+    for (int i = 0; i < max_coeff; i++) {
+      int remaining_pos = max_coeff - i;
+      int need = nnz - found;
+      int s, det;
+      if (i == max_coeff - 1) {
+        s = need > 0 ? 1 : 0;
+        det = 1;
+      } else if (need == 0) {
+        s = 0;
+        det = 1;
+      } else if (need == remaining_pos) {
+        s = 1;
+        det = 1;
+      } else {
+        s = -1;
+        det = 0;
+      }
+      uint64_t key = mkey(K_SIG, cat, i, std::min(found, 7), std::min(need, 7));
+      if (c->is_compress) {
+        int actual = sig_in[i];
+        if (det) {
+          if (actual != s) throw Desync("sig map det mismatch");
+        } else if (c->model) {
+          c->model->put_bit(key, actual, pcabs[i]);
+        }
+        s = actual;
+      } else {
+        if (!det) s = c->model->get_bit(key, c->cabac_p1(sig_ctx[i]));
+        sig_out[i] = s;
+        if (i < max_coeff - 1) c->put_raw_bin(sig_ctx[i], s);
+      }
+      if (s) {
+        found++;
+        if (i < max_coeff - 1 && !c->is_compress)
+          c->put_raw_bin(last_ctx[i], found == nnz ? 1 : 0);
+        if (found == nnz && i < max_coeff - 1) break;
+      }
+    }
+  }
+
+  int parse_residual_block(int cat, int blk, bool is_intra, bool has_cbf,
+                           int nnz_prior) {
+    Coder* c = c_;
+    int max_coeff = kMaxCoeff[cat];
+    if (has_cbf) {
+      int inc = cbf_neighbor_inc(cat, blk, is_intra);
+      int cbf = bin(85 + 4 * cat + inc,
+                    mkey(K_CBF, cat, inc, std::min(nnz_prior, 7)));
+      last_cbf_ = cbf;
+      if (!cbf) return 0;
+    } else {
+      last_cbf_ = 1;
+    }
+    int sig_ctx[64], last_ctx[64];
+    if (cat == CAT_LUMA_8x8) {
+      for (int i = 0; i < 63; i++) {
+        sig_ctx[i] = 402 + kSig8x8[i];  // frame row of [2][63]
+        last_ctx[i] = 417 + kLast8x8[i];
+      }
+    } else {
+      int sig_base = kSigCoeffOffset[cat];   // frame row of [2][14]
+      int last_base = kLastCoeffOffset[cat];
+      for (int i = 0; i < max_coeff - 1; i++) {
+        int inc2 = cat == CAT_CHROMA_DC ? std::min(i, 2) : i;
+        sig_ctx[i] = sig_base + inc2;
+        last_ctx[i] = last_base + inc2;
+      }
+    }
+
+    int sig[64] = {0};
+    int nnz;
+    if (c->is_compress) {
+      int pcabs[64];
+      int n_sig = 0;
+      int i;
+      for (i = 0; i < max_coeff - 1; i++) {
+        pcabs[i] = c->cabac_p1(sig_ctx[i]);
+        int s = c->raw_bin(sig_ctx[i]);
+        sig[i] = s;
+        if (s) {
+          n_sig++;
+          if (c->raw_bin(last_ctx[i])) break;
+        }
+      }
+      if (i == max_coeff - 1) {
+        sig[max_coeff - 1] = 1;  // implicit last position
+        n_sig++;
+      }
+      nnz = n_sig;
+      if (c->model) c->model->put_nnz(nnz, cat, max_coeff, nnz_prior);
+      replay_sig(cat, sig, nnz, sig_ctx, last_ctx, max_coeff, pcabs, nullptr);
+    } else {
+      nnz = c->model->get_nnz(cat, max_coeff, nnz_prior);
+      replay_sig(cat, nullptr, nnz, sig_ctx, last_ctx, max_coeff, nullptr, sig);
+    }
+
+    // levels, backward from last significant
+    int positions[64], npos = 0;
+    for (int i = 0; i < max_coeff; i++)
+      if (sig[i]) positions[npos++] = i;
+    if (npos != nnz) throw Desync("sig count mismatch");
+    int node = 0;
+    int abs_base = kAbsLevelOffset[cat];
+    int gt1_off = cat == CAT_CHROMA_DC ? 8 : 0;
+    for (int k = npos - 1; k >= 0; k--) {
+      int ctx1 = abs_base + kLvl1Ctx[node];
+      if (bin(ctx1, mkey(K_LVL1, cat, kLvl1Ctx[node]))) {
+        int coeff = 2;
+        int ctxg = abs_base + kLvlGt1Ctx[gt1_off + node];
+        while (coeff < 15 &&
+               bin(ctxg, mkey(K_LVLG, cat, kLvlGt1Ctx[gt1_off + node],
+                              std::min(coeff, 7))))
+          coeff++;
+        if (coeff == 15) {
+          int j = 0;
+          while (bypass(mkey(K_LVLE, cat, std::min(j, 7)))) {
+            if (++j > 30) throw Unsupported("level overflow");
+          }
+          int add = 1;
+          while (j) {
+            j--;
+            add += add + bypass(mkey(K_LVLB, cat, std::min(j, 7)));
+          }
+          coeff += add - 1;
+        }
+        node = kLvlTransition[8 + node];
+      } else {
+        node = kLvlTransition[node];
+      }
+      bypass(mkey(K_SGN, cat));
+    }
+    return nnz;
+  }
+
+  // -- inter pred ------------------------------------------------------
+  void parse_inter_pred(MbClass cls, int p_kind, int b_type) {
+    sub_types_valid_ = false;
+    struct Part { int blk, w4, h4; Pred mode; };
+    Part parts[2];
+    int npart;
+    int blk_bottom = G.raster_to_blk4[2 * 4 + 0];
+    int blk_right = G.raster_to_blk4[0 * 4 + 2];
+    if (stype_ == SLICE_P || (cls == MB_INTER && b_type < 0)) {
+      switch (p_kind) {
+        case 0: parts[0] = {0, 4, 4, PRED_L0}; npart = 1; break;
+        case 1:
+          parts[0] = {0, 4, 2, PRED_L0};
+          parts[1] = {blk_bottom, 4, 2, PRED_L0};
+          npart = 2;
+          break;
+        case 2:
+          parts[0] = {0, 2, 4, PRED_L0};
+          parts[1] = {blk_right, 2, 4, PRED_L0};
+          npart = 2;
+          break;
+        default: {  // P8x8
+          for (int i = 0; i < 4; i++) sub_types_[i] = parse_sub_mb_type_p();
+          sub_types_valid_ = true;
+          parse_p8x8();
+          return;
+        }
+      }
+    } else {  // B
+      const BType& bt = kBType[b_type];
+      if (b_type == 22) {
+        for (int i = 0; i < 4; i++) sub_types_[i] = parse_sub_mb_type_b();
+        sub_types_valid_ = true;
+        parse_b8x8();
+        return;
+      }
+      if (bt.shape == 0) {
+        parts[0] = {0, 4, 4, bt.m0};
+        npart = 1;
+      } else if (bt.shape == 1) {
+        parts[0] = {0, 4, 2, bt.m0};
+        parts[1] = {blk_bottom, 4, 2, bt.m1};
+        npart = 2;
+      } else {
+        parts[0] = {0, 2, 4, bt.m0};
+        parts[1] = {blk_right, 2, 4, bt.m1};
+        npart = 2;
+      }
+    }
+    for (int lst = 0; lst < 2; lst++) {
+      int nref = lst == 0 ? nref0_ : nref1_;
+      for (int i = 0; i < npart; i++) {
+        Pred m = parts[i].mode;
+        if (m == PRED_BI || (int)m - 1 == lst) {
+          int r = nref > 1 ? parse_ref_idx(lst, parts[i].blk) : 0;
+          store_ref(lst, parts[i].blk, parts[i].w4, parts[i].h4, r);
+        }
+      }
+    }
+    for (int lst = 0; lst < 2; lst++)
+      for (int i = 0; i < npart; i++) {
+        Pred m = parts[i].mode;
+        if (m == PRED_BI || (int)m - 1 == lst)
+          parse_mvd_part(lst, parts[i].blk, parts[i].w4, parts[i].h4);
+      }
+  }
+
+  void parse_p8x8() {
+    for (int i8 = 0; i8 < 4; i8++) {
+      int blk = G.raster_to_blk4[(i8 >> 1) * 2 * 4 + (i8 & 1) * 2];
+      int r = nref0_ > 1 ? parse_ref_idx(0, blk) : 0;
+      store_ref(0, blk, 2, 2, r);
+    }
+    for (int i8 = 0; i8 < 4; i8++) parse_sub_mvds(0, i8, sub_types_[i8], false);
+  }
+
+  void parse_b8x8() {
+    for (int lst = 0; lst < 2; lst++) {
+      int nref = lst == 0 ? nref0_ : nref1_;
+      for (int i8 = 0; i8 < 4; i8++) {
+        int t = sub_types_[i8];
+        if (t == 0) continue;
+        Pred m = kBSub[t].mode;
+        if (m == PRED_BI || (int)m - 1 == lst) {
+          int blk = G.raster_to_blk4[(i8 >> 1) * 2 * 4 + (i8 & 1) * 2];
+          int r = nref > 1 ? parse_ref_idx(lst, blk) : 0;
+          store_ref(lst, blk, 2, 2, r);
+        }
+      }
+    }
+    for (int lst = 0; lst < 2; lst++)
+      for (int i8 = 0; i8 < 4; i8++) {
+        int t = sub_types_[i8];
+        if (t == 0) continue;
+        Pred m = kBSub[t].mode;
+        if (m == PRED_BI || (int)m - 1 == lst) parse_sub_mvds(lst, i8, t, true);
+      }
+  }
+
+  void parse_sub_mvds(int lst, int i8, int subtype, bool is_b) {
+    int x0 = (i8 & 1) * 2, y0 = (i8 >> 1) * 2;
+    int nsp, shape;
+    if (is_b) {
+      nsp = kBSub[subtype].nsp;
+      shape = kBSub[subtype].shape;
+    } else {
+      shape = subtype;
+      static const int kNsp[4] = {1, 2, 2, 4};
+      nsp = kNsp[shape];
+    }
+    for (int sp = 0; sp < nsp; sp++) {
+      int bx, by, w4, h4;
+      if (shape == 0) { bx = x0; by = y0; w4 = 2; h4 = 2; }
+      else if (shape == 1) { bx = x0; by = y0 + sp; w4 = 2; h4 = 1; }
+      else if (shape == 2) { bx = x0 + sp; by = y0; w4 = 1; h4 = 2; }
+      else { bx = x0 + (sp & 1); by = y0 + (sp >> 1); w4 = 1; h4 = 1; }
+      parse_mvd_part(lst, G.raster_to_blk4[by * 4 + bx], w4, h4);
+    }
+  }
+
+  bool t8x8_allowed(MbClass cls, int p_kind, int b_type) const {
+    if (cls == MB_B_DIRECT) return sps_.direct_8x8_inference_flag != 0;
+    if (sub_types_valid_ && stype_ == SLICE_P) {
+      for (int i = 0; i < 4; i++)
+        if (sub_types_[i] != 0) return false;
+      return true;
+    }
+    if (sub_types_valid_ && b_type == 22) {
+      for (int i = 0; i < 4; i++) {
+        int t = sub_types_[i];
+        if (t == 0) {
+          if (!sps_.direct_8x8_inference_flag) return false;
+        } else if (t > 3) {
+          return false;
+        }
+      }
+      return true;
+    }
+    return true;
+  }
+
+  // -- residual dispatch ----------------------------------------------
+  int prior_luma(int blk) const {
+    int tot = 0, n = 0;
+    static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+    for (int k = 0; k < 2; k++) {
+      int nmbx, nmby, nblk;
+      blk4_neighbor(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
+      if (nmbx >= 0 && nmby >= 0 && nmbx < W_ && nmby < H_) {
+        int32_t nsid = pic_->slice_id[mb(nmbx, nmby)];
+        bool ok = isolate_ ? nsid == sid_ : nsid >= 0;
+        if (ok) {
+          tot += pic_->nnz_luma[mb(nmbx, nmby) * 16 + nblk];
+          n++;
+        }
+      }
+    }
+    if (prev_) {
+      tot += prev_->nnz_luma[mb(mbx_, mby_) * 16 + blk];
+      n++;
+    }
+    return n ? tot / n : 0;
+  }
+
+  void parse_residuals(MbClass cls, int cbp_luma, int cbp_chroma, int t8x8,
+                       bool is_intra) {
+    PicState* p = pic_;
+    size_t m = mb(mbx_, mby_);
+    if (cls == MB_I16) {
+      int pr = prev_ ? prev_->nnz_luma_dc[m] : 0;
+      int nnz = parse_residual_block(CAT_LUMA_DC, 0, true, true, pr);
+      p->cbf_luma_dc[m] = (uint8_t)last_cbf_;
+      p->nnz_luma_dc[m] = (uint8_t)nnz;
+      if (cbp_luma) {
+        for (int i8 = 0; i8 < 4; i8++)
+          for (int j = 0; j < 4; j++) {
+            int blk = i8 * 4 + j;
+            int nnz2 = parse_residual_block(CAT_LUMA_AC, blk, true, true,
+                                            prior_luma(blk));
+            p->cbf_luma[m * 16 + blk] = (uint8_t)last_cbf_;
+            p->nnz_luma[m * 16 + blk] = (uint8_t)nnz2;
+          }
+      }
+    } else {
+      for (int i8 = 0; i8 < 4; i8++) {
+        if (!((cbp_luma >> i8) & 1)) continue;
+        if (t8x8) {
+          int blk0 = G.raster_to_blk4[(i8 >> 1) * 8 + (i8 & 1) * 2];
+          int nnz = parse_residual_block(CAT_LUMA_8x8, blk0, is_intra, false,
+                                         prior_luma(blk0));
+          for (int j = 0; j < 4; j++) {
+            int blk = i8 * 4 + j;
+            p->cbf_luma[m * 16 + blk] = 1;
+            p->nnz_luma[m * 16 + blk] = (uint8_t)(std::min(nnz, 255) >> 2);
+          }
+        } else {
+          for (int j = 0; j < 4; j++) {
+            int blk = i8 * 4 + j;
+            int nnz = parse_residual_block(CAT_LUMA_4x4, blk, is_intra, true,
+                                           prior_luma(blk));
+            p->cbf_luma[m * 16 + blk] = (uint8_t)last_cbf_;
+            p->nnz_luma[m * 16 + blk] = (uint8_t)nnz;
+          }
+        }
+      }
+    }
+    if (cbp_chroma) {
+      for (int comp = 0; comp < 2; comp++) {
+        int pr = prev_ ? prev_->nnz_chroma_dc[m * 2 + comp] : 0;
+        int nnz = parse_residual_block(CAT_CHROMA_DC, comp, is_intra, true, pr);
+        p->cbf_chroma_dc[m * 2 + comp] = (uint8_t)last_cbf_;
+        p->nnz_chroma_dc[m * 2 + comp] = (uint8_t)nnz;
+      }
+    }
+    if (cbp_chroma == 2) {
+      for (int comp = 0; comp < 2; comp++)
+        for (int sub = 0; sub < 4; sub++) {
+          int idx = comp * 4 + sub;
+          int pr = prev_ ? prev_->nnz_chroma_ac[m * 8 + idx] : 0;
+          int nnz = parse_residual_block(CAT_CHROMA_AC, idx, is_intra, true, pr);
+          p->cbf_chroma_ac[m * 8 + idx] = (uint8_t)last_cbf_;
+          p->nnz_chroma_ac[m * 8 + idx] = (uint8_t)nnz;
+        }
+    }
+  }
+
+  // -- macroblock ------------------------------------------------------
+  void parse_macroblock() {
+    PicState* p = pic_;
+    size_t m = mb(mbx_, mby_);
+    sub_types_valid_ = false;
+
+    int skip = 0;
+    if (stype_ != SLICE_I) skip = parse_mb_skip();
+    if (skip) {
+      p->slice_id[m] = sid_;
+      p->mbclass[m] = stype_ == SLICE_P ? MB_P_SKIP : MB_B_SKIP;
+      p->skip[m] = 1;
+      for (int lst = 0; lst < 2; lst++)
+        for (int q = 0; q < 4; q++)
+          p->refidx[((size_t)lst * H_ * W_ + m) * 4 + q] =
+              stype_ == SLICE_P ? 0 : -1;
+      prev_qp_delta_nz_ = 0;
+      return;
+    }
+
+    I16Info i16{};
+    int p_kind = -1, b_type = -1;
+    MbClass cls = parse_mb_type(&i16, &p_kind, &b_type);
+    p->slice_id[m] = sid_;
+    p->mbclass[m] = cls;
+    p->skip[m] = 0;
+
+    int t8x8 = 0;
+    bool is_intra = cls == MB_I_NXN || cls == MB_I16;
+    int cbp_luma = 0, cbp_chroma = 0;
+
+    if (cls == MB_I_NXN) {
+      if (pps_.transform_8x8_mode_flag) t8x8 = parse_transform_8x8();
+      parse_intra_pred_modes(t8x8 ? 4 : 16);
+      p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
+    } else if (cls == MB_I16) {
+      cbp_chroma = i16.cbp_chroma;
+      cbp_luma = i16.cbf_luma ? 15 : 0;
+      p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
+    } else if (cls == MB_B_DIRECT) {
+      // no mb_pred syntax
+    } else {
+      parse_inter_pred(cls, p_kind, b_type);
+    }
+
+    if (cls != MB_I16) {
+      parse_cbp(&cbp_luma, &cbp_chroma);
+      if (cbp_luma && pps_.transform_8x8_mode_flag && cls != MB_I_NXN &&
+          t8x8_allowed(cls, p_kind, b_type))
+        t8x8 = parse_transform_8x8();
+    }
+    p->cbp_luma[m] = (uint8_t)cbp_luma;
+    p->cbp_chroma[m] = (uint8_t)cbp_chroma;
+    p->t8x8[m] = (uint8_t)t8x8;
+
+    if (cbp_luma || cbp_chroma || cls == MB_I16) {
+      parse_mb_qp_delta();
+      parse_residuals(cls, cbp_luma, cbp_chroma, t8x8, is_intra);
+    } else {
+      prev_qp_delta_nz_ = 0;
+    }
+  }
+
+  const SPS& sps_;
+  const PPS& pps_;
+  const SliceHeader& hdr_;
+  PicState* pic_;
+  const PicState* prev_;
+  Coder* c_;
+  int sid_;
+  bool isolate_;
+  int W_, H_, stype_, nref0_, nref1_;
+  int mbx_ = 0, mby_ = 0;
+  int prev_qp_delta_nz_ = 0;
+  int last_cbf_ = 0;
+  int sub_types_[4] = {0, 0, 0, 0};
+  bool sub_types_valid_ = false;
+};
+
+}  // namespace avtpu

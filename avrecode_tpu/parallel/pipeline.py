@@ -1,0 +1,115 @@
+"""Mesh-parallel compression pipeline.
+
+The parallel decomposition designed in SURVEY.md §2 (the reference is
+single-threaded by construction; parallelism is designed in, not ported):
+
+  host   — container demux + slice parse + trace extraction (serial FSM,
+           C++/Python; parse order defines the model-prior state),
+  device — per-slice model scans + range encoding, batched over slices and
+           sharded over a jax.sharding.Mesh: slices -> 'dp' axis.  Every
+           slice stream is entropy-independent (container model_scope=SLICE),
+           so the only cross-device communication is the billing psum —
+           boundary/frame state stays host-side where the parse lives.
+
+device_compress(data) produces a container BYTE-IDENTICAL to
+codec.compress(data, scope='slice') — asserted in tests — so the device path
+is not a sketch: it is the same format, the same streams, computed the TPU
+way.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codec import _scan_blocks, serialize_container
+from ..models.trace import TraceModel
+from ..ops.estimator_jax import encode_slices, stream_bytes
+from ..utils.container import KIND_SLICE, SCOPE_SLICE
+
+
+def extract_traces(data):
+    """Host stage: parse + verify all slices, returning (container pieces,
+    traces).  Slice blocks reference their TraceModel in the stream slot."""
+    stats = {"slices": 0, "recoded": 0, "bins": 0}
+    sps, pps, blocks, _ = _scan_blocks(data, SCOPE_SLICE, TraceModel, stats, {})
+    traces = [b[6] for b in blocks if b[0] == KIND_SLICE]
+    return sps, pps, blocks, traces, stats
+
+
+def pack_traces(traces, pad_multiple=8):
+    """Pad/stack traces to [S, T] device arrays (S padded to the mesh)."""
+    n = len(traces)
+    if n == 0:
+        return None
+    T = max(max(len(t) for t in traces), 1)
+    NS = max(max(len(t.limits) for t in traces), 1)
+    S = -(-n // pad_multiple) * pad_multiple
+    slots = np.zeros((S, T), np.int32)
+    bits = np.zeros((S, T), np.int32)
+    pcabs = np.zeros((S, T), np.int32)
+    valid = np.zeros((S, T), np.int32)
+    limits = np.full((S, NS), 0x60, np.int32)
+    for i, t in enumerate(traces):
+        k = len(t)
+        slots[i, :k] = t.slots
+        bits[i, :k] = t.bits
+        pcabs[i, :k] = t.pcabs
+        valid[i, :k] = 1
+        limits[i, : len(t.limits)] = t.limits
+    return slots, bits, pcabs, limits, valid
+
+
+def make_mesh(n_devices=None):
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("dp",))
+
+
+def device_compress(data, mesh=None):
+    """Full compression with the device entropy stage.
+
+    With a mesh, the slice batch is sharded across its 'dp' axis; XLA runs
+    the per-slice scans fully in parallel across chips (no collectives
+    needed in the entropy stage — slice streams are independent by format)."""
+    data = bytes(data)
+    sps, pps, blocks, traces, stats = extract_traces(data)
+    if not traces:
+        from ..codec import compress
+
+        return compress(data, scope="slice")
+    packed = pack_traces(traces, pad_multiple=(len(mesh.devices.flat) if mesh else 1))
+    arrays = packed
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("dp"))
+        arrays = tuple(jax.device_put(a, sharding) for a in packed)
+    out, lens = encode_slices(*arrays)
+    out = np.asarray(out)
+    lens = np.asarray(lens)
+    streams = {id(t): stream_bytes(out[i], lens[i]) for i, t in enumerate(traces)}
+    return serialize_container(
+        SCOPE_SLICE, sps, pps, blocks, None, finisher=lambda t: streams[id(t)]
+    )
+
+
+def multichip_step(mesh, slots, bits, pcabs, limits, valid):
+    """One sharded device step with a cross-chip billing collective —
+    the SPMD program the driver dry-runs on an N-device mesh."""
+    from jax.experimental.shard_map import shard_map
+
+    def local(slots, bits, pcabs, limits, valid):
+        out, lens = encode_slices(slots, bits, pcabs, limits, valid)
+        # cross-chip ledger reduction (the device-side "billing" collective)
+        total = jax.lax.psum(jnp.sum(lens), "dp")
+        return out, lens, total
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P()),
+    )
+    return jax.jit(fn)(slots, bits, pcabs, limits, valid)
