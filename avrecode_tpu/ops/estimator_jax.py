@@ -27,6 +27,13 @@ TOP = 1 << 24
 M32 = jnp.uint32(0xFFFFFFFF)
 
 
+def _vlike(x, ref):
+    """Give `x` the same varying-manual-axes type as `ref` (no-op outside
+    shard_map): scan carries must match the inputs' mesh-varying type."""
+    z = (ref.reshape(-1)[0] * 0).astype(x.dtype) if hasattr(ref, "reshape") else 0
+    return x + z
+
+
 def model_probs(slots, bits, pcabs, limits, valid, n_slots):
     """Adaptive estimator scan over one slice's trace (host-model mirror).
 
@@ -52,7 +59,7 @@ def model_probs(slots, bits, pcabs, limits, valid, n_slots):
         est = est.at[slot].set(new)
         return est, jnp.where(v == 1, p1, 0x8000)
 
-    est0 = jnp.ones((n_slots, 2), jnp.int32)
+    est0 = _vlike(jnp.ones((n_slots, 2), jnp.int32), slots)
     _, p1s = jax.lax.scan(step, est0, (slots, bits, pcabs, valid))
     return p1s
 
@@ -99,12 +106,12 @@ def range_encode(bits, p1s, valid):
         return (low, pend, rng, pos, tokens, carries), None
 
     state = (
-        jnp.uint32(0),
-        jnp.int32(0),
-        jnp.uint32(0xFFFFFFFF),
-        jnp.int32(0),
-        jnp.zeros(max_tok, jnp.uint8),
-        jnp.zeros(max_tok, jnp.int32),
+        _vlike(jnp.uint32(0), bits),
+        _vlike(jnp.int32(0), bits),
+        _vlike(jnp.uint32(0xFFFFFFFF), bits),
+        _vlike(jnp.int32(0), bits),
+        _vlike(jnp.zeros(max_tok, jnp.uint8), bits),
+        _vlike(jnp.zeros(max_tok, jnp.int32), bits),
     )
     state, _ = jax.lax.scan(step, state, (bits, p1s, valid))
     # flush: 5 unconditional shifts
@@ -128,7 +135,9 @@ def resolve_carries(tokens, carries, n_tokens):
         carry_out = jnp.where(ir == 1, flag + (s >> 8), carry_in)
         return carry_out, out
 
-    _, out = jax.lax.scan(step, jnp.int32(0), (tokens, carries, in_range), reverse=True)
+    _, out = jax.lax.scan(
+        step, _vlike(jnp.int32(0), tokens), (tokens, carries, in_range), reverse=True
+    )
     # host flush condition at shift j: byte != 0xFF or carry pending; the
     # host never emits tokens after the last such shift
     flushable = jnp.logical_and(
