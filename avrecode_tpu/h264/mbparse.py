@@ -243,7 +243,11 @@ class SliceParser:
             return MB_I16, self.parse_mb_type_i_suffix(3, True)
 
         if self.stype == SLICE_P:
-            if self._bin(14, ("pmbtype0",)):
+            inc2 = 0
+            for w, pos in ((1, self._left()), (2, self._up())):
+                if self._avail(pos) and p.mbclass[pos[1], pos[0]] in (MB_I_NXN, MB_I16):
+                    inc2 += w
+            if self._bin(14, ("pmbtype0", inc2)):
                 if not self._bin(17, ("pmbtype_intra",)):
                     return MB_I_NXN, None
                 return MB_I16, self.parse_mb_type_i_suffix(17, False)
@@ -342,6 +346,7 @@ class SliceParser:
 
     def parse_cbp(self, mbclass):
         p = self.pic
+        intra = int(mbclass in (MB_I_NXN, MB_I16))
         a, b = self._left(), self._up()
         avail_a, avail_b = self._avail(a), self._avail(b)
         cbp = 0
@@ -363,7 +368,7 @@ class SliceParser:
                     cond_b = 0
             else:
                 cond_b = 0 if (cbp >> x8) & 1 else 1
-            if self._bin(73 + cond_a + 2 * cond_b, ("cbpl", i8, cond_a + 2 * cond_b)):
+            if self._bin(73 + cond_a + 2 * cond_b, ("cbpl", i8, cond_a + 2 * cond_b, intra)):
                 cbp |= 1 << i8
         # chroma: TU cMax=2
         cond_a = 1 if (avail_a and p.cbp_chroma[a[1], a[0]] != 0) else 0
@@ -499,7 +504,9 @@ class SliceParser:
         max_coeff = _MAX_COEFF[cat]
         if has_cbf:
             inc = self._cbf_neighbor(cat, blk, is_intra)
-            cbf = self._bin(85 + 4 * cat + inc, ("cbf", cat, inc, min(nnz_prior, 7)))
+            cbf = self._bin(
+                85 + 4 * cat + inc, ("cbf", cat, inc, min(nnz_prior, 7), int(is_intra))
+            )
             self._last_cbf = cbf
             if not cbf:
                 return 0
@@ -538,10 +545,10 @@ class SliceParser:
                 n_sig += 1
             nnz = n_sig
             c.put_nnz(nnz, cat, max_coeff, nnz_prior, blk)
-            self._replay_sig(cat, sig, nnz, sig_ctx, last_ctx, emit=True, pcabs=pcabs)
+            self._replay_sig(cat, sig, nnz, sig_ctx, last_ctx, emit=True, pcabs=pcabs, intra=int(is_intra))
         else:
             nnz = c.get_nnz(cat, max_coeff, nnz_prior, blk)
-            sig = self._replay_sig(cat, None, nnz, sig_ctx, last_ctx, emit=False)
+            sig = self._replay_sig(cat, None, nnz, sig_ctx, last_ctx, emit=False, intra=int(is_intra))
 
         # --- levels (backward from last significant) ---
         positions = [i for i, s in enumerate(sig) if s]
@@ -551,11 +558,11 @@ class SliceParser:
         gt1_off = 8 if cat == CAT_CHROMA_DC else 0
         for pos in reversed(positions):
             ctx1 = abs_base + COEFF_ABS_LEVEL1_CTX[node]
-            if self._bin(ctx1, ("lvl1", cat, COEFF_ABS_LEVEL1_CTX[node])):
+            if self._bin(ctx1, ("lvl1", cat, COEFF_ABS_LEVEL1_CTX[node], int(is_intra))):
                 coeff = 2
                 ctxg = abs_base + COEFF_ABS_LEVELGT1_CTX[gt1_off + node]
                 while coeff < 15 and self._bin(
-                    ctxg, ("lvlg", cat, COEFF_ABS_LEVELGT1_CTX[gt1_off + node], min(coeff, 7))
+                    ctxg, ("lvlg", cat, COEFF_ABS_LEVELGT1_CTX[gt1_off + node], min(coeff, 7), int(is_intra))
                 ):
                     coeff += 1
                 if coeff == 15:
@@ -576,7 +583,7 @@ class SliceParser:
             self._bypass(("sgn", cat))
         return nnz
 
-    def _replay_sig(self, cat, sig, nnz, sig_ctx, last_ctx, emit, pcabs=None):
+    def _replay_sig(self, cat, sig, nnz, sig_ctx, last_ctx, emit, pcabs=None, intra=0):
         """Walk the sig/last map applying determinism elision.
 
         emit=True (compress): `sig` is the decoded map; non-deterministic sig
@@ -609,7 +616,7 @@ class SliceParser:
                         raise ParseDesync(f"sig map det mismatch cat={cat} i={i}")
                 else:
                     c.put_modeled(
-                        ("sig", cat, i, min(found, 7), min(need, 7)),
+                        ("sig", cat, i, min(found, 7), min(need, 7), intra),
                         actual,
                         pcabs[i],
                     )
@@ -617,7 +624,7 @@ class SliceParser:
             else:
                 if not det:
                     s = c.get_modeled(
-                        ("sig", cat, i, min(found, 7), min(need, 7)),
+                        ("sig", cat, i, min(found, 7), min(need, 7), intra),
                         c.cabac_p1(sig_ctx[i]),
                     )
                 out.append(s)

@@ -298,7 +298,15 @@ class SliceParser {
       return MB_I16;
     }
     if (stype_ == SLICE_P) {
-      if (bin(14, mkey(K_PMBTYPE0))) {
+      int inc2 = 0;
+      for (int k = 0; k < 2; k++) {
+        int nx = k == 0 ? mbx_ - 1 : mbx_, ny = k == 0 ? mby_ : mby_ - 1;
+        if (avail(nx, ny)) {
+          uint8_t cls = p->mbclass[mb(nx, ny)];
+          if (cls == MB_I_NXN || cls == MB_I16) inc2 += k == 0 ? 1 : 2;
+        }
+      }
+      if (bin(14, mkey(K_PMBTYPE0, inc2))) {
         if (!bin(17, mkey(K_PMBTYPE_INTRA))) return MB_I_NXN;
         *i16 = parse_mb_type_i_suffix(17, false);
         return MB_I16;
@@ -386,7 +394,7 @@ class SliceParser {
     return 2 + bin(67, mkey(K_CPRED2));
   }
 
-  void parse_cbp(int* cbp_luma, int* cbp_chroma) {
+  void parse_cbp(int* cbp_luma, int* cbp_chroma, int intra) {
     PicState* p = pic_;
     bool aa = avail(mbx_ - 1, mby_), ab = avail(mbx_, mby_ - 1);
     int cbp = 0;
@@ -401,7 +409,7 @@ class SliceParser {
         cond_b = ab ? (((p->cbp_luma[mb(mbx_, mby_ - 1)] >> (2 + x8)) & 1) ? 0 : 1) : 0;
       else
         cond_b = ((cbp >> x8) & 1) ? 0 : 1;
-      if (bin(73 + cond_a + 2 * cond_b, mkey(K_CBPL, i8, cond_a + 2 * cond_b)))
+      if (bin(73 + cond_a + 2 * cond_b, mkey(K_CBPL, i8, cond_a + 2 * cond_b, intra)))
         cbp |= 1 << i8;
     }
     int cond_a = (aa && p->cbp_chroma[mb(mbx_ - 1, mby_)] != 0) ? 1 : 0;
@@ -543,7 +551,7 @@ class SliceParser {
   // walk the sig map with determinism elision (mbparse._replay_sig)
   void replay_sig(int cat, const int* sig_in, int nnz, const int* sig_ctx,
                   const int* last_ctx, int max_coeff, const int* pcabs,
-                  int* sig_out) {
+                  int* sig_out, int intra) {
     Coder* c = c_;
     int found = 0;
     for (int i = 0; i < max_coeff; i++) {
@@ -563,7 +571,8 @@ class SliceParser {
         s = -1;
         det = 0;
       }
-      uint64_t key = mkey(K_SIG, cat, i, std::min(found, 7), std::min(need, 7));
+      uint64_t key =
+          mkey(K_SIG, cat + 16 * intra, i, std::min(found, 7), std::min(need, 7));
       if (c->is_compress) {
         int actual = sig_in[i];
         if (det) {
@@ -586,14 +595,15 @@ class SliceParser {
     }
   }
 
-  int parse_residual_block(int cat, int blk, bool is_intra, bool has_cbf,
+  int parse_residual_block(int cat, int blk, bool is_intra_b, bool has_cbf,
                            int nnz_prior) {
+    int is_intra = is_intra_b ? 1 : 0;
     Coder* c = c_;
     int max_coeff = kMaxCoeff[cat];
     if (has_cbf) {
-      int inc = cbf_neighbor_inc(cat, blk, is_intra);
-      int cbf = bin(85 + 4 * cat + inc,
-                    mkey(K_CBF, cat, inc, std::min(nnz_prior, 7)));
+      int inc = cbf_neighbor_inc(cat, blk, is_intra_b);
+      int cbf = bin(85 + 4 * cat + inc, mkey(K_CBF, cat, inc,
+                                             std::min(nnz_prior, 7), is_intra));
       last_cbf_ = cbf;
       if (!cbf) return 0;
     } else {
@@ -636,10 +646,12 @@ class SliceParser {
       }
       nnz = n_sig;
       if (c->model) c->model->put_nnz(nnz, cat, max_coeff, nnz_prior);
-      replay_sig(cat, sig, nnz, sig_ctx, last_ctx, max_coeff, pcabs, nullptr);
+      replay_sig(cat, sig, nnz, sig_ctx, last_ctx, max_coeff, pcabs, nullptr,
+                 is_intra ? 1 : 0);
     } else {
       nnz = c->model->get_nnz(cat, max_coeff, nnz_prior);
-      replay_sig(cat, nullptr, nnz, sig_ctx, last_ctx, max_coeff, nullptr, sig);
+      replay_sig(cat, nullptr, nnz, sig_ctx, last_ctx, max_coeff, nullptr, sig,
+                 is_intra ? 1 : 0);
     }
 
     // levels, backward from last significant
@@ -652,12 +664,12 @@ class SliceParser {
     int gt1_off = cat == CAT_CHROMA_DC ? 8 : 0;
     for (int k = npos - 1; k >= 0; k--) {
       int ctx1 = abs_base + kLvl1Ctx[node];
-      if (bin(ctx1, mkey(K_LVL1, cat, kLvl1Ctx[node]))) {
+      if (bin(ctx1, mkey(K_LVL1, cat, kLvl1Ctx[node], is_intra))) {
         int coeff = 2;
         int ctxg = abs_base + kLvlGt1Ctx[gt1_off + node];
         while (coeff < 15 &&
                bin(ctxg, mkey(K_LVLG, cat, kLvlGt1Ctx[gt1_off + node],
-                              std::min(coeff, 7))))
+                              std::min(coeff, 7), is_intra)))
           coeff++;
         if (coeff == 15) {
           int j = 0;
@@ -952,7 +964,7 @@ class SliceParser {
     }
 
     if (cls != MB_I16) {
-      parse_cbp(&cbp_luma, &cbp_chroma);
+      parse_cbp(&cbp_luma, &cbp_chroma, is_intra ? 1 : 0);
       if (cbp_luma && pps_.transform_8x8_mode_flag && cls != MB_I_NXN &&
           t8x8_allowed(cls, p_kind, b_type))
         t8x8 = parse_transform_8x8();
