@@ -176,41 +176,33 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
     int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
 
-    // per-slice model (slice scope) or shared stream model.
-    // Stream scope: validate WITHOUT the model first (scratch), then rerun
-    // with the model on a fresh scratch — mirrors Python's snapshot logic
-    // without model snapshots.
+    // per-slice model (slice scope) or shared stream model; single-pass
+    // with journal rollback — same flow as the Python snapshot logic.
     std::unique_ptr<RecodeModel> slice_model;
-    RecodeModel* model = nullptr;
+    RecodeModel* model;
+    RecodeModel::Snapshot snap{};
+    if (per_slice) {
+      slice_model = std::make_unique<RecodeModel>();
+      model = slice_model.get();
+    } else {
+      model = stream_model.get();
+      snap = model->snapshot();
+    }
 
     int mb_count, drop;
     Bytes tail;
     try {
-      if (!per_slice) {
-        // pass 1: validation only
-        PicState val = scratch;
-        Coder vc;
-        vc.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
-        SliceParser vp(rec.sps, rec.pps, rec.hdr, &val, cand_prev, &vc, sid,
-                       false);
-        vp.parse_slice_data(-1);
-        Bytes t;
-        int d;
-        if (!vc.verify_tail(&d, &t)) return;
-        model = stream_model.get();
-      } else {
-        slice_model = std::make_unique<RecodeModel>();
-        model = slice_model.get();
-      }
       Coder c;
       c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
       c.model = model;
       SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
                     per_slice);
       mb_count = p.parse_slice_data(-1);
-      if (!c.verify_tail(&drop, &tail)) return;
+      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+      if (!per_slice) model->commit(snap);
     } catch (const ParseError&) {
-      return;  // literal fallback (stream model untouched by design)
+      if (!per_slice) model->rollback(snap);
+      return;  // literal fallback
     }
 
     // commit

@@ -3,6 +3,14 @@
 // Model keys are packed into uint64 (class enum + up to 4 small fields);
 // the packing is injective w.r.t. the Python tuples, which is all stream
 // equality needs (each key's estimator history is independent).
+//
+// Performance notes (hot path, ~15 modeled bins per input byte):
+//  * estimator lives inside the open-addressing hash cell (one cache line
+//    touch per bin),
+//  * (pos << 16) / total is a 97x97 exact lookup table (counts are bounded
+//    by the halving limit),
+//  * single-pass compress rollback via an epoch-stamped undo journal: the
+//    first touch of a key per slice records its prior counts.
 #pragma once
 #include <cstdint>
 #include <vector>
@@ -34,62 +42,34 @@ inline uint64_t mkey(uint32_t cls, uint32_t a = 0, uint32_t b = 0,
          ((uint64_t)c << 10) | dd;
 }
 
-struct Estimator {
-  int32_t pos = 1, neg = 1;  // pos counts ones
-};
-
-// Open-addressing hash map uint64 -> estimator index (deterministic).
-class KeyMap {
- public:
-  KeyMap() { rehash(1 << 12); }
-
-  uint32_t slot(uint64_t key, std::vector<Estimator>& est) {
-    if ((est.size() + 1) * 4 > cap_ * 3) grow(est);
-    size_t i = probe(key);
-    if (keys_[i] == key) return vals_[i];
-    keys_[i] = key;
-    vals_[i] = (uint32_t)est.size();
-    est.push_back({});
-    return vals_[i];
-  }
-
- private:
-  size_t probe(uint64_t key) const {
-    size_t mask = cap_ - 1;
-    size_t i = (size_t)(key * 0x9E3779B97F4A7C15ull >> 17) & mask;
-    while (keys_[i] != kEmpty && keys_[i] != key) i = (i + 1) & mask;
-    return i;
-  }
-  void rehash(size_t cap) {
-    cap_ = cap;
-    keys_.assign(cap, kEmpty);
-    vals_.assign(cap, 0);
-  }
-  void grow(std::vector<Estimator>& est) {
-    auto old_keys = keys_;
-    auto old_vals = vals_;
-    rehash(cap_ * 2);
-    for (size_t i = 0; i < old_keys.size(); i++) {
-      if (old_keys[i] != kEmpty) {
-        size_t j = probe(old_keys[i]);
-        keys_[j] = old_keys[i];
-        vals_[j] = old_vals[i];
+// exact (pos << 16) / total for all reachable (pos, total) pairs
+struct DivTab {
+  uint16_t t[97 * 97];
+  DivTab() {
+    for (int total = 1; total <= 96; total++)
+      for (int pos = 0; pos <= total; pos++) {
+        int32_t p = ((int32_t)pos << 16) / total;
+        t[total * 97 + pos] = (uint16_t)(p > 0xFFFF ? 0xFFFF : p);
       }
-    }
   }
-  static constexpr uint64_t kEmpty = ~0ull;
-  size_t cap_ = 0;
-  std::vector<uint64_t> keys_;
-  std::vector<uint32_t> vals_;
 };
+inline const DivTab kDiv{};
 
 class RecodeModel {
  public:
+  struct Cell {
+    uint64_t key;
+    uint16_t pos, neg;
+    uint32_t epoch;
+  };
+
   // encode mode
-  RecodeModel() : enc_(new RangeEncoder()) {}
+  RecodeModel() : enc_(new RangeEncoder()) { rehash(1 << 13); }
   // decode mode
   RecodeModel(const uint8_t* data, size_t size)
-      : dec_(new RangeDecoder(data, size)) {}
+      : dec_(new RangeDecoder(data, size)) {
+    rehash(1 << 13);
+  }
   ~RecodeModel() {
     delete enc_;
     delete dec_;
@@ -97,14 +77,14 @@ class RecodeModel {
   RecodeModel(const RecodeModel&) = delete;
 
   void put_bit(uint64_t key, int bit, int pcab = 0) {
-    Estimator& e = est_ref(key);
-    enc_->put(bit, prob(e, key, pcab));
-    adapt(e, key, bit);
+    Cell& c = cell(key);
+    enc_->put(bit, prob(c, pcab));
+    adapt(c, key, bit);
   }
   int get_bit(uint64_t key, int pcab = 0) {
-    Estimator& e = est_ref(key);
-    int bit = dec_->get(prob(e, key, pcab));
-    adapt(e, key, bit);
+    Cell& c = cell(key);
+    int bit = dec_->get(prob(c, pcab));
+    adapt(c, key, bit);
     return bit;
   }
 
@@ -128,6 +108,37 @@ class RecodeModel {
     return v + 1;
   }
 
+  // --- single-pass compress rollback ---------------------------------
+  struct Snapshot {
+    uint32_t epoch;
+    size_t journal_len;
+    uint64_t low;
+    uint32_t range;
+    uint8_t cache;
+    uint64_t cache_size;
+    size_t out_len;
+  };
+
+  Snapshot snapshot() {
+    epoch_++;  // new epoch: future touches journal their prior state
+    Snapshot s;
+    s.epoch = epoch_;
+    s.journal_len = journal_.size();
+    enc_->save(&s.low, &s.range, &s.cache, &s.cache_size, &s.out_len);
+    return s;
+  }
+  void commit(const Snapshot& s) { journal_.resize(s.journal_len); }
+  void rollback(const Snapshot& s) {
+    for (size_t i = journal_.size(); i-- > s.journal_len;) {
+      const Undo& u = journal_[i];
+      cells_[u.idx].pos = u.pos;
+      cells_[u.idx].neg = u.neg;
+      cells_[u.idx].epoch = u.prev_epoch;
+    }
+    journal_.resize(s.journal_len);
+    enc_->restore(s.low, s.range, s.cache, s.cache_size, s.out_len);
+  }
+
   Bytes finish() { return enc_->finish(); }
 
  private:
@@ -136,33 +147,84 @@ class RecodeModel {
     while (v >> n) n++;
     return n;
   }
-  Estimator& est_ref(uint64_t key) { return est_[map_.slot(key, est_)]; }
 
-  uint32_t prob(const Estimator& e, uint64_t key, int pcab) const {
-    int32_t p1 = ((int64_t)e.pos << 16) / (e.pos + e.neg);
+  Cell& cell(uint64_t key) {
+    if ((n_used_ + 1) * 4 > cap_ * 3) grow();
+    size_t mask = cap_ - 1;
+    size_t i = (size_t)(key * 0x9E3779B97F4A7C15ull >> 17) & mask;
+    while (cells_[i].key != kEmpty && cells_[i].key != key) i = (i + 1) & mask;
+    Cell& c = cells_[i];
+    if (c.key == kEmpty) {
+      c.key = key;
+      c.pos = c.neg = 1;
+      c.epoch = 0;
+      n_used_++;
+    }
+    if (c.epoch != epoch_) {
+      journal_.push_back({(uint32_t)i, c.pos, c.neg, c.epoch});
+      c.epoch = epoch_;
+    }
+    return c;
+  }
+
+  uint32_t prob(const Cell& c, int pcab) const {
+    int32_t p1 = kDiv.t[(c.pos + c.neg) * 97 + c.pos];
     if (pcab > 0) {
-      int32_t total = e.pos + e.neg;
+      int32_t total = c.pos + c.neg;
       int32_t w = 4 * total < 78 ? 4 * total : 78;
       p1 = (p1 * w + pcab * (80 - w)) / 80;
+      if (p1 < 1) p1 = 1;
+      if (p1 > 0xFFFF) p1 = 0xFFFF;
+    } else if (p1 < 1) {
+      p1 = 1;
     }
-    if (p1 < 1) p1 = 1;
-    if (p1 > 0xFFFF) p1 = 0xFFFF;
     return (uint32_t)p1;
   }
-  void adapt(Estimator& e, uint64_t key, int bit) {
+  void adapt(Cell& c, uint64_t key, int bit) {
     if (bit)
-      e.pos++;
+      c.pos++;
     else
-      e.neg++;
+      c.neg++;
     int limit = (key >> 40) == K_SIG ? kHalveSig : kHalveDefault;
-    if (e.pos + e.neg > limit) {
-      e.pos = (e.pos + 1) >> 1;
-      e.neg = (e.neg + 1) >> 1;
+    if (c.pos + c.neg > limit) {
+      c.pos = (c.pos + 1) >> 1;
+      c.neg = (c.neg + 1) >> 1;
     }
   }
 
-  KeyMap map_;
-  std::vector<Estimator> est_;
+  void rehash(size_t cap) {
+    cap_ = cap;
+    cells_.assign(cap, Cell{kEmpty, 0, 0, 0});
+  }
+  void grow() {
+    // NOTE: journal indices reference cell positions; growth must remap
+    // them.  Journaled rollback across growth is handled by remapping via
+    // key lookup (rare path).
+    std::vector<Cell> old = std::move(cells_);
+    rehash(cap_ * 2);
+    size_t mask = cap_ - 1;
+    std::vector<uint32_t> remap(old.size(), 0);
+    for (size_t i = 0; i < old.size(); i++) {
+      if (old[i].key == kEmpty) continue;
+      size_t j = (size_t)(old[i].key * 0x9E3779B97F4A7C15ull >> 17) & mask;
+      while (cells_[j].key != kEmpty) j = (j + 1) & mask;
+      cells_[j] = old[i];
+      remap[i] = (uint32_t)j;
+    }
+    for (Undo& u : journal_) u.idx = remap[u.idx];
+  }
+
+  struct Undo {
+    uint32_t idx;
+    uint16_t pos, neg;
+    uint32_t prev_epoch;
+  };
+
+  static constexpr uint64_t kEmpty = ~0ull;
+  size_t cap_ = 0, n_used_ = 0;
+  uint32_t epoch_ = 0;
+  std::vector<Cell> cells_;
+  std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;
   RangeDecoder* dec_ = nullptr;
 };

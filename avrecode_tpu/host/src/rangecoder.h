@@ -30,6 +30,23 @@ class RangeEncoder {
     return Bytes(out_.begin() + 1, out_.end());
   }
 
+  void save(uint64_t* low, uint32_t* range, uint8_t* cache,
+            uint64_t* cache_size, size_t* out_len) const {
+    *low = low_;
+    *range = range_;
+    *cache = cache_;
+    *cache_size = cache_size_;
+    *out_len = out_.size();
+  }
+  void restore(uint64_t low, uint32_t range, uint8_t cache,
+               uint64_t cache_size, size_t out_len) {
+    low_ = low;
+    range_ = range;
+    cache_ = cache;
+    cache_size_ = cache_size;
+    out_.resize(out_len);
+  }
+
  private:
   void shift_low() {
     if (low_ < 0xFF000000ull || low_ > 0xFFFFFFFFull) {
