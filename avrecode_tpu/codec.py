@@ -31,6 +31,7 @@ from .utils.container import (
     KIND_SLICE,
     MAGIC,
     Reader,
+    SCOPE_GOP,
     SCOPE_SLICE,
     SCOPE_STREAM,
     VERSION,
@@ -53,7 +54,7 @@ def _try_slice(rec, cur_pic, prev_pic, slice_id, model, isolate=False):
     return n_mbs, drop, tail, coder
 
 
-SCOPE_NAMES = {"stream": SCOPE_STREAM, "slice": SCOPE_SLICE}
+SCOPE_NAMES = {"stream": SCOPE_STREAM, "slice": SCOPE_SLICE, "gop": SCOPE_GOP}
 
 
 def compress(data, verbose=False, scope="stream", slice_model_factory=None):
@@ -94,15 +95,18 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
 
     Per-slice-scope slice blocks carry the finished per-slice MODEL OBJECT in
     the sstream position (finished to bytes at serialization) so the device
-    pipeline can batch-encode traces.  Returns (sps_list, pps_list, blocks,
+    pipeline can batch-encode traces.  GOP scope resets the model and the
+    picture-prior ring at IDR pictures; the GOP's stream rides the sstream
+    slot of its first slice block.  Returns (sps_list, pps_list, blocks,
     stream_model)."""
-    per_slice = scope != SCOPE_STREAM
+    per_slice = scope == SCOPE_SLICE
+    per_gop = scope == SCOPE_GOP
     w = StreamWalker(data)
     stream = w.stream
     sps_list = list(stream.sps_list) if stream else []
     pps_list = list(stream.pps_list) if stream else []
 
-    model = RecodeModel("encode")
+    model = RecodeModel("encode") if not per_gop else None
     blocks = []  # (kind, payload...)
     pos = 0
 
@@ -110,6 +114,17 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
         stats["slices"] += 1
         if per_slice:
             model = (slice_model_factory or (lambda: RecodeModel("encode")))()
+        gop_start = per_gop and (
+            model is None
+            or (rec.header.idr and rec.header.first_mb_in_slice == 0)
+        )
+        if gop_start:
+            # fresh GOP: new model + wiped picture ring (no priors cross
+            # the IDR), making GOPs independently decodable units
+            model = RecodeModel("encode")
+            model._gop_emitted = False
+            w.cur_pic = None
+            w.prev_pic = None
         # picture ring advance must mirror decompression exactly: only
         # recoded slices advance/write state, so decide fallback first
         # using scratch copies.
@@ -154,7 +169,16 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
             blocks.append((KIND_LITERAL, data[pos : rec.offset]))
         head = rec.rbsp[: rec.cabac_offset]
         head = bytes([data[rec.offset]]) + head[1:]  # real NAL header byte
-        sstream = model if per_slice else None
+        if per_slice:
+            sstream = model
+        elif per_gop and not model._gop_emitted:
+            # first recoded slice of the GOP carries the GOP's stream
+            model._gop_emitted = True
+            sstream = model
+        elif per_gop:
+            sstream = b""  # continuation marker: same GOP model
+        else:
+            sstream = None
         blocks.append((KIND_SLICE, rec.size, head, n_mbs, drop, tail, sstream))
         pos = rec.offset + rec.size
 
@@ -167,7 +191,7 @@ def serialize_container(scope, sps_list, pps_list, blocks, stream_model, finishe
     """Serialize scanned blocks into the AVTR container.  `finisher` maps a
     per-slice model object to its stream bytes (default: model.finish())."""
     per_slice = scope != SCOPE_STREAM
-    finisher = finisher or (lambda m: m.finish())
+    finisher = finisher or (lambda m: m if isinstance(m, bytes) else m.finish())
     out = Writer()
     out.out += MAGIC
     out.u8(VERSION)
@@ -273,15 +297,24 @@ def decompress(blob):
         hdr, sps, pps = parse_slice_header(
             head[1:], nal_type, nal_ref_idc, sps_map, pps_map
         )
+        if scope == SCOPE_SLICE:
+            smodel = RecodeModel("decode", sstream)
+        elif scope == SCOPE_GOP:
+            if sstream:  # non-empty blob = GOP start: new model, wiped ring
+                model = RecodeModel("decode", sstream)
+                cur_pic = prev_pic = None
+            smodel = model
+        else:
+            smodel = model
         if hdr.first_mb_in_slice == 0 or cur_pic is None:
             prev_pic = cur_pic
             cur_pic = PicState(sps.pic_width_in_mbs, sps.pic_height_in_map_units)
         slice_id += 1
         idc = None if hdr.slice_type == 2 else hdr.cabac_init_idc
-        smodel = RecodeModel("decode", sstream) if per_slice else model
         coder = DecompressCoder(hdr.slice_qp, idc, smodel)
         parser = SliceParser(
-            sps, pps, hdr, cur_pic, prev_pic, coder, slice_id, isolate=per_slice
+            sps, pps, hdr, cur_pic, prev_pic, coder, slice_id,
+            isolate=(scope == SCOPE_SLICE),
         )
         parser.parse_slice_data(mb_count=mb_count)
         payload = coder.payload()

@@ -34,7 +34,9 @@ struct BlockRec {
   Bytes head;
   int mb_count = 0, drop = 0;
   Bytes tail;
-  Bytes sstream;  // per-slice scope
+  Bytes sstream;       // per-slice scope
+  bool has_sstream = false;            // gop scope: stream slot present
+  void* gop_stream_model = nullptr;    // gop scope: model finished later
 };
 
 class Walker {
@@ -133,7 +135,8 @@ static Bytes literal_container(const uint8_t* data, size_t size) {
 }
 
 static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
-  bool per_slice = scope != SCOPE_STREAM;
+  bool per_slice = scope == SCOPE_SLICE;
+  bool per_gop = scope == SCOPE_GOP;
   Walker w(data, size);
   std::vector<Bytes> sps_list, pps_list;
   if (w.stream()) {
@@ -141,7 +144,10 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     pps_list = w.stream()->pps_list;
   }
 
-  auto stream_model = std::make_unique<RecodeModel>();
+  std::unique_ptr<RecodeModel> stream_model;
+  if (!per_gop) stream_model = std::make_unique<RecodeModel>();
+  std::vector<std::unique_ptr<RecodeModel>> gop_models;  // kept alive
+  bool gop_emitted = false;
   std::vector<BlockRec> blocks;
   uint64_t pos = 0;
 
@@ -150,6 +156,17 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
   int slice_id = 0;
 
   w.slices([&](const SliceRec& rec) {
+    bool gop_start =
+        per_gop && (!stream_model ||
+                    (rec.hdr.idr && rec.hdr.first_mb_in_slice == 0));
+    if (gop_start) {
+      // fresh GOP: new model + wiped picture ring (no priors cross the IDR)
+      if (stream_model) gop_models.push_back(std::move(stream_model));
+      stream_model = std::make_unique<RecodeModel>();
+      gop_emitted = false;
+      cur.reset();
+      prev.reset();
+    }
     bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
 
     // canonical escaping check
@@ -223,7 +240,15 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     b.mb_count = mb_count;
     b.drop = drop;
     b.tail = tail;
-    if (per_slice) b.sstream = slice_model->finish();
+    if (per_slice) {
+      b.sstream = slice_model->finish();
+    } else if (per_gop) {
+      if (!gop_emitted) {
+        gop_emitted = true;
+        b.gop_stream_model = stream_model.get();  // finished at serialization
+      }
+      b.has_sstream = true;
+    }
     blocks.push_back(std::move(b));
     pos = rec.offset + rec.size;
   });
@@ -250,11 +275,18 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
       out.varint(b.mb_count);
       out.varint(b.drop);
       out.blob(b.tail);
-      if (per_slice) out.blob(b.sstream);
+      if (per_slice) {
+        out.blob(b.sstream);
+      } else if (per_gop) {
+        if (b.gop_stream_model)
+          out.blob(((RecodeModel*)b.gop_stream_model)->finish());
+        else
+          out.varint(0);  // continuation: same GOP model
+      }
     }
   }
   out.u8(KIND_END);
-  if (per_slice) {
+  if (per_slice || per_gop) {
     out.varint(0);
   } else {
     out.blob(stream_model->finish());
@@ -277,7 +309,7 @@ Bytes decompress(const uint8_t* data, size_t size) {
   if (r.u8() != kVersion) throw ParseError("bad version");
   r.u8();
   int scope = r.u16();
-  bool per_slice = scope != SCOPE_STREAM;
+  bool per_slice = scope != SCOPE_STREAM;  // slice/gop: per-block stream slot
 
   std::map<int, SPS> sps_map;
   std::map<int, PPS> pps_map;
@@ -343,6 +375,23 @@ Bytes decompress(const uint8_t* data, size_t size) {
     PPS pps;
     SliceHeader hdr = parse_slice_header(hdr_rbsp, nal_type, nal_ref_idc,
                                          sps_map, pps_map, &sps, &pps);
+    std::unique_ptr<RecodeModel> slice_model;
+    RecodeModel* model;
+    if (scope == SCOPE_SLICE) {
+      slice_model = std::make_unique<RecodeModel>(b.sstream.data(),
+                                                  b.sstream.size());
+      model = slice_model.get();
+    } else if (scope == SCOPE_GOP) {
+      if (!b.sstream.empty()) {  // GOP start: new model, wiped ring
+        stream_model = std::make_unique<RecodeModel>(b.sstream.data(),
+                                                     b.sstream.size());
+        cur.reset();
+        prev.reset();
+      }
+      model = stream_model.get();
+    } else {
+      model = stream_model.get();
+    }
     if (hdr.first_mb_in_slice == 0 || !cur) {
       prev = std::move(cur);
       cur = std::make_unique<PicState>();
@@ -350,19 +399,10 @@ Bytes decompress(const uint8_t* data, size_t size) {
     }
     slice_id++;
     int idc = hdr.slice_type == SLICE_I ? -1 : hdr.cabac_init_idc;
-    std::unique_ptr<RecodeModel> slice_model;
-    RecodeModel* model;
-    if (per_slice) {
-      slice_model = std::make_unique<RecodeModel>(b.sstream.data(),
-                                                  b.sstream.size());
-      model = slice_model.get();
-    } else {
-      model = stream_model.get();
-    }
     Coder c;
     c.init_decompress(hdr.slice_qp, idc, model);
     SliceParser p(sps, pps, hdr, cur.get(), prev.get(), &c, slice_id,
-                  per_slice);
+                  scope == SCOPE_SLICE);
     p.parse_slice_data(b.mb_count);
     const Bytes& payload = c.enc.bytes();
     Bytes full(payload.begin(), payload.end() - b.drop);
