@@ -24,17 +24,19 @@ def _load():
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
-    lib.avtpu_compress.restype = ctypes.c_size_t
-    lib.avtpu_compress.argtypes = [
+    lib.avtpu_compress_mt.restype = ctypes.c_size_t
+    lib.avtpu_compress_mt.argtypes = [
         ctypes.c_char_p,
         ctypes.c_size_t,
         ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
-    lib.avtpu_decompress.restype = ctypes.c_size_t
-    lib.avtpu_decompress.argtypes = [
+    lib.avtpu_decompress_mt.restype = ctypes.c_size_t
+    lib.avtpu_decompress_mt.argtypes = [
         ctypes.c_char_p,
         ctypes.c_size_t,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
     lib.avtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
@@ -46,23 +48,26 @@ def available():
     return _load() is not None
 
 
-def compress(data, scope="stream"):
+def compress(data, scope="stream", threads=1):
+    """threads: 1=serial, 0=auto (parallel GOPs, gop scope only)."""
     lib = _load()
     assert lib is not None
-    scope_id = {"stream": 0, "slice": 1}.get(scope, scope)
+    scope_id = {"stream": 0, "slice": 1, "gop": 2}.get(scope, scope)
     out = ctypes.POINTER(ctypes.c_uint8)()
-    n = lib.avtpu_compress(bytes(data), len(data), scope_id, ctypes.byref(out))
+    n = lib.avtpu_compress_mt(
+        bytes(data), len(data), scope_id, threads, ctypes.byref(out)
+    )
     try:
         return ctypes.string_at(out, n)
     finally:
         lib.avtpu_free(out)
 
 
-def decompress(blob):
+def decompress(blob, threads=1):
     lib = _load()
     assert lib is not None
     out = ctypes.POINTER(ctypes.c_uint8)()
-    n = lib.avtpu_decompress(bytes(blob), len(blob), ctypes.byref(out))
+    n = lib.avtpu_decompress_mt(bytes(blob), len(blob), threads, ctypes.byref(out))
     if not out:
         raise ValueError("native decompress failed")
     try:

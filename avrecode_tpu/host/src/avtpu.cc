@@ -3,10 +3,12 @@
 // Self-verifying compression with literal fallback: any parse/verify failure
 // leaves the slice in the literal stream, so decompress(compress(x)) == x is
 // structural.  Byte-compatible with the Python codec (differential-tested).
+#include <atomic>
 #include <cstring>
 #include <map>
 #include <memory>
 #include <string>
+#include <thread>
 
 #include "container.h"
 #include "h264.h"
@@ -294,15 +296,236 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
   return out.out;
 }
 
-Bytes compress(const uint8_t* data, size_t size, int scope) {
+// ---------------------------------------------------------- parallel GOP --
+// Per-GOP compression unit: fully independent given its slice records
+// (model + picture ring reset at the IDR; priors never cross GOPs).  This
+// is the host-side realization of the GOP sharding axis (SURVEY.md §2) —
+// the same decomposition the mesh pipeline uses across chips.
+struct GopJob {
+  size_t begin, end;  // range into the slice vector
+  std::vector<BlockRec> blocks;          // per slice (kind SLICE); ok flag via mb_count>0
+  std::vector<uint8_t> ok;
+};
+
+static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
+                        GopJob* job) {
+  RecodeModel model;
+  std::unique_ptr<PicState> cur, prev;
+  int slice_id = 0;
+  int first_ok = -1;
+  job->blocks.resize(job->end - job->begin);
+  job->ok.assign(job->end - job->begin, 0);
+  for (size_t i = job->begin; i < job->end; i++) {
+    const SliceRec& rec = sl[i];
+    size_t k = i - job->begin;
+    bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
+    {
+      Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
+      if (esc.size() + 1 != rec.size ||
+          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
+        continue;
+    }
+    PicState scratch;
+    const PicState* cand_prev;
+    if (advance) {
+      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      cand_prev = cur.get();
+    } else {
+      scratch = *cur;
+      cand_prev = prev.get();
+    }
+    int sid = slice_id + 1;
+    const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
+    size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
+    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    RecodeModel::Snapshot snap = model.snapshot();
+    int mb_count, drop;
+    Bytes tail;
+    try {
+      Coder c;
+      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+      c.model = &model;
+      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
+                    false);
+      mb_count = p.parse_slice_data(-1);
+      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+      model.commit(snap);
+    } catch (const ParseError&) {
+      model.rollback(snap);
+      continue;
+    }
+    if (advance) prev = std::move(cur);
+    cur = std::make_unique<PicState>(std::move(scratch));
+    slice_id = sid;
+    BlockRec& b = job->blocks[k];
+    b.kind = KIND_SLICE;
+    b.nal_size = rec.size;
+    b.head.assign(rec.rbsp.begin(), rec.rbsp.begin() + rec.cabac_offset);
+    b.head[0] = data[rec.offset];
+    b.mb_count = mb_count;
+    b.drop = drop;
+    b.tail = tail;
+    job->ok[k] = 1;
+    if (first_ok < 0) first_ok = (int)k;
+  }
+  if (first_ok >= 0) job->blocks[first_ok].sstream = model.finish();
+}
+
+static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
+  Walker w(data, size);
+  std::vector<Bytes> sps_list, pps_list;
+  if (w.stream()) {
+    sps_list = w.stream()->sps_list;
+    pps_list = w.stream()->pps_list;
+  }
+  std::vector<SliceRec> sl;
+  w.slices([&](const SliceRec& rec) { sl.push_back(rec); });
+
+  // GOP boundaries: IDR pictures (or stream start)
+  std::vector<GopJob> jobs;
+  for (size_t i = 0; i < sl.size(); i++) {
+    bool start = jobs.empty() ||
+                 (sl[i].hdr.idr && sl[i].hdr.first_mb_in_slice == 0);
+    if (start) {
+      if (!jobs.empty()) jobs.back().end = i;
+      jobs.push_back({i, sl.size(), {}, {}});
+    }
+  }
+  std::atomic<size_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      size_t j = next.fetch_add(1);
+      if (j >= jobs.size()) return;
+      process_gop(data, sl, &jobs[j]);
+    }
+  };
+  int nt = std::max(1, std::min<int>(threads, (int)jobs.size()));
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+
+  // stitch: literals between recoded NALs + slice blocks in order
+  CWriter out;
+  out.out.insert(out.out.end(), {'A', 'V', 'T', 'R'});
+  out.u8(kVersion);
+  out.u8(0);
+  out.u16(SCOPE_GOP);
+  out.varint(sps_list.size());
+  for (auto& b : sps_list) out.blob(b);
+  out.varint(pps_list.size());
+  for (auto& b : pps_list) out.blob(b);
+  uint64_t pos = 0;
+  for (auto& job : jobs) {
+    for (size_t i = job.begin; i < job.end; i++) {
+      size_t k = i - job.begin;
+      if (!job.ok[k]) continue;
+      const SliceRec& rec = sl[i];
+      if (rec.offset > pos) {
+        out.u8(KIND_LITERAL);
+        out.blob(data + pos, rec.offset - pos);
+      }
+      BlockRec& b = job.blocks[k];
+      out.u8(KIND_SLICE);
+      out.varint(b.nal_size);
+      out.blob(b.head);
+      out.varint(b.mb_count);
+      out.varint(b.drop);
+      out.blob(b.tail);
+      out.blob(b.sstream);  // empty for continuations
+      pos = rec.offset + rec.size;
+    }
+  }
+  if (pos < size) {
+    out.u8(KIND_LITERAL);
+    out.blob(data + pos, size - pos);
+  }
+  out.u8(KIND_END);
+  out.varint(0);
+  return out.out;
+}
+
+Bytes compress(const uint8_t* data, size_t size, int scope, int threads) {
   try {
+    if (scope == SCOPE_GOP && threads != 1) {
+      int nt = threads > 0 ? threads
+                           : std::min(16u, std::thread::hardware_concurrency());
+      return compress_gop_mt(data, size, std::max(1, nt));
+    }
     return compress_inner(data, size, scope);
   } catch (...) {
     return literal_container(data, size);
   }
 }
 
-Bytes decompress(const uint8_t* data, size_t size) {
+struct DBlock {
+  int kind;
+  Bytes lit;
+  uint64_t nal_size = 0;
+  Bytes head, tail, sstream;
+  int mb_count = 0, drop = 0;
+};
+
+// Decode one recoded slice block -> reconstructed NAL bytes (appended to
+// out), updating the model/picture-ring decode state.
+struct DecodeState {
+  std::unique_ptr<RecodeModel> stream_model;  // stream/gop scope
+  std::unique_ptr<PicState> cur, prev;
+  int slice_id = 0;
+};
+
+static void decode_slice_block(const DBlock& b, int scope,
+                               const std::map<int, SPS>& sps_map,
+                               const std::map<int, PPS>& pps_map,
+                               DecodeState* st, Bytes* out) {
+  int nal_type = b.head[0] & 0x1F;
+  int nal_ref_idc = (b.head[0] >> 5) & 3;
+  Bytes hdr_rbsp(b.head.begin() + 1, b.head.end());
+  SPS sps;
+  PPS pps;
+  SliceHeader hdr = parse_slice_header(hdr_rbsp, nal_type, nal_ref_idc,
+                                       sps_map, pps_map, &sps, &pps);
+  std::unique_ptr<RecodeModel> slice_model;
+  RecodeModel* model;
+  if (scope == SCOPE_SLICE) {
+    slice_model =
+        std::make_unique<RecodeModel>(b.sstream.data(), b.sstream.size());
+    model = slice_model.get();
+  } else if (scope == SCOPE_GOP) {
+    if (!b.sstream.empty()) {  // GOP start: new model, wiped ring
+      st->stream_model =
+          std::make_unique<RecodeModel>(b.sstream.data(), b.sstream.size());
+      st->cur.reset();
+      st->prev.reset();
+    }
+    model = st->stream_model.get();
+  } else {
+    model = st->stream_model.get();
+  }
+  if (hdr.first_mb_in_slice == 0 || !st->cur) {
+    st->prev = std::move(st->cur);
+    st->cur = std::make_unique<PicState>();
+    st->cur->init(sps.pic_width_in_mbs, sps.pic_height_in_map_units);
+  }
+  st->slice_id++;
+  int idc = hdr.slice_type == SLICE_I ? -1 : hdr.cabac_init_idc;
+  Coder c;
+  c.init_decompress(hdr.slice_qp, idc, model);
+  SliceParser p(sps, pps, hdr, st->cur.get(), st->prev.get(), &c,
+                st->slice_id, scope == SCOPE_SLICE);
+  p.parse_slice_data(b.mb_count);
+  const Bytes& payload = c.enc.bytes();
+  Bytes full(payload.begin(), payload.end() - b.drop);
+  full.insert(full.end(), b.tail.begin(), b.tail.end());
+  Bytes rbsp(b.head.begin() + 1, b.head.end());
+  rbsp.insert(rbsp.end(), full.begin(), full.end());
+  Bytes esc = escape_rbsp(rbsp.data(), rbsp.size());
+  if (esc.size() + 1 != b.nal_size) throw ParseError("NAL size mismatch");
+  out->push_back(b.head[0]);
+  out->insert(out->end(), esc.begin(), esc.end());
+}
+
+Bytes decompress(const uint8_t* data, size_t size, int threads) {
   CReader r{data, size};
   if (size < 8 || memcmp(data, "AVTR", 4) != 0) throw ParseError("bad magic");
   r.pos = 4;
@@ -314,7 +537,6 @@ Bytes decompress(const uint8_t* data, size_t size) {
   std::map<int, SPS> sps_map;
   std::map<int, PPS> pps_map;
   uint64_t n_sps = r.varint();
-  std::vector<Bytes> sps_raw, pps_raw;
   for (uint64_t i = 0; i < n_sps; i++) {
     Bytes b = r.blob();
     SPS s = parse_sps(b);
@@ -327,13 +549,6 @@ Bytes decompress(const uint8_t* data, size_t size) {
     pps_map[p.pps_id] = p;
   }
 
-  struct DBlock {
-    int kind;
-    Bytes lit;
-    uint64_t nal_size = 0;
-    Bytes head, tail, sstream;
-    int mb_count = 0, drop = 0;
-  };
   std::vector<DBlock> blocks;
   for (;;) {
     int kind = r.u8();
@@ -355,65 +570,66 @@ Bytes decompress(const uint8_t* data, size_t size) {
     blocks.push_back(std::move(b));
   }
   Bytes stream_bytes = r.blob();
-  std::unique_ptr<RecodeModel> stream_model;
-  if (!per_slice)
-    stream_model = std::make_unique<RecodeModel>(stream_bytes.data(),
-                                                 stream_bytes.size());
 
+  // parallel GOP decode: split slice blocks into GOP ranges (a non-empty
+  // stream slot marks a GOP start); each range decodes independently
+  if (scope == SCOPE_GOP && threads != 1) {
+    int nt = threads > 0 ? threads
+                         : std::min(16u, std::thread::hardware_concurrency());
+    std::vector<std::pair<size_t, size_t>> groups;  // block index ranges
+    for (size_t i = 0; i < blocks.size(); i++) {
+      if (blocks[i].kind != KIND_SLICE) continue;
+      if (!blocks[i].sstream.empty() || groups.empty())
+        groups.push_back({i, blocks.size()});
+      if (groups.size() > 1) groups[groups.size() - 2].second = groups.back().first;
+    }
+    std::vector<Bytes> nal_out(blocks.size());
+    std::atomic<size_t> next{0};
+    std::atomic<bool> failed{false};
+    auto worker = [&]() {
+      for (;;) {
+        size_t g = next.fetch_add(1);
+        if (g >= groups.size() || failed.load()) return;
+        DecodeState st;
+        try {
+          for (size_t i = groups[g].first; i < groups[g].second; i++) {
+            if (blocks[i].kind != KIND_SLICE) continue;
+            decode_slice_block(blocks[i], scope, sps_map, pps_map, &st,
+                               &nal_out[i]);
+          }
+        } catch (...) {
+          failed.store(true);
+          return;
+        }
+      }
+    };
+    int n = std::max(1, std::min<int>(nt, (int)groups.size()));
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& t : pool) t.join();
+    if (failed.load()) throw ParseError("parallel decode failed");
+    Bytes out;
+    for (size_t i = 0; i < blocks.size(); i++) {
+      if (blocks[i].kind == KIND_LITERAL)
+        out.insert(out.end(), blocks[i].lit.begin(), blocks[i].lit.end());
+      else
+        out.insert(out.end(), nal_out[i].begin(), nal_out[i].end());
+    }
+    return out;
+  }
+
+  DecodeState st;
+  if (!per_slice)
+    st.stream_model = std::make_unique<RecodeModel>(stream_bytes.data(),
+                                                    stream_bytes.size());
   Bytes out;
-  std::unique_ptr<PicState> cur, prev;
-  int slice_id = 0;
   for (auto& b : blocks) {
     if (b.kind == KIND_LITERAL) {
       out.insert(out.end(), b.lit.begin(), b.lit.end());
       continue;
     }
-    int nal_type = b.head[0] & 0x1F;
-    int nal_ref_idc = (b.head[0] >> 5) & 3;
-    Bytes hdr_rbsp(b.head.begin() + 1, b.head.end());
-    SPS sps;
-    PPS pps;
-    SliceHeader hdr = parse_slice_header(hdr_rbsp, nal_type, nal_ref_idc,
-                                         sps_map, pps_map, &sps, &pps);
-    std::unique_ptr<RecodeModel> slice_model;
-    RecodeModel* model;
-    if (scope == SCOPE_SLICE) {
-      slice_model = std::make_unique<RecodeModel>(b.sstream.data(),
-                                                  b.sstream.size());
-      model = slice_model.get();
-    } else if (scope == SCOPE_GOP) {
-      if (!b.sstream.empty()) {  // GOP start: new model, wiped ring
-        stream_model = std::make_unique<RecodeModel>(b.sstream.data(),
-                                                     b.sstream.size());
-        cur.reset();
-        prev.reset();
-      }
-      model = stream_model.get();
-    } else {
-      model = stream_model.get();
-    }
-    if (hdr.first_mb_in_slice == 0 || !cur) {
-      prev = std::move(cur);
-      cur = std::make_unique<PicState>();
-      cur->init(sps.pic_width_in_mbs, sps.pic_height_in_map_units);
-    }
-    slice_id++;
-    int idc = hdr.slice_type == SLICE_I ? -1 : hdr.cabac_init_idc;
-    Coder c;
-    c.init_decompress(hdr.slice_qp, idc, model);
-    SliceParser p(sps, pps, hdr, cur.get(), prev.get(), &c, slice_id,
-                  scope == SCOPE_SLICE);
-    p.parse_slice_data(b.mb_count);
-    const Bytes& payload = c.enc.bytes();
-    Bytes full(payload.begin(), payload.end() - b.drop);
-    full.insert(full.end(), b.tail.begin(), b.tail.end());
-    // rebuild the NAL: header byte + escape(header rbsp + payload)
-    Bytes rbsp(b.head.begin() + 1, b.head.end());
-    rbsp.insert(rbsp.end(), full.begin(), full.end());
-    Bytes esc = escape_rbsp(rbsp.data(), rbsp.size());
-    if (esc.size() + 1 != b.nal_size) throw ParseError("NAL size mismatch");
-    out.push_back(b.head[0]);
-    out.insert(out.end(), esc.begin(), esc.end());
+    decode_slice_block(b, scope, sps_map, pps_map, &st, &out);
   }
   return out;
 }
@@ -424,19 +640,26 @@ Bytes decompress(const uint8_t* data, size_t size) {
 extern "C" {
 
 // Returns malloc'd buffer in *out (caller frees with avtpu_free), size as
-// return value; scope: 0=stream, 1=slice. Never fails (literal fallback).
-size_t avtpu_compress(const uint8_t* data, size_t size, int scope,
-                      uint8_t** out) {
-  avtpu::Bytes b = avtpu::compress(data, size, scope);
+// return value; scope: 0=stream, 1=slice, 2=gop. Never fails (literal
+// fallback).  threads: 0=auto, 1=serial; >1 parallel GOPs (gop scope).
+size_t avtpu_compress_mt(const uint8_t* data, size_t size, int scope,
+                         int threads, uint8_t** out) {
+  avtpu::Bytes b = avtpu::compress(data, size, scope, threads);
   *out = (uint8_t*)malloc(b.size());
   memcpy(*out, b.data(), b.size());
   return b.size();
 }
 
-// Returns 0 and sets *out=nullptr on error.
-size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
+size_t avtpu_compress(const uint8_t* data, size_t size, int scope,
+                      uint8_t** out) {
+  return avtpu_compress_mt(data, size, scope, 1, out);
+}
+
+// Returns 0 and sets *out=nullptr on error. threads: 0=auto, 1=serial.
+size_t avtpu_decompress_mt(const uint8_t* data, size_t size, int threads,
+                           uint8_t** out) {
   try {
-    avtpu::Bytes b = avtpu::decompress(data, size);
+    avtpu::Bytes b = avtpu::decompress(data, size, threads);
     *out = (uint8_t*)malloc(b.size());
     memcpy(*out, b.data(), b.size());
     return b.size();
@@ -444,6 +667,10 @@ size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
     *out = nullptr;
     return 0;
   }
+}
+
+size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
+  return avtpu_decompress_mt(data, size, 1, out);
 }
 
 void avtpu_free(uint8_t* p) { free(p); }
