@@ -5,10 +5,15 @@
   python -m avrecode_tpu roundtrip  <in>
   python -m avrecode_tpu test      <dir>           corpus driver -> metrics.csv
 
+Options (before the command):
+  --scope stream|gop|slice   model scope (default gop: parallel-decodable)
+  --threads N                0=auto, 1=serial (gop scope parallelism)
+  --python                   force the Python reference implementation
+
 The corpus driver mirrors test.cpp:113-148 (the -ms fork's addition) with
 structured collection instead of stderr scraping: per file it records
-duration-equivalent stream facts, sizes, ratios, and timings into
-<dir>/output/metrics.csv and writes decompressed outputs for inspection.
+sizes, ratios, and timings into <dir>/output/metrics.csv and writes
+decompressed outputs for inspection.
 """
 
 import csv
@@ -16,7 +21,27 @@ import os
 import sys
 import time
 
-from .codec import compress, decompress, roundtrip
+from .codec import compress as py_compress, decompress as py_decompress
+
+OPTS = {"scope": "gop", "threads": 0, "python": False}
+
+
+def compress(data, verbose=False):
+    if not OPTS["python"]:
+        from .host import native
+
+        if native.available():
+            return native.compress(data, OPTS["scope"], OPTS["threads"])
+    return py_compress(data, verbose=verbose, scope=OPTS["scope"])
+
+
+def decompress(blob):
+    if not OPTS["python"]:
+        from .host import native
+
+        if native.available():
+            return native.decompress(blob, OPTS["threads"])
+    return py_decompress(blob)
 
 
 def _human(n):
@@ -133,6 +158,17 @@ def cmd_test(argv):
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    while argv and argv[0].startswith("--"):
+        opt = argv.pop(0)
+        if opt == "--scope":
+            OPTS["scope"] = argv.pop(0)
+        elif opt == "--threads":
+            OPTS["threads"] = int(argv.pop(0))
+        elif opt == "--python":
+            OPTS["python"] = True
+        else:
+            print(f"unknown option {opt}", file=sys.stderr)
+            return 2
     if len(argv) < 2:
         print(__doc__, file=sys.stderr)
         return 2
