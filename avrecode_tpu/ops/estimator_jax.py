@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+SCAN_UNROLL = 8  # amortizes TPU while-loop step overhead (32 faults on large T)
+
 PROB_BITS = 16
 TOP = 1 << 24
 M32 = jnp.uint32(0xFFFFFFFF)
@@ -60,7 +62,7 @@ def model_probs(slots, bits, pcabs, limits, valid, n_slots):
         return est, jnp.where(v == 1, p1, 0x8000)
 
     est0 = _vlike(jnp.ones((n_slots, 2), jnp.int32), slots)
-    _, p1s = jax.lax.scan(step, est0, (slots, bits, pcabs, valid))
+    _, p1s = jax.lax.scan(step, est0, (slots, bits, pcabs, valid), unroll=SCAN_UNROLL)
     return p1s
 
 
@@ -113,7 +115,7 @@ def range_encode(bits, p1s, valid):
         _vlike(jnp.zeros(max_tok, jnp.uint8), bits),
         _vlike(jnp.zeros(max_tok, jnp.int32), bits),
     )
-    state, _ = jax.lax.scan(step, state, (bits, p1s, valid))
+    state, _ = jax.lax.scan(step, state, (bits, p1s, valid), unroll=SCAN_UNROLL)
     # flush: 5 unconditional shifts
     for _ in range(5):
         state = emit(state, jnp.bool_(True))
@@ -136,7 +138,11 @@ def resolve_carries(tokens, carries, n_tokens):
         return carry_out, out
 
     _, out = jax.lax.scan(
-        step, _vlike(jnp.int32(0), tokens), (tokens, carries, in_range), reverse=True
+        step,
+        _vlike(jnp.int32(0), tokens),
+        (tokens, carries, in_range),
+        reverse=True,
+        unroll=SCAN_UNROLL,
     )
     # host flush condition at shift j: byte != 0xFF or carry pending; the
     # host never emits tokens after the last such shift
