@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SCAN_UNROLL = 8  # amortizes TPU while-loop step overhead (32 faults on large T)
+SCAN_UNROLL = 4  # amortizes TPU scan step overhead (8+ compiles too slowly at large T)
 
 PROB_BITS = 16
 TOP = 1 << 24
@@ -70,23 +70,28 @@ def range_encode(bits, p1s, valid):
     """Range-encoder scan for one slice -> (tokens, carries, n_tokens).
 
     Each put triggers at most 2 renorm byte-shifts (range >= 2^24 before a
-    put and the split keeps range >= 2^8), plus 5 flush shifts at the end."""
+    put and the split keeps range >= 2^8), plus 5 flush shifts at the end.
+
+    Formulation: the scan carries ONLY scalars (low, pend, rng) and emits
+    per-step token candidates as stacked outputs; one vectorized
+    cumsum + scatter then compacts candidates into the token buffer.
+    Carrying the buffer through the scan would force an O(buffer) copy per
+    step under vmap — this keeps total work O(T)."""
     T = bits.shape[0]
     max_tok = 2 * T + 8
 
-    def emit(state, do):
-        low, pend, rng, pos, tokens, carries = state
+    def shift(low, pend, rng, do):
+        """One candidate byte-shift; returns new scalars + token fields."""
         byte = ((low >> 24) & jnp.uint32(0xFF)).astype(jnp.uint8)
-        tokens = jnp.where(do, tokens.at[pos].set(byte), tokens)
-        carries = jnp.where(do, carries.at[pos].set(pend), carries)
+        tok_carry = pend
         low = jnp.where(do, (low << 8) & M32, low)
         pend = jnp.where(do, 0, pend)
-        pos = jnp.where(do, pos + 1, pos)
-        return low, pend, rng, pos, tokens, carries
+        rng = jnp.where(do, (rng << 8) & M32, rng)
+        return low, pend, rng, byte, tok_carry
 
     def step(state, x):
         bit, p1, v = x
-        low, pend, rng, pos, tokens, carries = state
+        low, pend, rng = state
         r1 = ((rng >> 16) * p1.astype(jnp.uint32)) & M32
         low_a = (low + r1) & M32
         carry = (low_a < low).astype(jnp.int32)  # 32-bit wraparound
@@ -94,33 +99,51 @@ def range_encode(bits, p1s, valid):
         pend_n = pend + jnp.where(bit == 1, 0, carry)
         rng_n = jnp.where(bit == 1, r1, (rng - r1) & M32)
 
-        st = (low_n, pend_n, rng_n, pos, tokens, carries)
-        for _ in range(2):
-            do = jnp.logical_and(st[2] < TOP, v == 1)
-            low_, pend_, rng_, pos_, tk, cr = emit(st, do)
-            rng_ = jnp.where(do, (rng_ << 8) & M32, rng_)
-            st = (low_, pend_, rng_, pos_, tk, cr)
-        low_n, pend_n, rng_n, pos_n, tokens, carries = st
+        do0 = jnp.logical_and(rng_n < TOP, v == 1)
+        low_n, pend_n, rng_n, b0, c0 = shift(low_n, pend_n, rng_n, do0)
+        do1 = jnp.logical_and(rng_n < TOP, v == 1)
+        low_n, pend_n, rng_n, b1, c1 = shift(low_n, pend_n, rng_n, do1)
+
         low = jnp.where(v == 1, low_n, low)
         pend = jnp.where(v == 1, pend_n, pend)
         rng = jnp.where(v == 1, rng_n, rng)
-        pos = jnp.where(v == 1, pos_n, pos)
-        return (low, pend, rng, pos, tokens, carries), None
+        ys = (
+            do0.astype(jnp.int32),
+            b0,
+            c0,
+            do1.astype(jnp.int32),
+            b1,
+            c1,
+        )
+        return (low, pend, rng), ys
 
     state = (
         _vlike(jnp.uint32(0), bits),
         _vlike(jnp.int32(0), bits),
         _vlike(jnp.uint32(0xFFFFFFFF), bits),
-        _vlike(jnp.int32(0), bits),
-        _vlike(jnp.zeros(max_tok, jnp.uint8), bits),
-        _vlike(jnp.zeros(max_tok, jnp.int32), bits),
     )
-    state, _ = jax.lax.scan(step, state, (bits, p1s, valid), unroll=SCAN_UNROLL)
-    # flush: 5 unconditional shifts
-    for _ in range(5):
-        state = emit(state, jnp.bool_(True))
-    _, _, _, pos, tokens, carries = state
-    return tokens, carries, pos
+    state, ys = jax.lax.scan(step, state, (bits, p1s, valid), unroll=SCAN_UNROLL)
+    e0, b0, c0, e1, b1, c1 = ys
+
+    # interleave step-major candidate streams -> chronological [2T]
+    flags = jnp.stack([e0, e1], axis=1).reshape(2 * T)
+    cbytes = jnp.stack([b0, b1], axis=1).reshape(2 * T)
+    ccarr = jnp.stack([c0, c1], axis=1).reshape(2 * T)
+
+    # compact with one scatter (dump slot absorbs non-emitting candidates)
+    positions = jnp.cumsum(flags) - 1
+    write_pos = jnp.where(flags == 1, positions, max_tok)
+    tokens = _vlike(jnp.zeros(max_tok + 1, jnp.uint8), bits).at[write_pos].set(cbytes)
+    carries = _vlike(jnp.zeros(max_tok + 1, jnp.int32), bits).at[write_pos].set(ccarr)
+    n_emitted = jnp.sum(flags)
+
+    # flush: 5 unconditional shifts from the final state
+    low, pend, rng = state
+    for k in range(5):
+        low, pend, rng, byte, tok_carry = shift(low, pend, rng, jnp.bool_(True))
+        tokens = tokens.at[n_emitted + k].set(byte)
+        carries = carries.at[n_emitted + k].set(tok_carry)
+    return tokens[:max_tok], carries[:max_tok], n_emitted + 5
 
 
 def resolve_carries(tokens, carries, n_tokens):

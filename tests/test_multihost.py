@@ -1,0 +1,99 @@
+"""Two-process local jax.distributed validation (SURVEY.md §4: multi-host
+tests via standard two-process local initialization — no cluster needed).
+
+Each process gets 4 virtual CPU devices; the global ('host','dp') mesh is
+2x4; a shard_mapped device entropy step with a cross-host psum must agree
+with the single-process result."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+WORKER = r"""
+import os, sys
+import numpy as np
+proc_id = int(sys.argv[1]); coord = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=proc_id)
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+sys.path.insert(0, os.environ["AVT_ROOT"])
+from avrecode_tpu.ops.estimator_jax import encode_slices
+
+assert jax.process_count() == 2
+devs = np.array(jax.devices()).reshape(2, 4)
+mesh = Mesh(devs, ("host", "dp"))
+
+S, T, NS = 16, 64, 16
+rng = np.random.RandomState(0)
+slots = rng.randint(0, NS, (S, T)).astype(np.int32)
+bits = rng.randint(0, 2, (S, T)).astype(np.int32)
+pcabs = rng.randint(0, 0xFFFF, (S, T)).astype(np.int32)
+limits = np.full((S, NS), 0x60, np.int32)
+valid = np.ones((S, T), np.int32)
+
+def local(sl, bi, pc, li, va):
+    out, lens = encode_slices(sl, bi, pc, li, va)
+    total = jax.lax.psum(jnp.sum(lens), ("host", "dp"))
+    return out, lens, total
+
+fn = shard_map(local, mesh=mesh,
+               in_specs=(P(("host", "dp")),) * 5,
+               out_specs=(P(("host", "dp")), P(("host", "dp")), P()))
+with mesh:
+    sharding = NamedSharding(mesh, P(("host", "dp")))
+    gargs = [jax.make_array_from_callback(
+        a.shape, sharding, lambda idx, a=a: a[idx]) for a in
+        (slots, bits, pcabs, limits, valid)]
+    out, lens, total = jax.jit(fn)(*gargs)
+    from jax.experimental import multihost_utils
+    lens_g = multihost_utils.process_allgather(lens, tiled=True)
+# single-process reference
+ref_out, ref_lens = encode_slices(slots, bits, pcabs, limits, valid)
+assert int(total) == int(np.sum(np.asarray(ref_lens))), (int(total), int(np.sum(np.asarray(ref_lens))))
+assert np.array_equal(np.asarray(lens_g), np.asarray(ref_lens))
+print(f"proc {proc_id} OK total={int(total)}")
+"""
+
+
+def test_two_process_distributed():
+    port = 0
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["AVT_ROOT"] = os.path.abspath(ROOT)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(i), coord],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "OK" in out
