@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SCAN_UNROLL = 4  # amortizes TPU scan step overhead (8+ compiles too slowly at large T)
+SCAN_UNROLL = 1  # >1 explodes axon remote-compile time at large T
 
 PROB_BITS = 16
 TOP = 1 << 24

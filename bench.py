@@ -65,6 +65,8 @@ def ensure_native():
 
 def bench_device(path):
     """Device entropy-stage throughput (bins/s) on the default backend."""
+    if os.environ.get("AVT_BENCH_NO_DEVICE"):
+        return None
     try:
         from avrecode_tpu.parallel.pipeline import extract_traces, pack_traces
         from avrecode_tpu.ops.estimator_jax import encode_slices
@@ -105,16 +107,17 @@ def main():
     for p in paths:
         data = open(p, "rb").read()
         if native:
+            # headline path: gop scope (parallel-decodable) + all cores
             t0 = time.time()
-            comp = native.compress(data, "stream")
+            comp = native.compress(data, "gop", 0)
             t1 = time.time()
-            dec = native.decompress(comp)
+            dec = native.decompress(comp, 0)
             t2 = time.time()
         else:
             from avrecode_tpu.codec import compress, decompress
 
             t0 = time.time()
-            comp = compress(data)
+            comp = compress(data, scope="gop")
             t1 = time.time()
             dec = decompress(comp)
             t2 = time.time()
