@@ -553,16 +553,17 @@ class SliceParser:
         # --- levels (backward from last significant) ---
         positions = [i for i, s in enumerate(sig) if s]
         assert len(positions) == nnz
+        nzb = min(nnz, 7)  # block-density bucket for level keys
         node = 0
         abs_base = COEFF_ABS_LEVEL_M1_OFFSET[cat]
         gt1_off = 8 if cat == CAT_CHROMA_DC else 0
         for pos in reversed(positions):
             ctx1 = abs_base + COEFF_ABS_LEVEL1_CTX[node]
-            if self._bin(ctx1, ("lvl1", cat, COEFF_ABS_LEVEL1_CTX[node], int(is_intra))):
+            if self._bin(ctx1, ("lvl1", cat, COEFF_ABS_LEVEL1_CTX[node], int(is_intra), nzb)):
                 coeff = 2
                 ctxg = abs_base + COEFF_ABS_LEVELGT1_CTX[gt1_off + node]
                 while coeff < 15 and self._bin(
-                    ctxg, ("lvlg", cat, COEFF_ABS_LEVELGT1_CTX[gt1_off + node], min(coeff, 7), int(is_intra))
+                    ctxg, ("lvlg", cat, COEFF_ABS_LEVELGT1_CTX[gt1_off + node], min(coeff, 7), int(is_intra), nzb)
                 ):
                     coeff += 1
                 if coeff == 15:
@@ -889,9 +890,38 @@ class SliceParser:
                         p.cbf_luma[y, x, blk] = self._last_cbf
                         p.nnz_luma[y, x, blk] = nnz
 
+        def prior_chroma_dc(comp):
+            tot, n = 0, 0
+            for dx, dy in ((-1, 0), (0, -1)):
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < self.W and 0 <= ny < self.H:
+                    nsid = p.slice_id[ny, nx]
+                    if (nsid == self.sid) if self.isolate else (nsid >= 0):
+                        tot += int(p.nnz_chroma_dc[ny, nx, comp])
+                        n += 1
+            if prev is not None:
+                tot += int(prev.nnz_chroma_dc[y, x, comp])
+                n += 1
+            return tot // n if n else 0
+
+        def prior_chroma_ac(idx):
+            comp, sub = idx >> 2, idx & 3
+            tot, n = 0, 0
+            for dx, dy in ((-1, 0), (0, -1)):
+                nmb, nsub = chroma_blk_neighbor(x, y, sub, dx, dy)
+                if 0 <= nmb[0] < self.W and 0 <= nmb[1] < self.H:
+                    nsid = p.slice_id[nmb[1], nmb[0]]
+                    if (nsid == self.sid) if self.isolate else (nsid >= 0):
+                        tot += int(p.nnz_chroma_ac[nmb[1], nmb[0], comp * 4 + nsub])
+                        n += 1
+            if prev is not None:
+                tot += int(prev.nnz_chroma_ac[y, x, idx])
+                n += 1
+            return tot // n if n else 0
+
         if cbp_chroma:
             for comp in range(2):
-                pr = int(prev.nnz_chroma_dc[y, x, comp]) if prev is not None else 0
+                pr = prior_chroma_dc(comp)
                 nnz = self.parse_residual_block(CAT_CHROMA_DC, comp, is_intra, True, pr)
                 p.cbf_chroma_dc[y, x, comp] = self._last_cbf
                 p.nnz_chroma_dc[y, x, comp] = nnz
@@ -899,7 +929,7 @@ class SliceParser:
             for comp in range(2):
                 for sub in range(4):
                     idx = comp * 4 + sub
-                    pr = int(prev.nnz_chroma_ac[y, x, idx]) if prev is not None else 0
+                    pr = prior_chroma_ac(idx)
                     nnz = self.parse_residual_block(
                         CAT_CHROMA_AC, idx, is_intra, True, pr
                     )

@@ -659,17 +659,19 @@ class SliceParser {
     for (int i = 0; i < max_coeff; i++)
       if (sig[i]) positions[npos++] = i;
     if (npos != nnz) throw Desync("sig count mismatch");
+    int nzb = std::min(nnz, 7);  // block-density bucket for level keys
     int node = 0;
     int abs_base = kAbsLevelOffset[cat];
     int gt1_off = cat == CAT_CHROMA_DC ? 8 : 0;
     for (int k = npos - 1; k >= 0; k--) {
       int ctx1 = abs_base + kLvl1Ctx[node];
-      if (bin(ctx1, mkey(K_LVL1, cat, kLvl1Ctx[node], is_intra))) {
+      if (bin(ctx1, mkey(K_LVL1, cat, kLvl1Ctx[node], is_intra, nzb))) {
         int coeff = 2;
         int ctxg = abs_base + kLvlGt1Ctx[gt1_off + node];
         while (coeff < 15 &&
-               bin(ctxg, mkey(K_LVLG, cat, kLvlGt1Ctx[gt1_off + node],
-                              std::min(coeff, 7), is_intra)))
+               bin(ctxg, mkey(K_LVLG, cat + 16 * is_intra,
+                              kLvlGt1Ctx[gt1_off + node], std::min(coeff, 7),
+                              nzb)))
           coeff++;
         if (coeff == 15) {
           int j = 0;
@@ -898,9 +900,49 @@ class SliceParser {
         }
       }
     }
+    auto prior_chroma_dc = [&](int comp) {
+      int tot = 0, n = 0;
+      static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+      for (int k = 0; k < 2; k++) {
+        int nx = mbx_ + dxs[k], ny = mby_ + dys[k];
+        if (nx >= 0 && ny >= 0 && nx < W_ && ny < H_) {
+          int32_t nsid = pic_->slice_id[mb(nx, ny)];
+          if (isolate_ ? nsid == sid_ : nsid >= 0) {
+            tot += pic_->nnz_chroma_dc[mb(nx, ny) * 2 + comp];
+            n++;
+          }
+        }
+      }
+      if (prev_) {
+        tot += prev_->nnz_chroma_dc[m * 2 + comp];
+        n++;
+      }
+      return n ? tot / n : 0;
+    };
+    auto prior_chroma_ac = [&](int idx) {
+      int comp = idx >> 2, sub = idx & 3;
+      int tot = 0, n = 0;
+      static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+      for (int k = 0; k < 2; k++) {
+        int nmbx, nmby, nsub;
+        chroma_neighbor(sub, dxs[k], dys[k], &nmbx, &nmby, &nsub);
+        if (nmbx >= 0 && nmby >= 0 && nmbx < W_ && nmby < H_) {
+          int32_t nsid = pic_->slice_id[mb(nmbx, nmby)];
+          if (isolate_ ? nsid == sid_ : nsid >= 0) {
+            tot += pic_->nnz_chroma_ac[mb(nmbx, nmby) * 8 + comp * 4 + nsub];
+            n++;
+          }
+        }
+      }
+      if (prev_) {
+        tot += prev_->nnz_chroma_ac[m * 8 + idx];
+        n++;
+      }
+      return n ? tot / n : 0;
+    };
     if (cbp_chroma) {
       for (int comp = 0; comp < 2; comp++) {
-        int pr = prev_ ? prev_->nnz_chroma_dc[m * 2 + comp] : 0;
+        int pr = prior_chroma_dc(comp);
         int nnz = parse_residual_block(CAT_CHROMA_DC, comp, is_intra, true, pr);
         p->cbf_chroma_dc[m * 2 + comp] = (uint8_t)last_cbf_;
         p->nnz_chroma_dc[m * 2 + comp] = (uint8_t)nnz;
@@ -910,7 +952,7 @@ class SliceParser {
       for (int comp = 0; comp < 2; comp++)
         for (int sub = 0; sub < 4; sub++) {
           int idx = comp * 4 + sub;
-          int pr = prev_ ? prev_->nnz_chroma_ac[m * 8 + idx] : 0;
+          int pr = prior_chroma_ac(idx);
           int nnz = parse_residual_block(CAT_CHROMA_AC, idx, is_intra, true, pr);
           p->cbf_chroma_ac[m * 8 + idx] = (uint8_t)last_cbf_;
           p->nnz_chroma_ac[m * 8 + idx] = (uint8_t)nnz;
