@@ -48,6 +48,13 @@ def _human(n):
     return f"{n / 1e6:.2f}MB"
 
 
+def _safe(fn, *a):
+    try:
+        return fn(*a)
+    except Exception as e:
+        return e
+
+
 def cmd_compress(argv):
     inp = argv[0]
     out = argv[1] if len(argv) > 1 else inp + ".avtr"
@@ -101,7 +108,10 @@ def cmd_roundtrip(argv):
 
 def cmd_test(argv):
     """Corpus driver (test.cpp analog): roundtrip every file in a directory,
-    write metrics.csv + decompressed outputs to <dir>/output/."""
+    write metrics.csv + decompressed outputs to <dir>/output/.  Files are
+    processed concurrently (the native library releases the GIL)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     d = argv[0]
     outdir = os.path.join(d, "output")
     os.makedirs(outdir, exist_ok=True)
@@ -112,24 +122,31 @@ def cmd_test(argv):
         for f in os.listdir(d)
         if os.path.isfile(os.path.join(d, f)) and not f.startswith(".")
     )
-    for name in files:
+
+    def run_one(name):
         path = os.path.join(d, name)
         data = open(path, "rb").read()
-        try:
-            t0 = time.time()
-            comp = compress(data)
-            t1 = time.time()
-            dec = decompress(comp)
-            t2 = time.time()
-            ok = dec == data
-        except Exception as e:  # corpus keeps going on per-file failure
-            print(f"{name}: EXCEPTION {e!r}", file=sys.stderr)
+        t0 = time.time()
+        comp = compress(data)
+        t1 = time.time()
+        dec = decompress(comp)
+        t2 = time.time()
+        return data, comp, dec, t1 - t0, t2 - t1
+
+    jobs = min(8, os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=jobs) as pool:
+        results = list(pool.map(lambda n: _safe(run_one, n), files))
+
+    for name, res in zip(files, results):
+        if isinstance(res, Exception):  # corpus keeps going on failure
+            print(f"{name}: EXCEPTION {res!r}", file=sys.stderr)
             failures += 1
             continue
+        data, comp, dec, ctime, dtime = res
+        ok = dec == data
         if not ok:
             failures += 1
         open(os.path.join(outdir, name), "wb").write(dec)
-        ctime, dtime = t1 - t0, t2 - t1
         ratio = 100.0 * len(comp) / max(1, len(data))
         rows.append(
             {
