@@ -1,0 +1,273 @@
+"""Pallas TPU kernel for the recode entropy stage.
+
+Grid (slices, chunks): each grid step processes CHUNK bins of one slice with
+the adaptive estimator table in VMEM and the coder registers in SMEM — both
+persist across the chunk axis (TPU grids iterate the last axis innermost),
+so arbitrarily long slices stream through fixed-size VMEM windows.  The
+(N, 1) column layout costs 128x VMEM tiling waste, which is why chunking is
+load-bearing: windows stay ~1 MB regardless of slice length.
+
+The kernel emits RAW (byte, carry-flag) token candidates; the host folds
+pending carries (rare events — O(#carries) ripple) and applies the
+flush-truncation rule, exactly mirroring ops/rangecoder.py's deferred
+cache/0xFF-run semantics.  Output streams are byte-identical to the host
+model coder (tests/test_pallas.py).
+
+Measured: ~70 Mbins/s on one v5e core vs ~0.35 Mbins/s for the XLA scan
+formulation (per-step dynamic updates on blocked carries).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TOP = 1 << 24
+SIGN = -0x80000000
+CHUNK = 1024  # bins per grid step (VMEM: in+out windows double-buffered)
+
+
+def _ult(a, b):
+    """Unsigned int32 a < b."""
+    return (a ^ jnp.int32(SIGN)) < (b ^ jnp.int32(SIGN))
+
+
+def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref,
+            tok_out, carry_out, count_out, est_ref, state_ref):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        est_ref[:, :] = jnp.ones_like(est_ref[:, :])
+        state_ref[0] = 0   # low
+        state_ref[1] = 0   # pend
+        state_ref[2] = -1  # rng = 0xFFFFFFFF
+    # token position is chunk-local; outputs are per-chunk segments
+
+    def emit(pos, low, pend, rng, do):
+        byte = (low >> 24) & 0xFF
+
+        @pl.when(do)
+        def _():
+            tok_out[pl.ds(pos, 1), :] = byte.reshape(1, 1)
+            carry_out[pl.ds(pos, 1), :] = pend.reshape(1, 1)
+
+        low = jnp.where(do, low << 8, low)
+        pend = jnp.where(do, 0, pend)
+        rng = jnp.where(do, rng << 8, rng)
+        pos = jnp.where(do, pos + 1, pos)
+        return pos, low, pend, rng
+
+    def body(i, st):
+        low, pend, rng, pos = st
+        v = valid_ref[pl.ds(i, 1), :][0, 0]
+        slot = slots_ref[pl.ds(i, 1), :][0, 0]
+        bit = bits_ref[pl.ds(i, 1), :][0, 0]
+        pcab = pcabs_ref[pl.ds(i, 1), :][0, 0]
+
+        epair = est_ref[pl.ds(slot, 1), :]
+        e0 = epair[0, 0]
+        e1 = epair[0, 1]
+        total = e0 + e1
+        p1 = (e0 << 16) // total
+        w = jnp.minimum(4 * total, 78)
+        p_mix = (p1 * w + pcab * (80 - w)) // 80
+        p1 = jnp.where(pcab > 0, p_mix, p1)
+        p1 = jnp.clip(p1, 1, 0xFFFF)
+
+        inc1 = jnp.where(bit == 1, 1, 0)
+        e0n = e0 + inc1
+        e1n = e1 + (1 - inc1)
+        halve = (e0n + e1n) > limits_ref[pl.ds(slot, 1), :][0, 0]
+        e0n = jnp.where(halve, (e0n + 1) >> 1, e0n)
+        e1n = jnp.where(halve, (e1n + 1) >> 1, e1n)
+
+        @pl.when(v == 1)
+        def _():
+            est_ref[pl.ds(slot, 1), :] = jnp.stack([e0n, e1n]).reshape(1, 2)
+
+        r1 = ((rng >> 16) & 0xFFFF) * p1
+        low_a = low + r1
+        carry = jnp.where(_ult(low_a, low), 1, 0)
+        low_n = jnp.where(bit == 1, low, low_a)
+        pend_n = pend + jnp.where(bit == 1, 0, carry)
+        rng_n = jnp.where(bit == 1, r1, rng - r1)
+
+        do0 = jnp.logical_and(_ult(rng_n, jnp.int32(TOP)), v == 1)
+        pos_n, low_n, pend_n, rng_n = emit(pos, low_n, pend_n, rng_n, do0)
+        do1 = jnp.logical_and(_ult(rng_n, jnp.int32(TOP)), v == 1)
+        pos_n, low_n, pend_n, rng_n = emit(pos_n, low_n, pend_n, rng_n, do1)
+
+        low = jnp.where(v == 1, low_n, low)
+        pend = jnp.where(v == 1, pend_n, pend)
+        rng = jnp.where(v == 1, rng_n, rng)
+        pos = jnp.where(v == 1, pos_n, pos)
+        return low, pend, rng, pos
+
+    low, pend, rng, pos = jax.lax.fori_loop(
+        0,
+        slots_ref.shape[0],
+        body,
+        (state_ref[0], state_ref[1], state_ref[2], jnp.int32(0)),
+    )
+
+    # final chunk: flush 5 unconditional shifts into this chunk's segment
+    def flush(args):
+        low, pend, rng, pos = args
+        for _ in range(5):
+            pos, low, pend, rng = emit(pos, low, pend, rng, jnp.bool_(True))
+        return low, pend, rng, pos
+
+    low, pend, rng, pos = jax.lax.cond(
+        c == n_chunks - 1, flush, lambda a: a, (low, pend, rng, pos)
+    )
+
+    state_ref[0] = low
+    state_ref[1] = pend
+    state_ref[2] = rng
+    count_out[0, :, :] = jnp.full_like(count_out[0, :, :], pos)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _encode_raw(slots, bits, pcabs, limits, valid, interpret=False):
+    S, T = slots.shape
+    NS = limits.shape[1]
+    NSp = -(-NS // 8) * 8
+    if NSp != NS:
+        limits = jnp.pad(limits, ((0, 0), (0, NSp - NS)), constant_values=0x60)
+        NS = NSp
+    Tp = -(-T // CHUNK) * CHUNK
+    if Tp != T:
+        pad = ((0, 0), (0, Tp - T))
+        slots = jnp.pad(slots, pad)
+        bits = jnp.pad(bits, pad)
+        pcabs = jnp.pad(pcabs, pad)
+        valid = jnp.pad(valid, pad)
+        T = Tp
+    NC = T // CHUNK
+    CAP = 2 * CHUNK + 8
+
+    def col(x):
+        return x.astype(jnp.int32).reshape(-1, 1)
+
+    bin_spec = pl.BlockSpec((CHUNK, 1), lambda s, c: (s * NC + c, 0))
+    seg_spec = pl.BlockSpec((CAP, 1), lambda s, c: (s * NC + c, 0))
+    toks, carrs, counts = pl.pallas_call(
+        _kernel,
+        grid=(S, NC),
+        in_specs=[
+            bin_spec,
+            bin_spec,
+            bin_spec,
+            bin_spec,
+            pl.BlockSpec((NS, 2), lambda s, c: (s, 0)),
+        ],
+        out_specs=[
+            seg_spec,
+            seg_spec,
+            pl.BlockSpec((1, 8, 128), lambda s, c: (s * NC + c, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S * NC * CAP, 1), jnp.int32),
+            jax.ShapeDtypeStruct((S * NC * CAP, 1), jnp.int32),
+            jax.ShapeDtypeStruct((S * NC, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NS, 2), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(col(slots), col(bits), col(pcabs), col(valid), _limits2(limits))
+    return (
+        toks.reshape(S, NC, CAP),
+        carrs.reshape(S, NC, CAP),
+        counts.reshape(S, NC, 8, 128)[:, :, 0, 0],
+    )
+
+
+def _limits2(limits):
+    """[S, NS] -> [S*NS, 2] (limit duplicated; kernel reads column 0)."""
+    S, NS = limits.shape
+    rep = jnp.stack([limits, limits], axis=-1).astype(jnp.int32)
+    return rep.reshape(S * NS, 2)
+
+
+def finalize_streams(toks, carrs, counts):
+    """Host-side: per-chunk raw segments -> final per-slice stream bytes.
+
+    Folds pending carries (chronological ripple through 0xFF runs) and
+    applies the flush-truncation rule — the numpy mirror of
+    estimator_jax.resolve_carries."""
+    toks = np.asarray(toks)
+    carrs = np.asarray(carrs)
+    counts = np.asarray(counts)
+    S, NC, CAP = toks.shape
+    out = []
+    for s in range(S):
+        segs = [toks[s, c, : counts[s, c]] for c in range(NC)]
+        csegs = [carrs[s, c, : counts[s, c]] for c in range(NC)]
+        tok = np.concatenate(segs) if segs else np.zeros(0, np.int32)
+        car = np.concatenate(csegs) if csegs else np.zeros(0, np.int32)
+        raw = tok.copy()
+        if len(tok):
+            # base-256 addition toward lower indices, vectorized: each pass
+            # propagates overflow one position (passes = longest 0xFF run)
+            val = tok.astype(np.int64)
+            val[:-1] += car[1:]
+            while True:
+                ov = val >> 8
+                if not ov.any():
+                    break
+                val &= 0xFF
+                val[:-1] += ov[1:]
+            tok = val.astype(np.int32)
+        # truncation: last token satisfying the host flush condition
+        flushable = (raw != 0xFF) | (car > 0)
+        nz = np.nonzero(flushable)[0]
+        j_last = int(nz[-1]) if len(nz) else 0
+        out.append(bytes(tok[:j_last].astype(np.uint8)))
+    return out
+
+
+GROUP = 16  # slices per kernel launch: the (N,1) device layout carries the
+# T(8,128) tiling (128x HBM footprint), so the per-dispatch working set is
+# bounded by the group size (~0.33 GB/slice at T~100k)
+
+
+def encode_slices_pallas(slots, bits, pcabs, limits, valid, interpret=False):
+    """Full device entropy stage via the Pallas kernel.
+
+    Returns a list of per-slice stream bytes, identical to the host
+    RecodeModel streams.  All groups are dispatched asynchronously before
+    any result is read back, overlapping transfer/compute across groups."""
+    S = slots.shape[0]
+    pending = []
+    for lo in range(0, S, GROUP):
+        hi = min(lo + GROUP, S)
+        pad = GROUP - (hi - lo)
+
+        def g(x):
+            part = np.asarray(x[lo:hi])
+            if pad:
+                part = np.concatenate(
+                    [part, np.zeros((pad,) + part.shape[1:], part.dtype)]
+                )
+            return jnp.asarray(part)
+
+        pending.append(
+            (
+                hi - lo,
+                _encode_raw(
+                    g(slots), g(bits), g(pcabs), g(limits), g(valid),
+                    interpret=interpret,
+                ),
+            )
+        )
+    streams = []
+    for n, (toks, carrs, counts) in pending:
+        streams.extend(finalize_streams(toks, carrs, counts)[:n])
+    return streams

@@ -69,12 +69,14 @@ def make_mesh(n_devices=None):
     return Mesh(np.array(devs), ("dp",))
 
 
-def device_compress(data, mesh=None):
+def device_compress(data, mesh=None, use_pallas=None):
     """Full compression with the device entropy stage.
 
-    With a mesh, the slice batch is sharded across its 'dp' axis; XLA runs
-    the per-slice scans fully in parallel across chips (no collectives
-    needed in the entropy stage — slice streams are independent by format)."""
+    use_pallas=None auto-selects: the Pallas kernel on TPU backends (~60
+    Mbins/s kernel compute), the XLA scan path elsewhere/under a mesh.
+    With a mesh, the slice batch is sharded across its 'dp' axis; per-slice
+    streams are independent by format, so the entropy stage needs no
+    collectives."""
     data = bytes(data)
     sps, pps, blocks, traces, stats = extract_traces(data)
     if not traces:
@@ -82,6 +84,16 @@ def device_compress(data, mesh=None):
 
         return compress(data, scope="slice")
     packed = pack_traces(traces, pad_multiple=(len(mesh.devices.flat) if mesh else 1))
+    if use_pallas is None:
+        use_pallas = mesh is None and jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops.pallas_coder import encode_slices_pallas
+
+        byte_streams = encode_slices_pallas(*packed)
+        streams = {id(t): byte_streams[i] for i, t in enumerate(traces)}
+        return serialize_container(
+            SCOPE_SLICE, sps, pps, blocks, None, finisher=lambda t: streams[id(t)]
+        )
     arrays = packed
     if mesh is not None:
         sharding = NamedSharding(mesh, P("dp"))
