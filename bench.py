@@ -64,28 +64,41 @@ def ensure_native():
 
 
 def bench_device(path):
-    """Device entropy-stage throughput (bins/s) on the default backend."""
+    """Device entropy-stage throughput (bins/s): Pallas kernel on TPU,
+    XLA scans elsewhere.  Best-effort (compile time through the remote
+    tunnel can be minutes)."""
     if os.environ.get("AVT_BENCH_NO_DEVICE"):
         return None
     try:
+        import jax
+
         from avrecode_tpu.parallel.pipeline import extract_traces, pack_traces
-        from avrecode_tpu.ops.estimator_jax import encode_slices
 
         data = open(path, "rb").read()
         t0 = time.time()
         _, _, _, traces, _ = extract_traces(data)
         t_parse = time.time() - t0
-        packed = pack_traces(traces)
+        packed = pack_traces(traces, pad_multiple=4)
         if packed is None:
             return None
         n_bins = int(sum(len(t) for t in traces))
-        out, lens = encode_slices(*packed)  # compile + run
-        out.block_until_ready()
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            from avrecode_tpu.ops.pallas_coder import encode_slices_pallas as run
+        else:
+            from avrecode_tpu.ops.estimator_jax import encode_slices
+
+            def run(*a):
+                out, lens = encode_slices(*a)
+                out.block_until_ready()
+                return out
+
+        run(*packed)  # compile + warm
         t0 = time.time()
-        out, lens = encode_slices(*packed)
-        out.block_until_ready()
+        run(*packed)
         dt = time.time() - t0
         return {
+            "device_kernel": "pallas" if on_tpu else "xla-scan",
             "device_bins_per_s": n_bins / max(dt, 1e-9),
             "device_stage_s": dt,
             "host_parse_s": t_parse,
@@ -140,7 +153,7 @@ def main():
         )
         log(detail["files"][-1])
 
-    dev = bench_device(paths[0])
+    dev = bench_device(paths[3])  # 480p: moderate trace sizes bound compile time
     if dev:
         detail["device"] = {k: round(v, 2) if isinstance(v, float) else v
                             for k, v in dev.items()}
