@@ -65,3 +65,23 @@ def test_truncated_video_passthrough():
         blob = data[:cut]
         comp = compress(blob)
         assert decompress(comp) == blob
+
+
+def test_roundtrip_stress_variants():
+    """Parser coverage across encoder feature space: b-pyramid, many refs,
+    weighted prediction, open GOP — all must recode (not just fall back)
+    and roundtrip bit-exact."""
+    from avrecode_tpu.h264.stream import validate_file
+
+    variants = [
+        ("rt_bpyr.mp4", (256, 192, 12, 30, 6, 3, 24, 21, 1, "b-pyramid=normal:ref=5")),
+        ("rt_wp.mp4", (256, 192, 10, 30, 5, 2, 24, 22, 1, "weightp=2:weightb=1")),
+        ("rt_ogop.mp4", (256, 192, 10, 30, 5, 1, 24, 23, 1, "open-gop=1")),
+    ]
+    for name, args in variants:
+        data = _clip(name, *args)
+        stats = validate_file(data)
+        assert stats["parsed"] == stats["slices"] > 0, (name, stats["errors"][:2])
+        assert stats["byte_exact"] == stats["slices"], (name, stats["errors"][:2])
+        ok, ratio, comp, dec = roundtrip(data)
+        assert ok, name

@@ -6,7 +6,7 @@
  * clips with realistic spatial/temporal structure so the recoder's
  * neighbor/temporal priors have real signal to exploit.
  *
- * Usage: genvideo out.mp4 WIDTH HEIGHT FRAMES FPS GOP BFRAMES CRF SEED [slices]
+ * Usage: genvideo out.mp4 WIDTH HEIGHT FRAMES FPS GOP BFRAMES CRF SEED [slices] [x264-params]
  */
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
@@ -63,6 +63,7 @@ int main(int argc, char **argv) {
   int crf = atoi(argv[8]);
   rng_state = (unsigned)atoi(argv[9]) | 1;
   int slices = argc > 10 ? atoi(argv[10]) : 1;
+  const char *extra = argc > 11 ? argv[11] : "";
 
   const AVCodec *codec = avcodec_find_encoder_by_name("libx264");
   if (!codec) { fprintf(stderr, "libx264 encoder not available\n"); return 1; }
@@ -83,7 +84,8 @@ int main(int argc, char **argv) {
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   char x264opts[256];
-  snprintf(x264opts, sizeof x264opts, "cabac=1:slices=%d", slices);
+  snprintf(x264opts, sizeof x264opts, "cabac=1:slices=%d%s%s", slices,
+           extra[0] ? ":" : "", extra);
   av_opt_set(c->priv_data, "preset", "medium", 0);
   av_opt_set(c->priv_data, "profile", bframes ? "high" : "high", 0);
   av_opt_set_int(c->priv_data, "crf", crf, 0);
