@@ -68,8 +68,8 @@ def blk4_neighbor(mbx, mby, blk, dx, dy):
     return (nmbx, nmby), int(RASTER_TO_BLK4[y * 4 + x])
 
 
-def chroma_blk_neighbor(mbx, mby, blk, dx, dy):
-    """Neighbor 4x4 chroma block (2x2 grid per MB for 4:2:0)."""
+def chroma_blk_neighbor(mbx, mby, blk, dx, dy, grid_h=2):
+    """Neighbor 4x4 chroma block (2x2 grid for 4:2:0, 2x4 for 4:2:2)."""
     x = (blk & 1) + dx
     y = (blk >> 1) + dy
     nmbx, nmby = mbx, mby
@@ -81,8 +81,8 @@ def chroma_blk_neighbor(mbx, mby, blk, dx, dy):
         x -= 2
     if y < 0:
         nmby -= 1
-        y += 2
-    elif y > 1:
+        y += grid_h
+    elif y > grid_h - 1:
         nmby += 1
-        y -= 2
+        y -= grid_h
     return (nmbx, nmby), y * 2 + x

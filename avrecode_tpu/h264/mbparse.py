@@ -135,12 +135,12 @@ class PicState:
         self.cbf_luma_dc = np.zeros((h, w), np.uint8)
         self.cbf_luma = np.zeros((h, w, 16), np.uint8)
         self.cbf_chroma_dc = np.zeros((h, w, 2), np.uint8)
-        self.cbf_chroma_ac = np.zeros((h, w, 8), np.uint8)
+        self.cbf_chroma_ac = np.zeros((h, w, 16), np.uint8)  # comp*8+sub
         # num_nonzeros per block (model priors / OOB coding priors)
         self.nnz_luma = np.zeros((h, w, 16), np.uint8)
         self.nnz_luma_dc = np.zeros((h, w), np.uint8)
         self.nnz_chroma_dc = np.zeros((h, w, 2), np.uint8)
-        self.nnz_chroma_ac = np.zeros((h, w, 8), np.uint8)
+        self.nnz_chroma_ac = np.zeros((h, w, 16), np.uint8)  # comp*8+sub
         # motion: |mvd| stored per 4x4 per list per comp; ref per 8x8 per list
         self.mvd = np.zeros((2, h, w, 16, 2), np.int32)
         self.refidx = np.full((2, h, w, 4), -1, np.int8)
@@ -164,6 +164,10 @@ class SliceParser:
         self.W = sps.pic_width_in_mbs
         self.H = sps.pic_height_in_map_units
         self.stype = header.slice_type
+        # 4:2:2: 2x4 chroma 4x4-block grid, 8-coeff chroma DC
+        self.ch422 = sps.chroma_format_idc == 2
+        self.ch_grid_h = 4 if self.ch422 else 2
+        self.n_chroma_ac = 8 if self.ch422 else 4
         self.nref0 = header.num_ref_idx_l0_active
         self.nref1 = header.num_ref_idx_l1_active
         self.prev_qp_delta_nz = 0
@@ -484,13 +488,15 @@ class SliceParser:
                     cond = 1 if is_intra else 0
                 else:
                     cond = int(p.cbf_chroma_dc[nmb[1], nmb[0], blk])
-            else:  # CAT_CHROMA_AC: blk = comp*4 + idx(2x2)
-                comp, sub = blk >> 2, blk & 3
-                nmb, nsub = chroma_blk_neighbor(self.mbx, self.mby, sub, dx, dy)
+            else:  # CAT_CHROMA_AC: blk = comp*8 + sub (2x2 or 2x4 grid)
+                comp, sub = blk >> 3, blk & 7
+                nmb, nsub = chroma_blk_neighbor(
+                    self.mbx, self.mby, sub, dx, dy, self.ch_grid_h
+                )
                 if not self._avail(nmb):
                     cond = 1 if is_intra else 0
                 else:
-                    cond = int(p.cbf_chroma_ac[nmb[1], nmb[0], comp * 4 + nsub])
+                    cond = int(p.cbf_chroma_ac[nmb[1], nmb[0], comp * 8 + nsub])
             inc += cond << di
         return inc
 
@@ -502,6 +508,8 @@ class SliceParser:
         """
         c = self.c
         max_coeff = _MAX_COEFF[cat]
+        if cat == CAT_CHROMA_DC and self.ch422:
+            max_coeff = 8
         if has_cbf:
             inc = self._cbf_neighbor(cat, blk, is_intra)
             cbf = self._bin(
@@ -520,8 +528,9 @@ class SliceParser:
             sig_base = SIG_COEFF_FLAG_OFFSET[0][cat]
             last_base = LAST_COEFF_FLAG_OFFSET[0][cat]
             if cat == CAT_CHROMA_DC:
-                sig_ctx = [sig_base + min(i, 2) for i in range(max_coeff - 1)]
-                last_ctx = [last_base + min(i, 2) for i in range(max_coeff - 1)]
+                numc = 2 if self.ch422 else 1  # spec: Min(i / NumC8x8, 2)
+                sig_ctx = [sig_base + min(i // numc, 2) for i in range(max_coeff - 1)]
+                last_ctx = [last_base + min(i // numc, 2) for i in range(max_coeff - 1)]
             else:
                 sig_ctx = [sig_base + i for i in range(max_coeff - 1)]
                 last_ctx = [last_base + i for i in range(max_coeff - 1)]
@@ -905,14 +914,14 @@ class SliceParser:
             return tot // n if n else 0
 
         def prior_chroma_ac(idx):
-            comp, sub = idx >> 2, idx & 3
+            comp, sub = idx >> 3, idx & 7
             tot, n = 0, 0
             for dx, dy in ((-1, 0), (0, -1)):
-                nmb, nsub = chroma_blk_neighbor(x, y, sub, dx, dy)
+                nmb, nsub = chroma_blk_neighbor(x, y, sub, dx, dy, self.ch_grid_h)
                 if 0 <= nmb[0] < self.W and 0 <= nmb[1] < self.H:
                     nsid = p.slice_id[nmb[1], nmb[0]]
                     if (nsid == self.sid) if self.isolate else (nsid >= 0):
-                        tot += int(p.nnz_chroma_ac[nmb[1], nmb[0], comp * 4 + nsub])
+                        tot += int(p.nnz_chroma_ac[nmb[1], nmb[0], comp * 8 + nsub])
                         n += 1
             if prev is not None:
                 tot += int(prev.nnz_chroma_ac[y, x, idx])
@@ -927,8 +936,8 @@ class SliceParser:
                 p.nnz_chroma_dc[y, x, comp] = nnz
         if cbp_chroma == 2:
             for comp in range(2):
-                for sub in range(4):
-                    idx = comp * 4 + sub
+                for sub in range(self.n_chroma_ac):
+                    idx = comp * 8 + sub
                     pr = prior_chroma_ac(idx)
                     nnz = self.parse_residual_block(
                         CAT_CHROMA_AC, idx, is_intra, True, pr

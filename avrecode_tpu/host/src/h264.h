@@ -171,7 +171,8 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
   if (!sps.frame_mbs_only_flag) throw Unsupported("interlace/MBAFF");
   if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
     throw Unsupported("bit depth > 8");
-  if (sps.chroma_format_idc != 1) throw Unsupported("chroma format");
+  if (sps.chroma_format_idc != 1 && sps.chroma_format_idc != 2)
+    throw Unsupported("chroma format");
   if (h.slice_type == SLICE_SP || h.slice_type == SLICE_SI)
     throw Unsupported("SP/SI slices");
 

@@ -67,11 +67,11 @@ struct PicState {
   std::vector<uint8_t> cbf_luma_dc;            // [h*w]
   std::vector<uint8_t> cbf_luma;               // [h*w*16]
   std::vector<uint8_t> cbf_chroma_dc;          // [h*w*2]
-  std::vector<uint8_t> cbf_chroma_ac;          // [h*w*8]
+  std::vector<uint8_t> cbf_chroma_ac;          // [h*w*16] comp*8+sub
   std::vector<uint8_t> nnz_luma;               // [h*w*16]
   std::vector<uint8_t> nnz_luma_dc;            // [h*w]
   std::vector<uint8_t> nnz_chroma_dc;          // [h*w*2]
-  std::vector<uint8_t> nnz_chroma_ac;          // [h*w*8]
+  std::vector<uint8_t> nnz_chroma_ac;          // [h*w*16] comp*8+sub
   std::vector<int32_t> mvd;                    // [2*h*w*16*2] abs values
   std::vector<int8_t> refidx;                  // [2*h*w*4]
 
@@ -89,11 +89,11 @@ struct PicState {
     cbf_luma_dc.assign(n, 0);
     cbf_luma.assign(n * 16, 0);
     cbf_chroma_dc.assign(n * 2, 0);
-    cbf_chroma_ac.assign(n * 8, 0);
+    cbf_chroma_ac.assign(n * 16, 0);
     nnz_luma.assign(n * 16, 0);
     nnz_luma_dc.assign(n, 0);
     nnz_chroma_dc.assign(n * 2, 0);
-    nnz_chroma_ac.assign(n * 8, 0);
+    nnz_chroma_ac.assign(n * 16, 0);
     mvd.assign(n * 2 * 16 * 2, 0);
     refidx.assign(n * 2 * 4, -1);
   }
@@ -199,6 +199,9 @@ class SliceParser {
     stype_ = hdr.slice_type;
     nref0_ = hdr.num_ref_idx_l0_active;
     nref1_ = hdr.num_ref_idx_l1_active;
+    ch422_ = sps.chroma_format_idc == 2;
+    ch_grid_h_ = ch422_ ? 4 : 2;
+    n_chroma_ac_ = ch422_ ? 8 : 4;
   }
 
   // compress: mb_count < 0 (discovered); decompress: from container
@@ -248,11 +251,12 @@ class SliceParser {
   }
   void chroma_neighbor(int blk, int dx, int dy, int* nmbx, int* nmby,
                        int* nblk) const {
+    int gh = ch_grid_h_;
     int x = (blk & 1) + dx, y = (blk >> 1) + dy;
     *nmbx = mbx_;
     *nmby = mby_;
     if (x < 0) { (*nmbx)--; x += 2; } else if (x > 1) { (*nmbx)++; x -= 2; }
-    if (y < 0) { (*nmby)--; y += 2; } else if (y > 1) { (*nmby)++; y -= 2; }
+    if (y < 0) { (*nmby)--; y += gh; } else if (y > gh - 1) { (*nmby)++; y -= gh; }
     *nblk = y * 2 + x;
   }
 
@@ -528,13 +532,13 @@ class SliceParser {
         else
           cond = p->cbf_chroma_dc[mb(nx, ny) * 2 + blk];
       } else if (cat == CAT_CHROMA_AC) {
-        int comp = blk >> 2, sub = blk & 3;
+        int comp = blk >> 3, sub = blk & 7;
         int nmbx, nmby, nsub;
         chroma_neighbor(sub, dxs[di], dys[di], &nmbx, &nmby, &nsub);
         if (!avail(nmbx, nmby))
           cond = is_intra ? 1 : 0;
         else
-          cond = p->cbf_chroma_ac[mb(nmbx, nmby) * 8 + comp * 4 + nsub];
+          cond = p->cbf_chroma_ac[mb(nmbx, nmby) * 16 + comp * 8 + nsub];
       } else {
         int nmbx, nmby, nblk;
         blk4_neighbor(blk, dxs[di], dys[di], &nmbx, &nmby, &nblk);
@@ -600,6 +604,7 @@ class SliceParser {
     int is_intra = is_intra_b ? 1 : 0;
     Coder* c = c_;
     int max_coeff = kMaxCoeff[cat];
+    if (cat == CAT_CHROMA_DC && ch422_) max_coeff = 8;
     if (has_cbf) {
       int inc = cbf_neighbor_inc(cat, blk, is_intra_b);
       int cbf = bin(85 + 4 * cat + inc, mkey(K_CBF, cat, inc,
@@ -618,8 +623,9 @@ class SliceParser {
     } else {
       int sig_base = kSigCoeffOffset[cat];   // frame row of [2][14]
       int last_base = kLastCoeffOffset[cat];
+      int numc = ch422_ ? 2 : 1;  // spec: Min(i / NumC8x8, 2)
       for (int i = 0; i < max_coeff - 1; i++) {
-        int inc2 = cat == CAT_CHROMA_DC ? std::min(i, 2) : i;
+        int inc2 = cat == CAT_CHROMA_DC ? std::min(i / numc, 2) : i;
         sig_ctx[i] = sig_base + inc2;
         last_ctx[i] = last_base + inc2;
       }
@@ -920,7 +926,7 @@ class SliceParser {
       return n ? tot / n : 0;
     };
     auto prior_chroma_ac = [&](int idx) {
-      int comp = idx >> 2, sub = idx & 3;
+      int comp = idx >> 3, sub = idx & 7;
       int tot = 0, n = 0;
       static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
       for (int k = 0; k < 2; k++) {
@@ -929,13 +935,13 @@ class SliceParser {
         if (nmbx >= 0 && nmby >= 0 && nmbx < W_ && nmby < H_) {
           int32_t nsid = pic_->slice_id[mb(nmbx, nmby)];
           if (isolate_ ? nsid == sid_ : nsid >= 0) {
-            tot += pic_->nnz_chroma_ac[mb(nmbx, nmby) * 8 + comp * 4 + nsub];
+            tot += pic_->nnz_chroma_ac[mb(nmbx, nmby) * 16 + comp * 8 + nsub];
             n++;
           }
         }
       }
       if (prev_) {
-        tot += prev_->nnz_chroma_ac[m * 8 + idx];
+        tot += prev_->nnz_chroma_ac[m * 16 + idx];
         n++;
       }
       return n ? tot / n : 0;
@@ -950,12 +956,12 @@ class SliceParser {
     }
     if (cbp_chroma == 2) {
       for (int comp = 0; comp < 2; comp++)
-        for (int sub = 0; sub < 4; sub++) {
-          int idx = comp * 4 + sub;
+        for (int sub = 0; sub < n_chroma_ac_; sub++) {
+          int idx = comp * 8 + sub;
           int pr = prior_chroma_ac(idx);
           int nnz = parse_residual_block(CAT_CHROMA_AC, idx, is_intra, true, pr);
-          p->cbf_chroma_ac[m * 8 + idx] = (uint8_t)last_cbf_;
-          p->nnz_chroma_ac[m * 8 + idx] = (uint8_t)nnz;
+          p->cbf_chroma_ac[m * 16 + idx] = (uint8_t)last_cbf_;
+          p->nnz_chroma_ac[m * 16 + idx] = (uint8_t)nnz;
         }
     }
   }
@@ -1033,6 +1039,8 @@ class SliceParser {
   bool isolate_;
   int W_, H_, stype_, nref0_, nref1_;
   int mbx_ = 0, mby_ = 0;
+  bool ch422_ = false;
+  int ch_grid_h_ = 2, n_chroma_ac_ = 4;
   int prev_qp_delta_nz_ = 0;
   int last_cbf_ = 0;
   int sub_types_[4] = {0, 0, 0, 0};

@@ -85,3 +85,14 @@ def test_roundtrip_stress_variants():
         assert stats["byte_exact"] == stats["slices"], (name, stats["errors"][:2])
         ok, ratio, comp, dec = roundtrip(data)
         assert ok, name
+
+
+def test_roundtrip_422():
+    """4:2:2 chroma (High 4:2:2 profile): full recode, not fallback."""
+    from avrecode_tpu.h264.stream import validate_file
+
+    data = _clip("rt_422.mp4", 256, 192, 10, 30, 5, 1, 24, 33, 1, "", 422)
+    stats = validate_file(data)
+    assert stats["byte_exact"] == stats["slices"] > 0, stats["errors"][:2]
+    ok, ratio, comp, dec = roundtrip(data)
+    assert ok

@@ -27,7 +27,7 @@ static unsigned xrand(void) {
 
 /* Deterministic moving-texture frame: blobs + gradient + noise, so motion
  * estimation, intra prediction, and residual coding all get exercised. */
-static void fill_frame(AVFrame *f, int t, int w, int h) {
+static void fill_frame(AVFrame *f, int t, int w, int h, int ch_h) {
   for (int y = 0; y < h; y++) {
     uint8_t *row = f->data[0] + y * f->linesize[0];
     for (int x = 0; x < w; x++) {
@@ -40,7 +40,7 @@ static void fill_frame(AVFrame *f, int t, int w, int h) {
       row[x] = v < 0 ? 0 : v > 255 ? 255 : v;
     }
   }
-  for (int y = 0; y < h / 2; y++) {
+  for (int y = 0; y < ch_h; y++) {
     uint8_t *u = f->data[1] + y * f->linesize[1];
     uint8_t *v = f->data[2] + y * f->linesize[2];
     for (int x = 0; x < w / 2; x++) {
@@ -64,6 +64,7 @@ int main(int argc, char **argv) {
   rng_state = (unsigned)atoi(argv[9]) | 1;
   int slices = argc > 10 ? atoi(argv[10]) : 1;
   const char *extra = argc > 11 ? argv[11] : "";
+  int is422 = argc > 12 && argv[12][1] == '2' && argv[12][2] == '2';
 
   const AVCodec *codec = avcodec_find_encoder_by_name("libx264");
   if (!codec) { fprintf(stderr, "libx264 encoder not available\n"); return 1; }
@@ -78,7 +79,7 @@ int main(int argc, char **argv) {
   c->height = h;
   c->time_base = (AVRational){1, fps};
   c->framerate = (AVRational){fps, 1};
-  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  c->pix_fmt = is422 ? AV_PIX_FMT_YUV422P : AV_PIX_FMT_YUV420P;
   c->gop_size = gop;
   c->max_b_frames = bframes;
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
@@ -87,7 +88,7 @@ int main(int argc, char **argv) {
   snprintf(x264opts, sizeof x264opts, "cabac=1:slices=%d%s%s", slices,
            extra[0] ? ":" : "", extra);
   av_opt_set(c->priv_data, "preset", "medium", 0);
-  av_opt_set(c->priv_data, "profile", bframes ? "high" : "high", 0);
+  av_opt_set(c->priv_data, "profile", is422 ? "high422" : "high", 0);
   av_opt_set_int(c->priv_data, "crf", crf, 0);
   av_opt_set(c->priv_data, "x264-params", x264opts, 0);
 
@@ -110,7 +111,7 @@ int main(int argc, char **argv) {
     AVFrame *f = NULL;
     if (i < nframes) {
       av_frame_make_writable(frame);
-      fill_frame(frame, i, w, h);
+      fill_frame(frame, i, w, h, is422 ? h : h / 2);
       frame->pts = i;
       f = frame;
     }
