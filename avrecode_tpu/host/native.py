@@ -39,6 +39,12 @@ def _load():
         ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
+    lib.avtpu_extract.restype = ctypes.c_size_t
+    lib.avtpu_extract.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
     lib.avtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return _LIB
@@ -61,6 +67,72 @@ def compress(data, scope="stream", threads=1):
         return ctypes.string_at(out, n)
     finally:
         lib.avtpu_free(out)
+
+
+class NativeTrace:
+    """Per-slice bin trace from the native extractor (device-stage input).
+    Mirrors models/trace.py TraceModel's array surface."""
+
+    __slots__ = ("slots", "bits", "pcabs", "limits")
+
+    def __init__(self, slots, bits, pcabs, limits):
+        self.slots = slots
+        self.bits = bits
+        self.pcabs = pcabs
+        self.limits = limits
+
+    def __len__(self):
+        return len(self.bits)
+
+
+def extract(data):
+    """Native host stage of the device pipeline: returns
+    (sps_list, pps_list, blocks, traces) matching codec._scan_blocks'
+    slice-scope output (slice blocks carry their NativeTrace)."""
+    import numpy as np
+
+    from ..utils.container import KIND_LITERAL, KIND_SLICE, Reader
+
+    lib = _load()
+    assert lib is not None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.avtpu_extract(bytes(data), len(data), ctypes.byref(out))
+    if not out:
+        raise ValueError("native extract failed")
+    try:
+        blob = ctypes.string_at(out, n)
+    finally:
+        lib.avtpu_free(out)
+
+    r = Reader(blob)
+    sps = [r.blob() for _ in range(r.varint())]
+    pps = [r.blob() for _ in range(r.varint())]
+    blocks = []
+    traces = []
+    for _ in range(r.varint()):
+        kind = r.u8()
+        if kind == KIND_LITERAL:
+            blocks.append((KIND_LITERAL, r.blob()))
+            continue
+        nal_size = r.varint()
+        head = r.blob()
+        mb_count = r.varint()
+        drop = r.varint()
+        tail = r.blob()
+        n_slots = r.varint()
+        limits = np.frombuffer(blob, np.uint8, n_slots, r.pos).astype(np.int32)
+        r.pos += n_slots
+        n_bins = r.varint()
+        slots = np.frombuffer(blob, np.int32, n_bins, r.pos)
+        r.pos += 4 * n_bins
+        bits = np.frombuffer(blob, np.uint8, n_bins, r.pos)
+        r.pos += n_bins
+        pcabs = np.frombuffer(blob, np.uint16, n_bins, r.pos)
+        r.pos += 2 * n_bins
+        t = NativeTrace(slots, bits, pcabs, limits)
+        traces.append(t)
+        blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, t))
+    return sps, pps, blocks, traces
 
 
 def decompress(blob, threads=1):

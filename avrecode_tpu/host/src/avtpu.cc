@@ -445,6 +445,127 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
   return out.out;
 }
 
+// -------------------------------------------------------- trace extract --
+// Device-pipeline host stage: parse + verify every slice (slice scope,
+// isolated priors) and emit container pieces + per-slice bin traces for
+// the TPU entropy stage.  Blob layout (all varint/blob/raw little-endian):
+//   n_sps, sps blobs; n_pps, pps blobs; n_blocks, then per block:
+//     kind=0: literal blob
+//     kind=1: varint nal_size; blob head; varint mb_count; varint drop;
+//             blob tail; varint n_slots; raw u8 limits[n_slots];
+//             varint n_bins; raw i32 slots[n_bins]; raw u8 bits[n_bins];
+//             raw u16 pcabs[n_bins]
+static Bytes extract_blob(const uint8_t* data, size_t size) {
+  Walker w(data, size);
+  std::vector<Bytes> sps_list, pps_list;
+  if (w.stream()) {
+    sps_list = w.stream()->sps_list;
+    pps_list = w.stream()->pps_list;
+  }
+  struct XBlock {
+    BlockRec b;
+    std::unique_ptr<RecodeModel> rec;
+  };
+  std::vector<XBlock> blocks;
+  uint64_t pos = 0;
+  std::unique_ptr<PicState> cur, prev;
+  int slice_id = 0;
+
+  w.slices([&](const SliceRec& rec) {
+    bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
+    {
+      Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
+      if (esc.size() + 1 != rec.size ||
+          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
+        return;
+    }
+    PicState scratch;
+    const PicState* cand_prev;
+    if (advance) {
+      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      cand_prev = cur.get();
+    } else {
+      scratch = *cur;
+      cand_prev = prev.get();
+    }
+    int sid = slice_id + 1;
+    const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
+    size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
+    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    auto recorder = std::make_unique<RecodeModel>(true);
+    int mb_count, drop;
+    Bytes tail;
+    try {
+      Coder c;
+      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+      c.model = recorder.get();
+      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
+                    /*isolate=*/true);
+      mb_count = p.parse_slice_data(-1);
+      if (!c.verify_tail(&drop, &tail)) return;
+    } catch (const ParseError&) {
+      return;
+    }
+    if (advance) prev = std::move(cur);
+    cur = std::make_unique<PicState>(std::move(scratch));
+    slice_id = sid;
+    if (rec.offset > pos) {
+      XBlock lb;
+      lb.b.kind = KIND_LITERAL;
+      lb.b.lit_off = pos;
+      lb.b.lit_len = rec.offset - pos;
+      blocks.push_back(std::move(lb));
+    }
+    XBlock xb;
+    xb.b.kind = KIND_SLICE;
+    xb.b.nal_size = rec.size;
+    xb.b.head.assign(rec.rbsp.begin(), rec.rbsp.begin() + rec.cabac_offset);
+    xb.b.head[0] = data[rec.offset];
+    xb.b.mb_count = mb_count;
+    xb.b.drop = drop;
+    xb.b.tail = tail;
+    xb.rec = std::move(recorder);
+    blocks.push_back(std::move(xb));
+    pos = rec.offset + rec.size;
+  });
+  if (pos < size) {
+    XBlock lb;
+    lb.b.kind = KIND_LITERAL;
+    lb.b.lit_off = pos;
+    lb.b.lit_len = size - pos;
+    blocks.push_back(std::move(lb));
+  }
+
+  CWriter out;
+  out.varint(sps_list.size());
+  for (auto& b : sps_list) out.blob(b);
+  out.varint(pps_list.size());
+  for (auto& b : pps_list) out.blob(b);
+  out.varint(blocks.size());
+  for (auto& xb : blocks) {
+    out.u8((uint8_t)xb.b.kind);
+    if (xb.b.kind == KIND_LITERAL) {
+      out.blob(data + xb.b.lit_off, xb.b.lit_len);
+      continue;
+    }
+    out.varint(xb.b.nal_size);
+    out.blob(xb.b.head);
+    out.varint(xb.b.mb_count);
+    out.varint(xb.b.drop);
+    out.blob(xb.b.tail);
+    const RecodeModel::Trace* t = xb.rec->trace();
+    out.varint(t->limits.size());
+    out.out.insert(out.out.end(), t->limits.begin(), t->limits.end());
+    out.varint(t->bits.size());
+    const uint8_t* sp = (const uint8_t*)t->slots.data();
+    out.out.insert(out.out.end(), sp, sp + t->slots.size() * 4);
+    out.out.insert(out.out.end(), t->bits.begin(), t->bits.end());
+    const uint8_t* pp = (const uint8_t*)t->pcabs.data();
+    out.out.insert(out.out.end(), pp, pp + t->pcabs.size() * 2);
+  }
+  return out.out;
+}
+
 Bytes compress(const uint8_t* data, size_t size, int scope, int threads) {
   try {
     if (scope == SCOPE_GOP && threads != 1) {
@@ -671,6 +792,20 @@ size_t avtpu_decompress_mt(const uint8_t* data, size_t size, int threads,
 
 size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
   return avtpu_decompress_mt(data, size, 1, out);
+}
+
+// Device-pipeline host stage: container pieces + per-slice bin traces.
+// Returns 0 / *out=nullptr on error.
+size_t avtpu_extract(const uint8_t* data, size_t size, uint8_t** out) {
+  try {
+    avtpu::Bytes b = avtpu::extract_blob(data, size);
+    *out = (uint8_t*)malloc(b.size());
+    memcpy(*out, b.data(), b.size());
+    return b.size();
+  } catch (...) {
+    *out = nullptr;
+    return 0;
+  }
 }
 
 void avtpu_free(uint8_t* p) { free(p); }

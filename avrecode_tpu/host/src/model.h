@@ -63,8 +63,24 @@ class RecodeModel {
     uint32_t epoch;
   };
 
-  // encode mode
-  RecodeModel() : enc_(new RangeEncoder()) { rehash(1 << 13); }
+  // Trace recording (device-pipeline host stage): instead of range-coding,
+  // record (slot, bit, prior) per bin with insertion-order slot ids — the
+  // C++ mirror of models/trace.py TraceModel.
+  struct Trace {
+    std::vector<int32_t> slots;
+    std::vector<uint8_t> bits;
+    std::vector<uint16_t> pcabs;
+    std::vector<uint8_t> limits;  // per slot
+  };
+
+  // encode mode (recording=true: trace recorder, no entropy coding)
+  explicit RecodeModel(bool recording = false) {
+    if (recording)
+      trace_ = new Trace();
+    else
+      enc_ = new RangeEncoder();
+    rehash(1 << 13);
+  }
   // decode mode
   RecodeModel(const uint8_t* data, size_t size)
       : dec_(new RangeDecoder(data, size)) {
@@ -73,10 +89,18 @@ class RecodeModel {
   ~RecodeModel() {
     delete enc_;
     delete dec_;
+    delete trace_;
   }
   RecodeModel(const RecodeModel&) = delete;
 
   void put_bit(uint64_t key, int bit, int pcab = 0) {
+    if (trace_) {
+      Cell& c = cell(key);  // cell.pos repurposed as slot id in record mode
+      trace_->slots.push_back(c.pos);
+      trace_->bits.push_back((uint8_t)bit);
+      trace_->pcabs.push_back((uint16_t)pcab);
+      return;
+    }
     Cell& c = cell(key);
     enc_->put(bit, prob(c, pcab));
     adapt(c, key, bit);
@@ -140,6 +164,7 @@ class RecodeModel {
   }
 
   Bytes finish() { return enc_->finish(); }
+  const Trace* trace() const { return trace_; }
 
  private:
   static int bits_for(int v) {
@@ -156,11 +181,17 @@ class RecodeModel {
     Cell& c = cells_[i];
     if (c.key == kEmpty) {
       c.key = key;
-      c.pos = c.neg = 1;
+      if (trace_) {
+        c.pos = (uint16_t)trace_->limits.size();  // slot id
+        trace_->limits.push_back(
+            (key >> 40) == K_SIG ? kHalveSig : kHalveDefault);
+      } else {
+        c.pos = c.neg = 1;
+      }
       c.epoch = 0;
       n_used_++;
     }
-    if (c.epoch != epoch_) {
+    if (!trace_ && c.epoch != epoch_) {
       journal_.push_back({(uint32_t)i, c.pos, c.neg, c.epoch});
       c.epoch = epoch_;
     }
@@ -227,6 +258,7 @@ class RecodeModel {
   std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;
   RangeDecoder* dec_ = nullptr;
+  Trace* trace_ = nullptr;
 };
 
 }  // namespace avtpu

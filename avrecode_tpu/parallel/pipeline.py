@@ -30,9 +30,22 @@ from ..ops.estimator_jax import encode_slices, stream_bytes
 from ..utils.container import KIND_SLICE, SCOPE_SLICE
 
 
-def extract_traces(data):
+def extract_traces(data, use_native=None):
     """Host stage: parse + verify all slices, returning (container pieces,
-    traces).  Slice blocks reference their TraceModel in the stream slot."""
+    traces).  Slice blocks reference their trace in the stream slot.
+
+    Uses the native (C++) extractor when built — ~50x the Python parser —
+    falling back to the Python reference implementation."""
+    if use_native is None or use_native:
+        try:
+            from ..host import native
+
+            if native.available():
+                sps, pps, blocks, traces = native.extract(bytes(data))
+                return sps, pps, blocks, traces, {"native": True}
+        except Exception:
+            if use_native:
+                raise
     stats = {"slices": 0, "recoded": 0, "bins": 0}
     sps, pps, blocks, _ = _scan_blocks(data, SCOPE_SLICE, TraceModel, stats, {})
     traces = [b[6] for b in blocks if b[0] == KIND_SLICE]
