@@ -261,10 +261,10 @@ def decompress(blob):
     sps_map, pps_map = {}, {}
     for _ in range(r.varint()):
         s = parse_sps(r.blob())
-        sps_map[s.sps_id] = s
+        sps_map.setdefault(s.sps_id, s)  # first definition wins (see stream.py)
     for _ in range(r.varint()):
         p = parse_pps(r.blob(), sps_map)
-        pps_map[p.pps_id] = p
+        pps_map.setdefault(p.pps_id, p)
 
     # first pass over blocks (model stream is at the end)
     blocks = []

@@ -39,17 +39,25 @@ class StreamWalker:
         self.cur_pic = None
         self.prev_pic = None
         self.slice_id = 0
+        # raw bytes of the version in effect per id: an in-band REdefinition
+        # with different content poisons recoding from that point (the
+        # container stores one version per id; decompress uses first-wins)
+        self.sps_raw = {}
+        self.pps_raw = {}
+        self.params_poisoned = False
         if self.stream is not None:
             for sps in self.stream.sps_list:
                 try:
                     s = parse_sps(sps)
                     self.sps_map[s.sps_id] = s
+                    self.sps_raw.setdefault(s.sps_id, bytes(sps))
                 except Exception:
                     pass
             for pps in self.stream.pps_list:
                 try:
                     p = parse_pps(pps, self.sps_map)
                     self.pps_map[p.pps_id] = p
+                    self.pps_raw.setdefault(p.pps_id, bytes(pps))
                 except Exception:
                     pass
 
@@ -66,19 +74,29 @@ class StreamWalker:
             if nal.nal_type == 7:
                 try:
                     s = parse_sps(raw)
+                    prev_raw = self.sps_raw.get(s.sps_id)
+                    if prev_raw is not None and prev_raw != bytes(raw):
+                        self.params_poisoned = True  # conflicting update
                     self.sps_map[s.sps_id] = s
+                    self.sps_raw.setdefault(s.sps_id, bytes(raw))
                 except Exception:
                     pass
                 continue
             if nal.nal_type == 8:
                 try:
                     p = parse_pps(raw, self.sps_map)
+                    prev_raw = self.pps_raw.get(p.pps_id)
+                    if prev_raw is not None and prev_raw != bytes(raw):
+                        self.params_poisoned = True
                     self.pps_map[p.pps_id] = p
+                    self.pps_raw.setdefault(p.pps_id, bytes(raw))
                 except Exception:
                     pass
                 continue
             if nal.nal_type not in (1, 5):
                 continue
+            if self.params_poisoned:
+                continue  # conflicting in-band parameter update: literal-only
             try:
                 rbsp = unescape_rbsp(raw[1:])
                 hdr, sps, pps = parse_slice_header(

@@ -50,6 +50,7 @@ class Walker {
       try {
         SPS s = parse_sps(b);
         sps_map_[s.sps_id] = s;
+        sps_raw_.emplace(s.sps_id, b);
       } catch (const ParseError&) {
       }
     }
@@ -57,6 +58,7 @@ class Walker {
       try {
         PPS p = parse_pps(b, sps_map_);
         pps_map_[p.pps_id] = p;
+        pps_raw_.emplace(p.pps_id, b);
       } catch (const ParseError&) {
       }
     }
@@ -73,7 +75,11 @@ class Walker {
         try {
           Bytes b(raw, raw + nal.size);
           SPS s = parse_sps(b);
+          auto it = sps_raw_.find(s.sps_id);
+          if (it != sps_raw_.end() && it->second != b)
+            params_poisoned_ = true;  // conflicting in-band update
           sps_map_[s.sps_id] = s;
+          sps_raw_.emplace(s.sps_id, b);
         } catch (const ParseError&) {
         }
         continue;
@@ -82,12 +88,17 @@ class Walker {
         try {
           Bytes b(raw, raw + nal.size);
           PPS p = parse_pps(b, sps_map_);
+          auto it = pps_raw_.find(p.pps_id);
+          if (it != pps_raw_.end() && it->second != b)
+            params_poisoned_ = true;
           pps_map_[p.pps_id] = p;
+          pps_raw_.emplace(p.pps_id, b);
         } catch (const ParseError&) {
         }
         continue;
       }
       if (nal.nal_type != 1 && nal.nal_type != 5) continue;
+      if (params_poisoned_) continue;  // first-wins contract (see decompress)
       SliceRec rec;
       try {
         Bytes rbsp = unescape_rbsp(raw + 1, nal.size - 1);
@@ -111,6 +122,9 @@ class Walker {
 
   std::map<int, SPS> sps_map_;
   std::map<int, PPS> pps_map_;
+
+  std::map<int, Bytes> sps_raw_, pps_raw_;
+  bool params_poisoned_ = false;
 
  private:
   const uint8_t* data_;
@@ -661,13 +675,13 @@ Bytes decompress(const uint8_t* data, size_t size, int threads) {
   for (uint64_t i = 0; i < n_sps; i++) {
     Bytes b = r.blob();
     SPS s = parse_sps(b);
-    sps_map[s.sps_id] = s;
+    sps_map.emplace(s.sps_id, s);  // first definition wins (Walker contract)
   }
   uint64_t n_pps = r.varint();
   for (uint64_t i = 0; i < n_pps; i++) {
     Bytes b = r.blob();
     PPS p = parse_pps(b, sps_map);
-    pps_map[p.pps_id] = p;
+    pps_map.emplace(p.pps_id, p);
   }
 
   std::vector<DBlock> blocks;
