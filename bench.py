@@ -28,6 +28,9 @@ CORPUS = [
     ("bench_720p_b.mp4", 1280, 720, 48, 30, 24, 2, 23, 202, 1),
     ("bench_1080p_ms.mp4", 1920, 1080, 30, 30, 30, 2, 26, 303, 4),
     ("bench_480p.mp4", 854, 480, 60, 30, 30, 1, 22, 404, 1),
+    # long multi-GOP stream: exercises GOP-thread scaling (config 3 of
+    # BASELINE.md: multi-GOP stream, GOPs sharded across cores/chips)
+    ("bench_long_720p.mp4", 1280, 720, 240, 30, 24, 2, 23, 7, 1),
 ]
 
 
