@@ -1,17 +1,16 @@
 // Adaptive recode model — C++ mirror of models/h264_model.py.
 //
-// Model keys are packed into uint64 (class enum + up to 4 small fields);
-// the packing is injective w.r.t. the Python tuples, which is all stream
-// equality needs (each key's estimator history is independent).
+// The model-key tuple space is small and enumerable, so estimators live in
+// DENSE per-class direct-indexed tables instead of a hash map (the probe +
+// key-compare chain was the top profile cost).  A generation-stamped
+// thread-local pool makes model construction O(1): cells whose generation
+// predates the model are logically fresh (pos=neg=1) without any memset.
 //
-// Performance notes (hot path, ~15 modeled bins per input byte):
-//  * estimator lives inside the open-addressing hash cell (one cache line
-//    touch per bin),
-//  * (pos << 16) / total is a 97x97 exact lookup table (counts are bounded
-//    by the halving limit),
-//  * single-pass compress rollback via an epoch-stamped undo journal: the
-//    first touch of a key per slice records its prior counts.
+// Slot numbering/storage is internal — streams depend only on per-key
+// estimator histories, so this layout change is byte-neutral (guarded by
+// the Python differential suite).
 #pragma once
+#include <cassert>
 #include <cstdint>
 #include <vector>
 #include "rangecoder.h"
@@ -34,6 +33,7 @@ enum KeyCls : uint32_t {
   K_CBPL, K_CBPC0, K_CBPC1, K_QPD0, K_QPD1, K_QPD2,
   K_REF, K_MVD, K_MVDP, K_MVDE, K_MVDB, K_MVDS,
   K_CBF, K_SIG, K_LVL1, K_LVLG, K_LVLE, K_LVLB, K_SGN, K_NNZ,
+  K_NCLS,
 };
 
 inline uint64_t mkey(uint32_t cls, uint32_t a = 0, uint32_t b = 0,
@@ -41,6 +41,72 @@ inline uint64_t mkey(uint32_t cls, uint32_t a = 0, uint32_t b = 0,
   return ((uint64_t)cls << 40) | ((uint64_t)a << 30) | ((uint64_t)b << 20) |
          ((uint64_t)c << 10) | dd;
 }
+
+// per-class field extents (a, b, c, d) — headroom over the parser's actual
+// ranges; asserts catch drift in debug/fuzz builds
+struct KeySpace {
+  uint32_t dims[K_NCLS][4];
+  uint32_t base[K_NCLS];
+  uint32_t stride[K_NCLS][3];  // a, b, c strides (d stride is 1)
+  uint32_t total;
+
+  KeySpace() {
+    auto set = [&](uint32_t cls, uint32_t a, uint32_t b = 1, uint32_t c = 1,
+                   uint32_t d = 1) {
+      dims[cls][0] = a;
+      dims[cls][1] = b;
+      dims[cls][2] = c;
+      dims[cls][3] = d;
+    };
+    for (uint32_t i = 0; i < K_NCLS; i++) set(i, 1);
+    set(K_SKIP, 4, 4);
+    set(K_IMBTYPE, 4);
+    set(K_PMBTYPE0, 4);
+    set(K_BMBTYPE0, 4);
+    set(K_T8X8, 4);
+    set(K_IPREDR, 4);
+    set(K_CPRED0, 4);
+    set(K_CBPL, 4, 4, 2);
+    set(K_CBPC0, 4);
+    set(K_CBPC1, 4);
+    set(K_QPD0, 2);
+    set(K_QPD2, 8);
+    set(K_REF, 4, 4);
+    set(K_MVD, 2, 4);
+    set(K_MVDP, 2, 8);
+    set(K_MVDE, 2, 8);
+    set(K_MVDB, 2, 8);
+    set(K_MVDS, 2);
+    set(K_CBF, 16, 4, 8, 2);
+    set(K_SIG, 32, 64, 8, 8);   // (cat + 16*intra, scan pos, found, need)
+    set(K_LVL1, 16, 8, 2, 8);
+    set(K_LVLG, 32, 16, 8, 8);  // (cat + 16*intra, gt1 ctx, coeff, nzb)
+    set(K_LVLE, 16, 8);
+    set(K_LVLB, 16, 8);
+    set(K_SGN, 16);
+    set(K_NNZ, 16, 8, 64, 16);  // (cat, bit idx, prefix, prior bucket)
+    uint32_t off = 0;
+    for (uint32_t i = 0; i < K_NCLS; i++) {
+      base[i] = off;
+      stride[i][2] = dims[i][3];
+      stride[i][1] = dims[i][2] * stride[i][2];
+      stride[i][0] = dims[i][1] * stride[i][1];
+      off += dims[i][0] * stride[i][0];
+    }
+    total = off;
+  }
+
+  uint32_t index(uint64_t key) const {
+    uint32_t cls = (uint32_t)(key >> 40);
+    uint32_t a = (key >> 30) & 1023, b = (key >> 20) & 1023,
+             c = (key >> 10) & 1023, d = key & 1023;
+    assert(cls < K_NCLS && a < dims[cls][0] && b < dims[cls][1] &&
+           c < dims[cls][2] && d < dims[cls][3]);
+    return base[cls] + a * stride[cls][0] + b * stride[cls][1] +
+           c * stride[cls][2] + d;
+  }
+};
+inline const KeySpace kKeys{};
 
 // exact (pos << 16) / total for all reachable (pos, total) pairs
 struct DivTab {
@@ -55,17 +121,25 @@ struct DivTab {
 };
 inline const DivTab kDiv{};
 
+// Thread-local estimator pool: generation stamps make per-model init O(1).
+struct EstPool {
+  std::vector<uint16_t> pos, neg, slot;
+  std::vector<uint64_t> gen;
+  uint64_t gen_counter = 0;
+
+  void ensure() {
+    if (pos.empty()) {
+      pos.resize(kKeys.total);
+      neg.resize(kKeys.total);
+      slot.resize(kKeys.total);
+      gen.assign(kKeys.total, 0);
+    }
+  }
+};
+inline thread_local EstPool tls_pool;
+
 class RecodeModel {
  public:
-  struct Cell {
-    uint64_t key;
-    uint16_t pos, neg;
-    uint32_t epoch;
-  };
-
-  // Trace recording (device-pipeline host stage): instead of range-coding,
-  // record (slot, bit, prior) per bin with insertion-order slot ids — the
-  // C++ mirror of models/trace.py TraceModel.
   struct Trace {
     std::vector<int32_t> slots;
     std::vector<uint8_t> bits;
@@ -79,12 +153,12 @@ class RecodeModel {
       trace_ = new Trace();
     else
       enc_ = new RangeEncoder();
-    rehash(1 << 13);
+    init_pool();
   }
   // decode mode
   RecodeModel(const uint8_t* data, size_t size)
       : dec_(new RangeDecoder(data, size)) {
-    rehash(1 << 13);
+    init_pool();
   }
   ~RecodeModel() {
     delete enc_;
@@ -94,21 +168,20 @@ class RecodeModel {
   RecodeModel(const RecodeModel&) = delete;
 
   void put_bit(uint64_t key, int bit, int pcab = 0) {
+    uint32_t i = touch(key);
     if (trace_) {
-      Cell& c = cell(key);  // cell.pos repurposed as slot id in record mode
-      trace_->slots.push_back(c.pos);
+      trace_->slots.push_back(pool_->slot[i]);
       trace_->bits.push_back((uint8_t)bit);
       trace_->pcabs.push_back((uint16_t)pcab);
       return;
     }
-    Cell& c = cell(key);
-    enc_->put(bit, prob(c, pcab));
-    adapt(c, key, bit);
+    enc_->put(bit, prob(i, pcab));
+    adapt(i, key, bit);
   }
   int get_bit(uint64_t key, int pcab = 0) {
-    Cell& c = cell(key);
-    int bit = dec_->get(prob(c, pcab));
-    adapt(c, key, bit);
+    uint32_t i = touch(key);
+    int bit = dec_->get(prob(i, pcab));
+    adapt(i, key, bit);
     return bit;
   }
 
@@ -134,7 +207,7 @@ class RecodeModel {
 
   // --- single-pass compress rollback ---------------------------------
   struct Snapshot {
-    uint32_t epoch;
+    uint64_t epoch;
     size_t journal_len;
     uint64_t low;
     uint32_t range;
@@ -144,7 +217,8 @@ class RecodeModel {
   };
 
   Snapshot snapshot() {
-    epoch_++;  // new epoch: future touches journal their prior state
+    // bump generation: future touches journal their prior state exactly once
+    epoch_ = ++pool_->gen_counter;
     Snapshot s;
     s.epoch = epoch_;
     s.journal_len = journal_.size();
@@ -155,9 +229,9 @@ class RecodeModel {
   void rollback(const Snapshot& s) {
     for (size_t i = journal_.size(); i-- > s.journal_len;) {
       const Undo& u = journal_[i];
-      cells_[u.idx].pos = u.pos;
-      cells_[u.idx].neg = u.neg;
-      cells_[u.idx].epoch = u.prev_epoch;
+      pool_->pos[u.idx] = u.pos;
+      pool_->neg[u.idx] = u.neg;
+      pool_->gen[u.idx] = u.prev_gen;
     }
     journal_.resize(s.journal_len);
     enc_->restore(s.low, s.range, s.cache, s.cache_size, s.out_len);
@@ -173,88 +247,67 @@ class RecodeModel {
     return n;
   }
 
-  Cell& cell(uint64_t key) {
-    if ((n_used_ + 1) * 4 > cap_ * 3) grow();
-    size_t mask = cap_ - 1;
-    size_t i = (size_t)(key * 0x9E3779B97F4A7C15ull >> 17) & mask;
-    while (cells_[i].key != kEmpty && cells_[i].key != key) i = (i + 1) & mask;
-    Cell& c = cells_[i];
-    if (c.key == kEmpty) {
-      c.key = key;
-      if (trace_) {
-        c.pos = (uint16_t)trace_->limits.size();  // slot id
+  void init_pool() {
+    pool_ = &tls_pool;
+    pool_->ensure();
+    start_gen_ = ++pool_->gen_counter;
+    epoch_ = start_gen_;
+  }
+
+  // Resolve key -> dense index, initializing / journaling as needed.
+  uint32_t touch(uint64_t key) {
+    uint32_t i = kKeys.index(key);
+    uint64_t g = pool_->gen[i];
+    if (g == epoch_) return i;
+    if (g < start_gen_) {
+      // fresh for this model: init (no journal needed for rollback —
+      // prev_gen below start_gen_ restores freshness)
+      if (!trace_) {
+        journal_.push_back({i, pool_->pos[i], pool_->neg[i], g});
+        pool_->pos[i] = pool_->neg[i] = 1;
+      } else {
+        pool_->slot[i] = (uint16_t)trace_->limits.size();
         trace_->limits.push_back(
             (key >> 40) == K_SIG ? kHalveSig : kHalveDefault);
-      } else {
-        c.pos = c.neg = 1;
       }
-      c.epoch = 0;
-      n_used_++;
+    } else if (!trace_) {
+      journal_.push_back({i, pool_->pos[i], pool_->neg[i], g});
     }
-    if (!trace_ && c.epoch != epoch_) {
-      journal_.push_back({(uint32_t)i, c.pos, c.neg, c.epoch});
-      c.epoch = epoch_;
-    }
-    return c;
+    pool_->gen[i] = epoch_;
+    return i;
   }
 
-  uint32_t prob(const Cell& c, int pcab) const {
-    int32_t p1 = kDiv.t[(c.pos + c.neg) * 97 + c.pos];
+  uint32_t prob(uint32_t i, int pcab) const {
+    int32_t p = kDiv.t[(pool_->pos[i] + pool_->neg[i]) * 97 + pool_->pos[i]];
     if (pcab > 0) {
-      int32_t total = c.pos + c.neg;
+      int32_t total = pool_->pos[i] + pool_->neg[i];
       int32_t w = 4 * total < 78 ? 4 * total : 78;
-      p1 = (p1 * w + pcab * (80 - w)) / 80;
-      if (p1 < 1) p1 = 1;
-      if (p1 > 0xFFFF) p1 = 0xFFFF;
-    } else if (p1 < 1) {
-      p1 = 1;
+      p = (p * w + pcab * (80 - w)) / 80;
+      if (p < 1) p = 1;
+      if (p > 0xFFFF) p = 0xFFFF;
     }
-    return (uint32_t)p1;
+    return (uint32_t)p;
   }
-  void adapt(Cell& c, uint64_t key, int bit) {
+  void adapt(uint32_t i, uint64_t key, int bit) {
     if (bit)
-      c.pos++;
+      pool_->pos[i]++;
     else
-      c.neg++;
+      pool_->neg[i]++;
     int limit = (key >> 40) == K_SIG ? kHalveSig : kHalveDefault;
-    if (c.pos + c.neg > limit) {
-      c.pos = (c.pos + 1) >> 1;
-      c.neg = (c.neg + 1) >> 1;
+    if (pool_->pos[i] + pool_->neg[i] > limit) {
+      pool_->pos[i] = (pool_->pos[i] + 1) >> 1;
+      pool_->neg[i] = (pool_->neg[i] + 1) >> 1;
     }
-  }
-
-  void rehash(size_t cap) {
-    cap_ = cap;
-    cells_.assign(cap, Cell{kEmpty, 0, 0, 0});
-  }
-  void grow() {
-    // NOTE: journal indices reference cell positions; growth must remap
-    // them.  Journaled rollback across growth is handled by remapping via
-    // key lookup (rare path).
-    std::vector<Cell> old = std::move(cells_);
-    rehash(cap_ * 2);
-    size_t mask = cap_ - 1;
-    std::vector<uint32_t> remap(old.size(), 0);
-    for (size_t i = 0; i < old.size(); i++) {
-      if (old[i].key == kEmpty) continue;
-      size_t j = (size_t)(old[i].key * 0x9E3779B97F4A7C15ull >> 17) & mask;
-      while (cells_[j].key != kEmpty) j = (j + 1) & mask;
-      cells_[j] = old[i];
-      remap[i] = (uint32_t)j;
-    }
-    for (Undo& u : journal_) u.idx = remap[u.idx];
   }
 
   struct Undo {
     uint32_t idx;
     uint16_t pos, neg;
-    uint32_t prev_epoch;
+    uint64_t prev_gen;
   };
 
-  static constexpr uint64_t kEmpty = ~0ull;
-  size_t cap_ = 0, n_used_ = 0;
-  uint32_t epoch_ = 0;
-  std::vector<Cell> cells_;
+  EstPool* pool_ = nullptr;
+  uint64_t start_gen_ = 0, epoch_ = 0;
   std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;
   RangeDecoder* dec_ = nullptr;
