@@ -43,6 +43,7 @@ def _load():
     lib.avtpu_extract.argtypes = [
         ctypes.c_char_p,
         ctypes.c_size_t,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
     lib.avtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
@@ -85,18 +86,21 @@ class NativeTrace:
         return len(self.bits)
 
 
-def extract(data):
+def extract(data, scope="slice"):
     """Native host stage of the device pipeline: returns
-    (sps_list, pps_list, blocks, traces) matching codec._scan_blocks'
-    slice-scope output (slice blocks carry their NativeTrace)."""
+    (sps_list, pps_list, blocks, traces) matching codec._scan_blocks
+    output for the scope.  Slice scope: every slice block carries its
+    NativeTrace; GOP scope: the first slice of each GOP carries the GOP
+    trace, continuations carry b"" (the container's empty-blob marker)."""
     import numpy as np
 
     from ..utils.container import KIND_LITERAL, KIND_SLICE, Reader
 
     lib = _load()
     assert lib is not None
+    scope_id = {"slice": 1, "gop": 2}[scope]
     out = ctypes.POINTER(ctypes.c_uint8)()
-    n = lib.avtpu_extract(bytes(data), len(data), ctypes.byref(out))
+    n = lib.avtpu_extract(bytes(data), len(data), scope_id, ctypes.byref(out))
     if not out:
         raise ValueError("native extract failed")
     try:
@@ -119,6 +123,9 @@ def extract(data):
         mb_count = r.varint()
         drop = r.varint()
         tail = r.blob()
+        if not r.u8():  # gop continuation: no trace carried
+            blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, b""))
+            continue
         n_slots = r.varint()
         limits = np.frombuffer(blob, np.uint8, n_slots, r.pos).astype(np.int32)
         r.pos += n_slots

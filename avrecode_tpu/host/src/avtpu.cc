@@ -469,7 +469,8 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
 //             blob tail; varint n_slots; raw u8 limits[n_slots];
 //             varint n_bins; raw i32 slots[n_bins]; raw u8 bits[n_bins];
 //             raw u16 pcabs[n_bins]
-static Bytes extract_blob(const uint8_t* data, size_t size) {
+static Bytes extract_blob(const uint8_t* data, size_t size, int scope) {
+  bool per_gop = scope == SCOPE_GOP;
   Walker w(data, size);
   std::vector<Bytes> sps_list, pps_list;
   if (w.stream()) {
@@ -478,14 +479,24 @@ static Bytes extract_blob(const uint8_t* data, size_t size) {
   }
   struct XBlock {
     BlockRec b;
-    std::unique_ptr<RecodeModel> rec;
+    std::shared_ptr<RecodeModel> rec;  // trace carrier (gop: first ok slice)
   };
   std::vector<XBlock> blocks;
   uint64_t pos = 0;
   std::unique_ptr<PicState> cur, prev;
+  std::shared_ptr<RecodeModel> gop_rec;  // gop scope: shared recorder
+  bool gop_emitted = false;
   int slice_id = 0;
 
   w.slices([&](const SliceRec& rec) {
+    bool gop_start = per_gop && (!gop_rec ||
+        (rec.hdr.idr && rec.hdr.first_mb_in_slice == 0));
+    if (gop_start) {
+      gop_rec = std::make_shared<RecodeModel>(true);
+      gop_emitted = false;
+      cur.reset();
+      prev.reset();
+    }
     bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
@@ -506,7 +517,10 @@ static Bytes extract_blob(const uint8_t* data, size_t size) {
     const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
     int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
-    auto recorder = std::make_unique<RecodeModel>(true);
+    std::shared_ptr<RecodeModel> recorder =
+        per_gop ? gop_rec : std::make_shared<RecodeModel>(true);
+    size_t rec_mark_s = recorder->trace()->slots.size();
+    size_t rec_mark_l = recorder->trace()->limits.size();
     int mb_count, drop;
     Bytes tail;
     try {
@@ -514,10 +528,11 @@ static Bytes extract_blob(const uint8_t* data, size_t size) {
       c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
       c.model = recorder.get();
       SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
-                    /*isolate=*/true);
+                    /*isolate=*/!per_gop);
       mb_count = p.parse_slice_data(-1);
-      if (!c.verify_tail(&drop, &tail)) return;
+      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
     } catch (const ParseError&) {
+      if (per_gop) recorder->truncate_trace(rec_mark_s, rec_mark_l);
       return;
     }
     if (advance) prev = std::move(cur);
@@ -538,7 +553,12 @@ static Bytes extract_blob(const uint8_t* data, size_t size) {
     xb.b.mb_count = mb_count;
     xb.b.drop = drop;
     xb.b.tail = tail;
-    xb.rec = std::move(recorder);
+    if (!per_gop) {
+      xb.rec = recorder;
+    } else if (!gop_emitted) {
+      gop_emitted = true;
+      xb.rec = recorder;  // first ok slice of the GOP carries the trace
+    }
     blocks.push_back(std::move(xb));
     pos = rec.offset + rec.size;
   });
@@ -567,6 +587,8 @@ static Bytes extract_blob(const uint8_t* data, size_t size) {
     out.varint(xb.b.mb_count);
     out.varint(xb.b.drop);
     out.blob(xb.b.tail);
+    out.u8(xb.rec ? 1 : 0);  // trace carried? (gop continuations: 0)
+    if (!xb.rec) continue;
     const RecodeModel::Trace* t = xb.rec->trace();
     out.varint(t->limits.size());
     out.out.insert(out.out.end(), t->limits.begin(), t->limits.end());
@@ -810,9 +832,10 @@ size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
 
 // Device-pipeline host stage: container pieces + per-slice bin traces.
 // Returns 0 / *out=nullptr on error.
-size_t avtpu_extract(const uint8_t* data, size_t size, uint8_t** out) {
+size_t avtpu_extract(const uint8_t* data, size_t size, int scope,
+                     uint8_t** out) {
   try {
-    avtpu::Bytes b = avtpu::extract_blob(data, size);
+    avtpu::Bytes b = avtpu::extract_blob(data, size, scope);
     *out = (uint8_t*)malloc(b.size());
     memcpy(*out, b.data(), b.size());
     return b.size();

@@ -239,6 +239,15 @@ class RecodeModel {
 
   Bytes finish() { return enc_->finish(); }
   const Trace* trace() const { return trace_; }
+  // gop-scope extract: drop a failed slice's recorded bins.  Slot ids
+  // assigned during the dropped span stay allocated (harmless: unused
+  // slots encode nothing; estimator init is uniform).
+  void truncate_trace(size_t n_bins, size_t n_slots) {
+    (void)n_slots;
+    trace_->slots.resize(n_bins);
+    trace_->bits.resize(n_bins);
+    trace_->pcabs.resize(n_bins);
+  }
 
  private:
   static int bits_for(int v) {

@@ -30,22 +30,25 @@ from ..ops.estimator_jax import encode_slices, stream_bytes
 from ..utils.container import KIND_SLICE, SCOPE_SLICE
 
 
-def extract_traces(data, use_native=None):
+def extract_traces(data, use_native=None, scope="slice"):
     """Host stage: parse + verify all slices, returning (container pieces,
-    traces).  Slice blocks reference their trace in the stream slot.
+    traces).  Slice blocks reference their trace in the stream slot (GOP
+    scope: one trace per GOP on its first slice block, b"" continuations).
 
     Uses the native (C++) extractor when built — ~50x the Python parser —
-    falling back to the Python reference implementation."""
+    falling back to the Python reference implementation (slice scope only)."""
     if use_native is None or use_native:
         try:
             from ..host import native
 
             if native.available():
-                sps, pps, blocks, traces = native.extract(bytes(data))
+                sps, pps, blocks, traces = native.extract(bytes(data), scope)
                 return sps, pps, blocks, traces, {"native": True}
         except Exception:
             if use_native:
                 raise
+    if scope != "slice":
+        raise NotImplementedError("python trace extraction is slice-scope only")
     stats = {"slices": 0, "recoded": 0, "bins": 0}
     sps, pps, blocks, _ = _scan_blocks(data, SCOPE_SLICE, TraceModel, stats, {})
     traces = [b[6] for b in blocks if b[0] == KIND_SLICE]
@@ -82,31 +85,39 @@ def make_mesh(n_devices=None):
     return Mesh(np.array(devs), ("dp",))
 
 
-def device_compress(data, mesh=None, use_pallas=None):
+def device_compress(data, mesh=None, use_pallas=None, scope=None):
     """Full compression with the device entropy stage.
 
-    use_pallas=None auto-selects: the Pallas kernel on TPU backends (~60
-    Mbins/s kernel compute), the XLA scan path elsewhere/under a mesh.
-    With a mesh, the slice batch is sharded across its 'dp' axis; per-slice
-    streams are independent by format, so the entropy stage needs no
-    collectives."""
+    scope: "gop" (default with native extraction; best ratio, GOP-parallel)
+    or "slice" (finest parallel grain).  use_pallas=None auto-selects the
+    Pallas kernel on TPU backends (~60 Mbins/s kernel compute), the XLA
+    scan path elsewhere/under a mesh.  Per-trace streams are independent by
+    format, so the entropy stage needs no collectives."""
     data = bytes(data)
-    sps, pps, blocks, traces, stats = extract_traces(data)
+    if scope is None:
+        from ..host import native
+
+        scope = "gop" if native.available() else "slice"
+    sps, pps, blocks, traces, stats = extract_traces(data, scope=scope)
     if not traces:
         from ..codec import compress
 
-        return compress(data, scope="slice")
+        return compress(data, scope=scope)
     packed = pack_traces(traces, pad_multiple=(len(mesh.devices.flat) if mesh else 1))
     if use_pallas is None:
         use_pallas = mesh is None and jax.default_backend() == "tpu"
+    scope_id = SCOPE_SLICE if scope == "slice" else 2  # SCOPE_GOP
+    finmap = None
+
+    def finisher(t):
+        return t if isinstance(t, bytes) else finmap[id(t)]
+
     if use_pallas:
         from ..ops.pallas_coder import encode_slices_pallas
 
         byte_streams = encode_slices_pallas(*packed)
-        streams = {id(t): byte_streams[i] for i, t in enumerate(traces)}
-        return serialize_container(
-            SCOPE_SLICE, sps, pps, blocks, None, finisher=lambda t: streams[id(t)]
-        )
+        finmap = {id(t): byte_streams[i] for i, t in enumerate(traces)}
+        return serialize_container(scope_id, sps, pps, blocks, None, finisher=finisher)
     arrays = packed
     if mesh is not None:
         sharding = NamedSharding(mesh, P("dp"))
@@ -114,10 +125,8 @@ def device_compress(data, mesh=None, use_pallas=None):
     out, lens = encode_slices(*arrays)
     out = np.asarray(out)
     lens = np.asarray(lens)
-    streams = {id(t): stream_bytes(out[i], lens[i]) for i, t in enumerate(traces)}
-    return serialize_container(
-        SCOPE_SLICE, sps, pps, blocks, None, finisher=lambda t: streams[id(t)]
-    )
+    finmap = {id(t): stream_bytes(out[i], lens[i]) for i, t in enumerate(traces)}
+    return serialize_container(scope_id, sps, pps, blocks, None, finisher=finisher)
 
 
 def multichip_step(mesh, slots, bits, pcabs, limits, valid):

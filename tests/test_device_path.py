@@ -100,3 +100,28 @@ def test_device_matches_host_real_traces():
     dev = device_encode(traces)
     for i, (h, d) in enumerate(zip(host, dev)):
         assert h == d, f"slice {i}: host {len(h)}B device {len(d)}B"
+
+
+def test_device_pipeline_gop_scope_matches_host():
+    """device_compress(scope='gop') must equal the host gop-scope codec
+    byte-for-byte (native extraction + device entropy stage)."""
+    import pytest
+
+    from avrecode_tpu.codec import compress, decompress
+    from avrecode_tpu.host import native
+    from avrecode_tpu.parallel import pipeline
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    path = os.path.join(DATA, "rt_gop.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "192", "160", "12", "30", "4", "1", "26", "9", "1"],
+            check=True,
+            capture_output=True,
+        )
+    data = open(path, "rb").read()
+    for scope in ("slice", "gop"):
+        dev = pipeline.device_compress(data, scope=scope)
+        assert dev == compress(data, scope=scope), scope
+        assert decompress(dev) == data
