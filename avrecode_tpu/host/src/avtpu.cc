@@ -9,6 +9,8 @@
 #include <memory>
 #include <string>
 #include <thread>
+#include <cstdio>
+#include <cstdlib>
 
 #include "container.h"
 #include "h264.h"
@@ -150,6 +152,21 @@ static Bytes literal_container(const uint8_t* data, size_t size) {
   return out.out;
 }
 
+// the reference's dual ledger (recode.cpp:642-668): per element class,
+// recoded bits vs original CABAC bits, printed on AVTPU_BILL=1
+static uint64_t s_bill_global[K_NCLS], s_cbill_global[K_NCLS];
+static const char* kClsNames[K_NCLS] = {
+    "ctx", "skip", "imbtype", "i16cbf", "i16cbc0", "i16cbc1", "i16pm1",
+    "i16pm0", "pmbtype0", "pmbtype_i", "pmbtype1", "pmbtype2a", "pmbtype2b",
+    "bmbtype0", "bmbtype1", "bmbtype2", "bmbtype3", "bmbtype4", "bmbtype5",
+    "bmbtype6", "bmbtype7", "bmbtype_i", "psub0", "psub1", "psub2", "bsub0",
+    "bsub1", "bsub2", "bsub3", "bsub4", "bsub5", "bsub6", "bsub7", "t8x8",
+    "ipredf", "ipredr", "cpred0", "cpred1", "cpred2", "cbpl", "cbpc0",
+    "cbpc1", "qpd0", "qpd1", "qpd2", "ref", "mvd", "mvdp", "mvde", "mvdb",
+    "mvds", "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz"};
+
+static void dump_bill();
+
 static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
   bool per_slice = scope == SCOPE_SLICE;
   bool per_gop = scope == SCOPE_GOP;
@@ -224,10 +241,17 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
 
     int mb_count, drop;
     Bytes tail;
+    uint64_t* s_bill = s_bill_global;
+    uint64_t* s_cbill = s_cbill_global;
+    static bool s_do_bill = getenv("AVTPU_BILL") != nullptr;
     try {
       Coder c;
       c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
       c.model = model;
+      if (s_do_bill) {
+        model->bill = s_bill;
+        c.cabac_bill = s_cbill;
+      }
       SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
                     per_slice);
       mb_count = p.parse_slice_data(-1);
@@ -307,6 +331,7 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
   } else {
     out.blob(stream_model->finish());
   }
+  if (getenv("AVTPU_BILL")) dump_bill();
   return out.out;
 }
 
@@ -600,6 +625,24 @@ static Bytes extract_blob(const uint8_t* data, size_t size, int scope) {
     out.out.insert(out.out.end(), pp, pp + t->pcabs.size() * 2);
   }
   return out.out;
+}
+
+static void dump_bill() {
+  fprintf(stderr, "%12s %12s %12s %10s\n", "class", "cabac_bits", "recode_bits",
+          "delta");
+  uint64_t tc = 0, tm = 0;
+  for (uint32_t i = 0; i < K_NCLS; i++) {
+    if (!s_bill_global[i] && !s_cbill_global[i]) continue;
+    fprintf(stderr, "%12s %12llu %12llu %10lld\n", kClsNames[i],
+            (unsigned long long)s_cbill_global[i],
+            (unsigned long long)s_bill_global[i],
+            (long long)s_bill_global[i] - (long long)s_cbill_global[i]);
+    tc += s_cbill_global[i];
+    tm += s_bill_global[i];
+  }
+  fprintf(stderr, "%12s %12llu %12llu %10lld\n", "TOTAL",
+          (unsigned long long)tc, (unsigned long long)tm,
+          (long long)tm - (long long)tc);
 }
 
 Bytes compress(const uint8_t* data, size_t size, int scope, int threads) {

@@ -175,9 +175,15 @@ class RecodeModel {
       trace_->pcabs.push_back((uint16_t)pcab);
       return;
     }
+    size_t n0 = bill ? enc_->out_size() : 0;
     enc_->put(bit, prob(i, pcab));
+    if (bill) bill[key >> 40] += (enc_->out_size() - n0) * 8;
     adapt(i, key, bit);
   }
+
+  // optional per-class recode-bit ledger (the "Avrecode Bill",
+  // recode.cpp:642-668): caller-provided uint64[K_NCLS]
+  uint64_t* bill = nullptr;
   int get_bit(uint64_t key, int pcab = 0) {
     uint32_t i = touch(key);
     int bit = dec_->get(prob(i, pcab));

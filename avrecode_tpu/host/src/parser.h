@@ -152,11 +152,24 @@ struct Coder {
   void put_raw_bin(int ctx, int b) { enc.decision(states, ctx, b); }
   void put_terminate(int b) { enc.terminate(b); }
 
+  // per-class original-CABAC bit ledger (the "CABAC Bill"): bits consumed
+  // from the payload per element class (caller-provided uint64[K_NCLS])
+  uint64_t* cabac_bill = nullptr;
+  size_t bill_anchor = 0;
+
+  void bill_mark(uint32_t cls) {
+    if (!cabac_bill) return;
+    size_t p = dec->bitpos();
+    cabac_bill[cls] += p - bill_anchor;
+    bill_anchor = p;
+  }
+
   // unified modeled bin
   int bin(int ctx, uint64_t key) {
     if (is_compress) {
       int pcab = cabac_p1(ctx);
       int b = raw_bin(ctx);
+      bill_mark((uint32_t)(key >> 40));
       if (model) model->put_bit(key, b, pcab);
       return b;
     }
@@ -167,6 +180,7 @@ struct Coder {
   int bypass(uint64_t key) {
     if (is_compress) {
       int b = raw_bypass();
+      bill_mark((uint32_t)(key >> 40));
       if (model) model->put_bit(key, b, 0);
       return b;
     }

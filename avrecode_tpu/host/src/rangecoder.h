@@ -29,6 +29,7 @@ class RangeEncoder {
     // out_[0] is the dummy integer-position byte (always 0): drop it.
     return Bytes(out_.begin() + 1, out_.end());
   }
+  size_t out_size() const { return out_.size(); }
 
   void save(uint64_t* low, uint32_t* range, uint8_t* cache,
             uint64_t* cache_size, size_t* out_len) const {
