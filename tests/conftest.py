@@ -1,4 +1,5 @@
 import os
+import subprocess
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # validated without TPU hardware.  The environment force-sets
@@ -15,3 +16,21 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
+
+# Build the test-clip generator and the native library once per session
+# (fresh clones have neither; several test modules shell out to them).
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+_GEN = os.path.join(_ROOT, "tools", "genvideo")
+os.makedirs(os.path.join(_ROOT, "data"), exist_ok=True)
+if not os.path.exists(_GEN):
+    subprocess.run(
+        ["gcc", "-O2", "-o", _GEN, _GEN + ".c", "-lavformat", "-lavcodec",
+         "-lavutil", "-lm"],
+        check=True,
+    )
+if not os.path.exists(os.path.join(_ROOT, "avrecode_tpu", "host", "libavtpu.so")):
+    subprocess.run(
+        ["make", "-C", os.path.join(_ROOT, "avrecode_tpu", "host")],
+        check=True,
+        capture_output=True,
+    )
