@@ -102,9 +102,6 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
     per_slice = scope == SCOPE_SLICE
     per_gop = scope == SCOPE_GOP
     w = StreamWalker(data)
-    stream = w.stream
-    sps_list = list(stream.sps_list) if stream else []
-    pps_list = list(stream.pps_list) if stream else []
 
     model = RecodeModel("encode") if not per_gop else None
     blocks = []  # (kind, payload...)
@@ -184,7 +181,9 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
 
     if pos < len(data):
         blocks.append((KIND_LITERAL, data[pos:]))
-    return sps_list, pps_list, blocks, model
+    # all parameter sets seen during the walk (incl. in-band) must ship in
+    # the container — recoded slices may reference any of them
+    return w.all_sps, w.all_pps, blocks, model
 
 
 def serialize_container(scope, sps_list, pps_list, blocks, stream_model, finisher=None):
@@ -306,6 +305,8 @@ def decompress(blob):
             smodel = model
         else:
             smodel = model
+        if smodel is None:
+            raise ValueError("slice block without model stream")
         if hdr.first_mb_in_slice == 0 or cur_pic is None:
             prev_pic = cur_pic
             cur_pic = PicState(sps.pic_width_in_mbs, sps.pic_height_in_map_units)

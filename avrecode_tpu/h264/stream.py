@@ -45,12 +45,18 @@ class StreamWalker:
         self.sps_raw = {}
         self.pps_raw = {}
         self.params_poisoned = False
+        # ordered list of every distinct parameter-set NAL seen (initial +
+        # in-band): the container must carry all sets recoded slices may
+        # reference; decompress applies first-definition-wins
+        self.all_sps = []
+        self.all_pps = []
         if self.stream is not None:
             for sps in self.stream.sps_list:
                 try:
                     s = parse_sps(sps)
                     self.sps_map[s.sps_id] = s
                     self.sps_raw.setdefault(s.sps_id, bytes(sps))
+                    self._collect(self.all_sps, bytes(sps))
                 except Exception:
                     pass
             for pps in self.stream.pps_list:
@@ -58,8 +64,14 @@ class StreamWalker:
                     p = parse_pps(pps, self.sps_map)
                     self.pps_map[p.pps_id] = p
                     self.pps_raw.setdefault(p.pps_id, bytes(pps))
+                    self._collect(self.all_pps, bytes(pps))
                 except Exception:
                     pass
+
+    @staticmethod
+    def _collect(lst, b):
+        if b not in lst:
+            lst.append(b)
 
     def slices(self):
         """Yield SliceRecord for each parseable coded-slice NAL.
@@ -79,6 +91,7 @@ class StreamWalker:
                         self.params_poisoned = True  # conflicting update
                     self.sps_map[s.sps_id] = s
                     self.sps_raw.setdefault(s.sps_id, bytes(raw))
+                    self._collect(self.all_sps, bytes(raw))
                 except Exception:
                     pass
                 continue
@@ -90,6 +103,7 @@ class StreamWalker:
                         self.params_poisoned = True
                     self.pps_map[p.pps_id] = p
                     self.pps_raw.setdefault(p.pps_id, bytes(raw))
+                    self._collect(self.all_pps, bytes(raw))
                 except Exception:
                     pass
                 continue

@@ -53,6 +53,7 @@ class Walker {
         SPS s = parse_sps(b);
         sps_map_[s.sps_id] = s;
         sps_raw_.emplace(s.sps_id, b);
+        collect(all_sps_, b);
       } catch (const ParseError&) {
       }
     }
@@ -61,6 +62,7 @@ class Walker {
         PPS p = parse_pps(b, sps_map_);
         pps_map_[p.pps_id] = p;
         pps_raw_.emplace(p.pps_id, b);
+        collect(all_pps_, b);
       } catch (const ParseError&) {
       }
     }
@@ -82,6 +84,7 @@ class Walker {
             params_poisoned_ = true;  // conflicting in-band update
           sps_map_[s.sps_id] = s;
           sps_raw_.emplace(s.sps_id, b);
+          collect(all_sps_, b);
         } catch (const ParseError&) {
         }
         continue;
@@ -95,6 +98,7 @@ class Walker {
             params_poisoned_ = true;
           pps_map_[p.pps_id] = p;
           pps_raw_.emplace(p.pps_id, b);
+          collect(all_pps_, b);
         } catch (const ParseError&) {
         }
         continue;
@@ -127,6 +131,14 @@ class Walker {
 
   std::map<int, Bytes> sps_raw_, pps_raw_;
   bool params_poisoned_ = false;
+  // every distinct parameter-set NAL seen (initial + in-band), in order:
+  // the container must carry all sets recoded slices may reference
+  std::vector<Bytes> all_sps_, all_pps_;
+  void collect(std::vector<Bytes>& lst, const Bytes& b) {
+    for (auto& e : lst)
+      if (e == b) return;
+    lst.push_back(b);
+  }
 
  private:
   const uint8_t* data_;
@@ -171,11 +183,6 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
   bool per_slice = scope == SCOPE_SLICE;
   bool per_gop = scope == SCOPE_GOP;
   Walker w(data, size);
-  std::vector<Bytes> sps_list, pps_list;
-  if (w.stream()) {
-    sps_list = w.stream()->sps_list;
-    pps_list = w.stream()->pps_list;
-  }
 
   std::unique_ptr<RecodeModel> stream_model;
   if (!per_gop) stream_model = std::make_unique<RecodeModel>();
@@ -300,10 +307,10 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
   out.u8(kVersion);
   out.u8(0);
   out.u16((uint16_t)scope);
-  out.varint(sps_list.size());
-  for (auto& b : sps_list) out.blob(b);
-  out.varint(pps_list.size());
-  for (auto& b : pps_list) out.blob(b);
+  out.varint(w.all_sps_.size());
+  for (auto& b : w.all_sps_) out.blob(b);
+  out.varint(w.all_pps_.size());
+  for (auto& b : w.all_pps_) out.blob(b);
   for (auto& b : blocks) {
     if (b.kind == KIND_LITERAL) {
       out.u8(KIND_LITERAL);
@@ -412,11 +419,6 @@ static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
 
 static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
   Walker w(data, size);
-  std::vector<Bytes> sps_list, pps_list;
-  if (w.stream()) {
-    sps_list = w.stream()->sps_list;
-    pps_list = w.stream()->pps_list;
-  }
   std::vector<SliceRec> sl;
   w.slices([&](const SliceRec& rec) { sl.push_back(rec); });
 
@@ -450,10 +452,10 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
   out.u8(kVersion);
   out.u8(0);
   out.u16(SCOPE_GOP);
-  out.varint(sps_list.size());
-  for (auto& b : sps_list) out.blob(b);
-  out.varint(pps_list.size());
-  for (auto& b : pps_list) out.blob(b);
+  out.varint(w.all_sps_.size());
+  for (auto& b : w.all_sps_) out.blob(b);
+  out.varint(w.all_pps_.size());
+  for (auto& b : w.all_pps_) out.blob(b);
   uint64_t pos = 0;
   for (auto& job : jobs) {
     for (size_t i = job.begin; i < job.end; i++) {
@@ -497,11 +499,6 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
 static Bytes extract_blob(const uint8_t* data, size_t size, int scope) {
   bool per_gop = scope == SCOPE_GOP;
   Walker w(data, size);
-  std::vector<Bytes> sps_list, pps_list;
-  if (w.stream()) {
-    sps_list = w.stream()->sps_list;
-    pps_list = w.stream()->pps_list;
-  }
   struct XBlock {
     BlockRec b;
     std::shared_ptr<RecodeModel> rec;  // trace carrier (gop: first ok slice)
@@ -596,10 +593,10 @@ static Bytes extract_blob(const uint8_t* data, size_t size, int scope) {
   }
 
   CWriter out;
-  out.varint(sps_list.size());
-  for (auto& b : sps_list) out.blob(b);
-  out.varint(pps_list.size());
-  for (auto& b : pps_list) out.blob(b);
+  out.varint(w.all_sps_.size());
+  for (auto& b : w.all_sps_) out.blob(b);
+  out.varint(w.all_pps_.size());
+  for (auto& b : w.all_pps_) out.blob(b);
   out.varint(blocks.size());
   for (auto& xb : blocks) {
     out.u8((uint8_t)xb.b.kind);
@@ -702,6 +699,7 @@ static void decode_slice_block(const DBlock& b, int scope,
   } else {
     model = st->stream_model.get();
   }
+  if (!model) throw ParseError("slice block without model stream");
   if (hdr.first_mb_in_slice == 0 || !st->cur) {
     st->prev = std::move(st->cur);
     st->cur = std::make_unique<PicState>();
