@@ -104,3 +104,31 @@ def test_repeated_identical_inband_sets_ok():
     comp = compress(rep, scope="gop")
     assert decompress(comp) == rep
     assert _n_slice_blocks(comp) == 8  # still recoding (no poisoning)
+
+
+def test_mutated_nal_becomes_inband_sps():
+    """Regression (fuzz-found): a bit flip can turn a mid-stream NAL into an
+    'in-band' SPS/PPS with a fresh id; compression parses it and may recode
+    later slices against it, so the container must carry every parameter set
+    seen during the walk — otherwise decompression dies on 'unknown SPS'."""
+    import os
+
+    from avrecode_tpu.host import native
+
+    path = os.path.join(ROOT, "data", "rt_tiny.mp4")
+    data = bytearray(open(path, "rb").read())
+    s = demux(bytes(data))
+    # flip a middle slice NAL's header into nal_type 7 (SPS), keeping the
+    # payload as-is: parses as garbage-but-valid SPS with some id, or fails
+    # parse — either way roundtrip must hold
+    slices = [n for n in s.nals if n.nal_type in (1, 5)]
+    victim = slices[len(slices) // 2]
+    data[victim.offset] = (data[victim.offset] & 0xE0) | 7
+    blob = bytes(data)
+
+    comp = compress(blob, scope="gop")
+    assert decompress(comp) == blob
+    if native.available():
+        nat = native.compress(blob, "gop")
+        assert nat == comp
+        assert native.decompress(nat) == blob
