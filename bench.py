@@ -66,12 +66,32 @@ def ensure_native():
     return native if native.available() else None
 
 
-def bench_device(path):
+def bench_device(path, budget_s=300):
     """Device entropy-stage throughput (bins/s): Pallas kernel on TPU,
-    XLA scans elsewhere.  Best-effort (compile time through the remote
-    tunnel can be minutes)."""
+    XLA scans elsewhere.  Runs in a subprocess under a hard timeout —
+    remote compiles can take minutes and must never hang the benchmark."""
     if os.environ.get("AVT_BENCH_NO_DEVICE"):
         return None
+    if not os.environ.get("AVT_BENCH_DEVICE_INNER"):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--device-only", path],
+                env={**os.environ, "AVT_BENCH_DEVICE_INNER": "1"},
+                capture_output=True,
+                text=True,
+                timeout=budget_s,
+            )
+            for line in reversed(r.stdout.splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+            log(f"device bench subprocess produced no result: {r.stderr[-400:]}")
+            return None
+        except subprocess.TimeoutExpired:
+            log(f"device bench skipped: exceeded {budget_s}s budget")
+            return None
+        except Exception as e:
+            log(f"device bench skipped: {e!r}")
+            return None
     try:
         import jax
 
@@ -113,6 +133,10 @@ def bench_device(path):
 
 
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--device-only":
+        res = bench_device(sys.argv[2])
+        print(json.dumps(res) if res else "{}", flush=True)
+        return 0
     paths = ensure_corpus()
     native = ensure_native()
     detail = {"files": []}
