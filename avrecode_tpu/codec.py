@@ -24,7 +24,7 @@ from .h264.slicehdr import parse_slice_header
 from .h264.stream import StreamWalker
 from .h264.mbparse import SliceParser
 from .models.h264_model import RecodeModel
-from .utils.bitio import escape_rbsp, unescape_rbsp
+from .utils.bitio import escape_rbsp
 from .utils.container import (
     KIND_END,
     KIND_LITERAL,

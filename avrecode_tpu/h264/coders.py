@@ -13,7 +13,6 @@ num_nonzeros.  model=None turns CompressCoder into a pure validation pass
 (parse + byte-exact re-encode, no recoding).
 """
 
-import numpy as np
 
 from ..ops.cabac import CABAC_P1, CabacDecoder, CabacEncoder, init_context_states
 from .mbparse import ParseDesync

@@ -39,7 +39,7 @@ from ..ops._tables_data import (
 )
 from .geometry import BLK4_X, BLK4_Y, RASTER_TO_BLK4, blk4_neighbor, chroma_blk_neighbor
 from .params import UnsupportedStream
-from .slicehdr import SLICE_B, SLICE_I, SLICE_P
+from .slicehdr import SLICE_I, SLICE_P
 
 
 class ParseDesync(Exception):

@@ -17,7 +17,6 @@ is not a sketch: it is the same format, the same streams, computed the TPU
 way.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
