@@ -65,3 +65,20 @@ def test_native_garbage_passthrough():
         comp = native.compress(blob, "gop", 0)
         assert native.decompress(comp) == blob
         assert decompress(comp) == blob
+
+
+def test_native_deterministic_across_calls():
+    """Repeated/interleaved compressions in one process must be
+    byte-identical (guards the thread-local estimator pool's generation
+    isolation between model instances)."""
+    native = _native()
+    a = _clip()
+    b = open(os.path.join(DATA, "rt_tiny.mp4"), "rb").read()
+    for scope in ("stream", "gop", "slice"):
+        first_a = native.compress(a, scope)
+        first_b = native.compress(b, scope)
+        assert native.compress(a, scope) == first_a
+        assert native.compress(b, scope) == first_b
+        assert native.compress(a, scope, 0) == (
+            first_a if scope != "gop" else native.compress(a, "gop", 0)
+        )
