@@ -5,16 +5,17 @@ single-threaded by construction; parallelism is designed in, not ported):
 
   host   — container demux + slice parse + trace extraction (serial FSM,
            C++/Python; parse order defines the model-prior state),
-  device — per-slice model scans + range encoding, batched over slices and
-           sharded over a jax.sharding.Mesh: slices -> 'dp' axis.  Every
-           slice stream is entropy-independent (container model_scope=SLICE),
-           so the only cross-device communication is the billing psum —
-           boundary/frame state stays host-side where the parse lives.
+  device — model scans + range encoding per independent trace (GOP or
+           slice, per the container model_scope), batched and sharded over
+           a jax.sharding.Mesh 'dp' axis.  Traces are entropy-independent
+           by format, so the only cross-device communication is the billing
+           psum — boundary/frame state stays host-side where the parse
+           lives.
 
-device_compress(data) produces a container BYTE-IDENTICAL to
-codec.compress(data, scope='slice') — asserted in tests — so the device path
-is not a sketch: it is the same format, the same streams, computed the TPU
-way.
+device_compress(data, scope=...) produces a container BYTE-IDENTICAL to
+codec.compress(data, scope=...) — asserted in tests — so the device path is
+not a sketch: it is the same format, the same streams, computed the TPU
+way (Pallas kernel on TPU, XLA scans elsewhere).
 """
 
 

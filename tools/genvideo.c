@@ -18,6 +18,7 @@
 #include <string.h>
 
 static unsigned rng_state;
+static int g_noise = 5;
 static unsigned xrand(void) {
   rng_state ^= rng_state << 13;
   rng_state ^= rng_state >> 17;
@@ -36,7 +37,7 @@ static void fill_frame(AVFrame *f, int t, int w, int h, int ch_h) {
       double dy = y - (h / 2 + h / 3 * cos(t * 0.13));
       double d = sqrt(dx * dx + dy * dy);
       v = (v + (int)(127 * exp(-d / 40.0))) & 0xFF;
-      v += (int)(xrand() % 5) - 2; /* mild noise -> nonzero residuals */
+      v += (int)(xrand() % g_noise) - g_noise / 2; /* noise -> residuals */
       row[x] = v < 0 ? 0 : v > 255 ? 255 : v;
     }
   }
