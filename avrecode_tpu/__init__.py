@@ -17,3 +17,25 @@ Layers (see SURVEY.md for the reference layer map this mirrors):
 """
 
 __version__ = "0.1.0"
+
+
+def compress(data, scope="gop", threads=0):
+    """Compress (native library when built, Python reference otherwise)."""
+    from .host import native
+
+    if native.available():
+        return native.compress(data, scope, threads)
+    from .codec import compress as py_compress
+
+    return py_compress(data, scope=scope)
+
+
+def decompress(blob, threads=0):
+    """Decompress a recoded container back to the original bytes."""
+    from .host import native
+
+    if native.available():
+        return native.decompress(blob, threads)
+    from .codec import decompress as py_decompress
+
+    return py_decompress(blob)
