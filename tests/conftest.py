@@ -19,18 +19,25 @@ except Exception:
 
 # Build the test-clip generator and the native library once per session
 # (fresh clones have neither; several test modules shell out to them).
+# Best-effort: without a toolchain, clip-generating tests fail loudly and
+# native tests skip, but pure-Python tests still run.
 _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 _GEN = os.path.join(_ROOT, "tools", "genvideo")
 os.makedirs(os.path.join(_ROOT, "data"), exist_ok=True)
-if not os.path.exists(_GEN):
-    subprocess.run(
-        ["gcc", "-O2", "-o", _GEN, _GEN + ".c", "-lavformat", "-lavcodec",
-         "-lavutil", "-lm"],
-        check=True,
-    )
-if not os.path.exists(os.path.join(_ROOT, "avrecode_tpu", "host", "libavtpu.so")):
-    subprocess.run(
-        ["make", "-C", os.path.join(_ROOT, "avrecode_tpu", "host")],
-        check=True,
-        capture_output=True,
-    )
+try:
+    if not os.path.exists(_GEN):
+        subprocess.run(
+            ["gcc", "-O2", "-o", _GEN, _GEN + ".c", "-lavformat", "-lavcodec",
+             "-lavutil", "-lm"],
+            check=True,
+        )
+    if not os.path.exists(os.path.join(_ROOT, "avrecode_tpu", "host", "libavtpu.so")):
+        subprocess.run(
+            ["make", "-C", os.path.join(_ROOT, "avrecode_tpu", "host")],
+            check=True,
+            capture_output=True,
+        )
+except Exception as e:  # pragma: no cover
+    import warnings
+
+    warnings.warn(f"session build step failed: {e!r}")
