@@ -123,7 +123,8 @@ inline const DivTab kDiv{};
 
 // Thread-local estimator pool: generation stamps make per-model init O(1).
 struct EstPool {
-  std::vector<uint16_t> pos, neg, slot;
+  std::vector<uint16_t> pos, neg;
+  std::vector<uint32_t> slot;  // recorder slot ids (large GOPs exceed 64k keys)
   std::vector<uint64_t> gen;
   uint64_t gen_counter = 0;
 
@@ -281,7 +282,7 @@ class RecodeModel {
         journal_.push_back({i, pool_->pos[i], pool_->neg[i], g});
         pool_->pos[i] = pool_->neg[i] = 1;
       } else {
-        pool_->slot[i] = (uint16_t)trace_->limits.size();
+        pool_->slot[i] = (uint32_t)trace_->limits.size();
         trace_->limits.push_back(
             (key >> 40) == K_SIG ? kHalveSig : kHalveDefault);
       }
