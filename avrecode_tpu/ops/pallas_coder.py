@@ -271,3 +271,56 @@ def encode_slices_pallas(slots, bits, pcabs, limits, valid, interpret=False):
     for n, (toks, carrs, counts) in pending:
         streams.extend(finalize_streams(toks, carrs, counts)[:n])
     return streams
+
+
+def _pow2_at_least(v, floor):
+    n = floor
+    while n < v:
+        n *= 2
+    return n
+
+
+def encode_traces_pallas(traces, interpret=False):
+    """Trace-list front end with length-bucketed packing: traces are sorted
+    by length and packed per GROUP with per-group T (pow-2 rounded, so both
+    padding waste and the number of distinct compiled shapes stay bounded).
+    Uniform [S, T_max] packing would materialize GBs when one long GOP
+    coexists with short ones."""
+    import numpy as np
+
+    order = sorted(range(len(traces)), key=lambda i: len(traces[i]))
+    streams = [None] * len(traces)
+    NS = _pow2_at_least(max((len(t.limits) for t in traces), default=1), 64)
+    pending = []
+    for lo in range(0, len(order), GROUP):
+        grp = order[lo : lo + GROUP]
+        T = _pow2_at_least(max(max(len(traces[i]) for i in grp), 1), CHUNK)
+        S = GROUP
+        slots = np.zeros((S, T), np.int32)
+        bits = np.zeros((S, T), np.int32)
+        pcabs = np.zeros((S, T), np.int32)
+        valid = np.zeros((S, T), np.int32)
+        limits = np.full((S, NS), 0x60, np.int32)
+        for row, i in enumerate(grp):
+            t = traces[i]
+            k = len(t)
+            slots[row, :k] = t.slots
+            bits[row, :k] = t.bits
+            pcabs[row, :k] = t.pcabs
+            valid[row, :k] = 1
+            limits[row, : len(t.limits)] = t.limits
+        pending.append(
+            (
+                grp,
+                _encode_raw(
+                    jnp.asarray(slots), jnp.asarray(bits), jnp.asarray(pcabs),
+                    jnp.asarray(limits), jnp.asarray(valid),
+                    interpret=interpret,
+                ),
+            )
+        )
+    for grp, (toks, carrs, counts) in pending:
+        out = finalize_streams(toks, carrs, counts)
+        for row, i in enumerate(grp):
+            streams[i] = out[row]
+    return streams

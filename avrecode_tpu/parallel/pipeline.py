@@ -113,9 +113,9 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None):
         return t if isinstance(t, bytes) else finmap[id(t)]
 
     if use_pallas:
-        from ..ops.pallas_coder import encode_slices_pallas
+        from ..ops.pallas_coder import encode_traces_pallas
 
-        byte_streams = encode_slices_pallas(*packed)
+        byte_streams = encode_traces_pallas(traces)
         finmap = {id(t): byte_streams[i] for i, t in enumerate(traces)}
         return serialize_container(scope_id, sps, pps, blocks, None, finisher=finisher)
     arrays = packed
