@@ -190,16 +190,16 @@ def main(argv=None):
         print(__doc__, file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
-    try:
-        return {
-            "compress": cmd_compress,
-            "decompress": cmd_decompress,
-            "roundtrip": cmd_roundtrip,
-            "test": cmd_test,
-        }[cmd](rest)
-    except KeyError:
+    handler = {
+        "compress": cmd_compress,
+        "decompress": cmd_decompress,
+        "roundtrip": cmd_roundtrip,
+        "test": cmd_test,
+    }.get(cmd)
+    if handler is None:
         print(f"unknown command {cmd}", file=sys.stderr)
         return 2
+    return handler(rest)
 
 
 if __name__ == "__main__":

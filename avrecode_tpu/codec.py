@@ -26,6 +26,7 @@ from .h264.mbparse import SliceParser
 from .models.h264_model import RecodeModel
 from .utils.bitio import escape_rbsp
 from .utils.container import (
+    ContainerError,
     KIND_END,
     KIND_LITERAL,
     KIND_SLICE,
@@ -250,10 +251,12 @@ def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory
 
 def decompress(blob):
     r = Reader(blob)
-    assert blob[:4] == MAGIC, "bad magic"
+    if blob[:4] != MAGIC:
+        raise ContainerError("bad magic (not an AVTR container)")
     r.pos = 4
     version = r.u8()
-    assert version == VERSION
+    if version != VERSION:
+        raise ContainerError(f"unsupported container version {version}")
     r.u8()
     scope = r.u16()
     per_slice = scope != SCOPE_STREAM
@@ -324,7 +327,8 @@ def decompress(blob):
         full = (payload[:-drop] if drop else payload) + tail
         rbsp = head[1:] + full
         nal = head[0:1] + escape_rbsp(rbsp)
-        assert len(nal) == nal_size, "reconstructed NAL size mismatch"
+        if len(nal) != nal_size:
+            raise ContainerError("reconstructed NAL size mismatch")
         out += nal
     return bytes(out)
 

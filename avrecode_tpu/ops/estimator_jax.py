@@ -172,7 +172,9 @@ def resolve_carries(tokens, carries, n_tokens):
     flushable = jnp.logical_and(
         in_range == 1, jnp.logical_or(tokens != 0xFF, carries > 0)
     )
-    j_last = jnp.max(jnp.where(flushable, idx, -1))
+    # clamp to 0 so the no-flushable-token degenerate tail yields an empty
+    # stream, matching pallas_coder.finalize_streams (ADVICE r1)
+    j_last = jnp.maximum(jnp.max(jnp.where(flushable, idx, -1)), 0)
     return out, j_last  # bytes out[0:j_last]
 
 

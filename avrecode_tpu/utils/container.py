@@ -26,6 +26,12 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 MAGIC = b"AVTR"
 VERSION = 1
 
+
+class ContainerError(ValueError):
+    """Malformed .avtr container (bad magic, truncated field, oversized
+    varint).  Raised instead of bare asserts so corrupt inputs fail with a
+    typed, catchable error even under ``python -O`` (ADVICE r1)."""
+
 KIND_LITERAL = 0
 KIND_SLICE = 1
 KIND_END = 2
@@ -52,11 +58,15 @@ class Reader:
         self.pos = 0
 
     def u8(self):
+        if self.pos >= len(self.data):
+            raise ContainerError("truncated container: u8 past EOF")
         b = self.data[self.pos]
         self.pos += 1
         return b
 
     def u16(self):
+        if self.pos + 2 > len(self.data):
+            raise ContainerError("truncated container: u16 past EOF")
         v = int.from_bytes(self.data[self.pos : self.pos + 2], "little")
         self.pos += 2
         return v
@@ -65,15 +75,21 @@ class Reader:
         v = 0
         shift = 0
         while True:
+            if self.pos >= len(self.data):
+                raise ContainerError("truncated container: varint past EOF")
             b = self.data[self.pos]
             self.pos += 1
             v |= (b & 0x7F) << shift
             if not b & 0x80:
                 return v
             shift += 7
+            if shift > 63:
+                raise ContainerError("oversized varint (>9 bytes)")
 
     def blob(self):
         n = self.varint()
+        if self.pos + n > len(self.data):
+            raise ContainerError("truncated container: blob past EOF")
         b = self.data[self.pos : self.pos + n]
         self.pos += n
         return b

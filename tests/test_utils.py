@@ -93,3 +93,33 @@ def test_demux_garbage():
             demux(data[:cut])
         except Exception:
             pass  # raising is fine (compress catches); crashing is not
+
+
+def test_corrupt_container_raises_typed_error():
+    """Corrupt/truncated .avtr input must raise ContainerError, never
+    IndexError/AssertionError or silent wrong output (ADVICE r1)."""
+    import pytest
+
+    from avrecode_tpu.codec import compress, decompress
+    from avrecode_tpu.utils.container import ContainerError
+
+    with pytest.raises(ContainerError):
+        decompress(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ContainerError):
+        decompress(b"AVTR\x63\x00\x00\x00")  # bad version
+    # truncations of a real container: typed error or (rarely) a clean
+    # ValueError from a semantically-valid-but-nonsense prefix
+    clip = os.path.join(ROOT, "data", "rt_tiny.mp4")
+    with open(clip, "rb") as f:
+        blob = compress(f.read())
+    for cut in (5, 9, len(blob) // 2, len(blob) - 3):
+        try:
+            decompress(blob[:cut])
+        except (ContainerError, ValueError):
+            pass
+        else:
+            raise AssertionError(f"truncation at {cut} silently succeeded")
+    # unbounded varint
+    r = Reader(b"\xff" * 12)
+    with pytest.raises(ContainerError):
+        r.varint()
