@@ -122,19 +122,19 @@ struct DivTab {
 inline const DivTab kDiv{};
 
 // Thread-local estimator pool: generation stamps make per-model init O(1).
+// One 16-byte cell per key (pos/neg/slot/gen together) so the per-bin touch
+// path costs a single cache line, not one per parallel array.
 struct EstPool {
-  std::vector<uint16_t> pos, neg;
-  std::vector<uint32_t> slot;  // recorder slot ids (large GOPs exceed 64k keys)
-  std::vector<uint64_t> gen;
+  struct Cell {
+    uint16_t pos, neg;
+    uint32_t slot;  // recorder slot id (large GOPs exceed 64k keys)
+    uint64_t gen;
+  };
+  std::vector<Cell> cells;
   uint64_t gen_counter = 0;
 
   void ensure() {
-    if (pos.empty()) {
-      pos.resize(kKeys.total);
-      neg.resize(kKeys.total);
-      slot.resize(kKeys.total);
-      gen.assign(kKeys.total, 0);
-    }
+    if (cells.empty()) cells.assign(kKeys.total, Cell{0, 0, 0, 0});
   }
 };
 inline thread_local EstPool tls_pool;
@@ -171,7 +171,7 @@ class RecodeModel {
   void put_bit(uint64_t key, int bit, int pcab = 0) {
     uint32_t i = touch(key);
     if (trace_) {
-      trace_->slots.push_back(pool_->slot[i]);
+      trace_->slots.push_back(pool_->cells[i].slot);
       trace_->bits.push_back((uint8_t)bit);
       trace_->pcabs.push_back((uint16_t)pcab);
       return;
@@ -236,9 +236,10 @@ class RecodeModel {
   void rollback(const Snapshot& s) {
     for (size_t i = journal_.size(); i-- > s.journal_len;) {
       const Undo& u = journal_[i];
-      pool_->pos[u.idx] = u.pos;
-      pool_->neg[u.idx] = u.neg;
-      pool_->gen[u.idx] = u.prev_gen;
+      EstPool::Cell& cc = pool_->cells[u.idx];
+      cc.pos = u.pos;
+      cc.neg = u.neg;
+      cc.gen = u.prev_gen;
     }
     journal_.resize(s.journal_len);
     enc_->restore(s.low, s.range, s.cache, s.cache_size, s.out_len);
@@ -273,30 +274,32 @@ class RecodeModel {
   // Resolve key -> dense index, initializing / journaling as needed.
   uint32_t touch(uint64_t key) {
     uint32_t i = kKeys.index(key);
-    uint64_t g = pool_->gen[i];
+    EstPool::Cell& c = pool_->cells[i];
+    uint64_t g = c.gen;
     if (g == epoch_) return i;
     if (g < start_gen_) {
       // fresh for this model: init (no journal needed for rollback —
       // prev_gen below start_gen_ restores freshness)
       if (!trace_) {
-        journal_.push_back({i, pool_->pos[i], pool_->neg[i], g});
-        pool_->pos[i] = pool_->neg[i] = 1;
+        journal_.push_back({i, c.pos, c.neg, g});
+        c.pos = c.neg = 1;
       } else {
-        pool_->slot[i] = (uint32_t)trace_->limits.size();
+        c.slot = (uint32_t)trace_->limits.size();
         trace_->limits.push_back(
             (key >> 40) == K_SIG ? kHalveSig : kHalveDefault);
       }
     } else if (!trace_) {
-      journal_.push_back({i, pool_->pos[i], pool_->neg[i], g});
+      journal_.push_back({i, c.pos, c.neg, g});
     }
-    pool_->gen[i] = epoch_;
+    c.gen = epoch_;
     return i;
   }
 
   uint32_t prob(uint32_t i, int pcab) const {
-    int32_t p = kDiv.t[(pool_->pos[i] + pool_->neg[i]) * 97 + pool_->pos[i]];
+    const EstPool::Cell& c = pool_->cells[i];
+    int32_t p = kDiv.t[(c.pos + c.neg) * 97 + c.pos];
     if (pcab > 0) {
-      int32_t total = pool_->pos[i] + pool_->neg[i];
+      int32_t total = c.pos + c.neg;
       int32_t w = 4 * total < 78 ? 4 * total : 78;
       p = (p * w + pcab * (80 - w)) / 80;
       if (p < 1) p = 1;
@@ -305,14 +308,15 @@ class RecodeModel {
     return (uint32_t)p;
   }
   void adapt(uint32_t i, uint64_t key, int bit) {
+    EstPool::Cell& c = pool_->cells[i];
     if (bit)
-      pool_->pos[i]++;
+      c.pos++;
     else
-      pool_->neg[i]++;
+      c.neg++;
     int limit = (key >> 40) == K_SIG ? kHalveSig : kHalveDefault;
-    if (pool_->pos[i] + pool_->neg[i] > limit) {
-      pool_->pos[i] = (pool_->pos[i] + 1) >> 1;
-      pool_->neg[i] = (pool_->neg[i] + 1) >> 1;
+    if (c.pos + c.neg > limit) {
+      c.pos = (c.pos + 1) >> 1;
+      c.neg = (c.neg + 1) >> 1;
     }
   }
 

@@ -103,23 +103,21 @@ struct PicState {
 struct Coder {
   bool is_compress;
   CtxStates states;
-  CabacDecoder* dec = nullptr;   // compress
-  CabacEncoder enc;              // compress: verify; decompress: output
-  CtxStates vstates;             // compress verify states
+  CabacXcoder* xc = nullptr;     // compress: fused decode + verify re-encode
+  CabacEncoder enc;              // decompress: output
   RecodeModel* model = nullptr;  // may be null (validation pass)
   const uint8_t* payload = nullptr;
   size_t payload_size = 0;
   uint64_t n_bins = 0;
 
-  ~Coder() { delete dec; }
+  ~Coder() { delete xc; }
 
   void init_compress(const uint8_t* p, size_t n, int qp, int idc) {
     is_compress = true;
     payload = p;
     payload_size = n;
-    dec = new CabacDecoder(p, n);
+    xc = new CabacXcoder(p, n);
     states.init(qp, idc);
-    vstates.init(qp, idc);
   }
   void init_decompress(int qp, int idc, RecodeModel* m) {
     is_compress = false;
@@ -131,20 +129,17 @@ struct Coder {
 
   // compress primitives
   int raw_bin(int ctx) {
-    int b = dec->decision(states, ctx);
-    enc.decision(vstates, ctx, b);
+    int b = xc->decision(states, ctx);
     n_bins++;
     return b;
   }
   int raw_bypass() {
-    int b = dec->bypass();
-    enc.bypass(b);
+    int b = xc->bypass();
     n_bins++;
     return b;
   }
   int raw_terminate() {
-    int b = dec->terminate();
-    enc.terminate(b);
+    int b = xc->terminate();
     n_bins++;
     return b;
   }
@@ -159,7 +154,7 @@ struct Coder {
 
   void bill_mark(uint32_t cls) {
     if (!cabac_bill) return;
-    size_t p = dec->bitpos();
+    size_t p = xc->bitpos();
     cabac_bill[cls] += p - bill_anchor;
     bill_anchor = p;
   }
@@ -191,7 +186,7 @@ struct Coder {
 
   // verify: (ok, drop, tail) against original payload (coders.verify_tail)
   bool verify_tail(int* drop, Bytes* tail) const {
-    const Bytes& out = enc.bytes();
+    const Bytes& out = xc->bytes();
     size_t n = std::min(out.size(), payload_size);
     size_t common = 0;
     while (common < n && out[common] == payload[common]) common++;
