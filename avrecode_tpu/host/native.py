@@ -39,13 +39,26 @@ def _load():
         ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
-    lib.avtpu_extract.restype = ctypes.c_size_t
-    lib.avtpu_extract.argtypes = [
+    lib.avtpu_xopen.restype = ctypes.c_void_p
+    lib.avtpu_xopen.argtypes = [
         ctypes.c_char_p,
         ctypes.c_size_t,
         ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.c_size_t),
     ]
+    lib.avtpu_xtrace.restype = None
+    lib.avtpu_xtrace.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.avtpu_xclose.restype = None
+    lib.avtpu_xclose.argtypes = [ctypes.c_void_p]
     lib.avtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return _LIB
@@ -70,20 +83,60 @@ def compress(data, scope="stream", threads=1):
         lib.avtpu_free(out)
 
 
+class _XtractHandle:
+    """Owns the native extract handle; closed when the last trace view is
+    garbage-collected (traces keep a reference)."""
+
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+
+    def __del__(self):
+        if self._ptr:
+            self._lib.avtpu_xclose(self._ptr)
+            self._ptr = None
+
+
 class NativeTrace:
-    """Per-slice bin trace from the native extractor (device-stage input).
-    Mirrors models/trace.py TraceModel's array surface."""
+    """Per-slice/GOP bin trace from the native extractor (device-stage
+    input).  `recs` is the packed u64 record array (slot | bit<<32 |
+    pcab<<40) viewed zero-copy over the native buffer; slots/bits/pcabs
+    are derived lazily for consumers of the unpacked surface."""
 
-    __slots__ = ("slots", "bits", "pcabs", "limits")
+    __slots__ = ("recs", "limits", "_handle", "_slots", "_bits", "_pcabs")
 
-    def __init__(self, slots, bits, pcabs, limits):
-        self.slots = slots
-        self.bits = bits
-        self.pcabs = pcabs
+    def __init__(self, recs, limits, handle=None):
+        self.recs = recs
         self.limits = limits
+        self._handle = handle  # keeps the native buffers alive
+        self._slots = self._bits = self._pcabs = None
 
     def __len__(self):
-        return len(self.bits)
+        return len(self.recs)
+
+    @property
+    def slots(self):
+        import numpy as np
+
+        if self._slots is None:
+            self._slots = (self.recs & 0xFFFFFFFF).astype(np.int32)
+        return self._slots
+
+    @property
+    def bits(self):
+        import numpy as np
+
+        if self._bits is None:
+            self._bits = ((self.recs >> 32) & 1).astype(np.uint8)
+        return self._bits
+
+    @property
+    def pcabs(self):
+        import numpy as np
+
+        if self._pcabs is None:
+            self._pcabs = (self.recs >> 40).astype(np.uint16)
+        return self._pcabs
 
 
 def extract(data, scope="slice"):
@@ -91,7 +144,9 @@ def extract(data, scope="slice"):
     (sps_list, pps_list, blocks, traces) matching codec._scan_blocks
     output for the scope.  Slice scope: every slice block carries its
     NativeTrace; GOP scope: the first slice of each GOP carries the GOP
-    trace, continuations carry b"" (the container's empty-blob marker)."""
+    trace, continuations carry b"" (the container's empty-blob marker).
+    Trace record arrays are zero-copy views over native memory, kept
+    alive by the traces themselves."""
     import numpy as np
 
     from ..utils.container import KIND_LITERAL, KIND_SLICE, Reader
@@ -99,20 +154,43 @@ def extract(data, scope="slice"):
     lib = _load()
     assert lib is not None
     scope_id = {"slice": 1, "gop": 2}[scope]
-    out = ctypes.POINTER(ctypes.c_uint8)()
-    n = lib.avtpu_extract(bytes(data), len(data), scope_id, ctypes.byref(out))
-    if not out:
+    meta_p = ctypes.POINTER(ctypes.c_uint8)()
+    meta_len = ctypes.c_size_t()
+    n_traces = ctypes.c_size_t()
+    ptr = lib.avtpu_xopen(
+        bytes(data), len(data), scope_id,
+        ctypes.byref(meta_p), ctypes.byref(meta_len), ctypes.byref(n_traces),
+    )
+    if not ptr:
         raise ValueError("native extract failed")
-    try:
-        blob = ctypes.string_at(out, n)
-    finally:
-        lib.avtpu_free(out)
+    handle = _XtractHandle(lib, ptr)
+    blob = ctypes.string_at(meta_p, meta_len.value)  # meta is small
+
+    traces = []
+    for i in range(n_traces.value):
+        recs_p = ctypes.POINTER(ctypes.c_uint64)()
+        n_bins = ctypes.c_size_t()
+        lim_p = ctypes.POINTER(ctypes.c_uint8)()
+        n_slots = ctypes.c_size_t()
+        lib.avtpu_xtrace(
+            ptr, i, ctypes.byref(recs_p), ctypes.byref(n_bins),
+            ctypes.byref(lim_p), ctypes.byref(n_slots),
+        )
+        recs = (
+            np.ctypeslib.as_array(recs_p, shape=(n_bins.value,))
+            if n_bins.value else np.zeros(0, np.uint64)
+        )
+        limits = (
+            np.ctypeslib.as_array(lim_p, shape=(n_slots.value,)).astype(np.int32)
+            if n_slots.value else np.zeros(0, np.int32)
+        )
+        traces.append(NativeTrace(recs, limits, handle))
 
     r = Reader(blob)
     sps = [r.blob() for _ in range(r.varint())]
     pps = [r.blob() for _ in range(r.varint())]
     blocks = []
-    traces = []
+    ti = 0
     for _ in range(r.varint()):
         kind = r.u8()
         if kind == KIND_LITERAL:
@@ -126,18 +204,8 @@ def extract(data, scope="slice"):
         if not r.u8():  # gop continuation: no trace carried
             blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, b""))
             continue
-        n_slots = r.varint()
-        limits = np.frombuffer(blob, np.uint8, n_slots, r.pos).astype(np.int32)
-        r.pos += n_slots
-        n_bins = r.varint()
-        slots = np.frombuffer(blob, np.int32, n_bins, r.pos)
-        r.pos += 4 * n_bins
-        bits = np.frombuffer(blob, np.uint8, n_bins, r.pos)
-        r.pos += n_bins
-        pcabs = np.frombuffer(blob, np.uint16, n_bins, r.pos)
-        r.pos += 2 * n_bins
-        t = NativeTrace(slots, bits, pcabs, limits)
-        traces.append(t)
+        t = traces[ti]
+        ti += 1
         blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, t))
     return sps, pps, blocks, traces
 

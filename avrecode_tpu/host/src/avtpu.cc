@@ -489,14 +489,21 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
 // -------------------------------------------------------- trace extract --
 // Device-pipeline host stage: parse + verify every slice (slice scope,
 // isolated priors) and emit container pieces + per-slice bin traces for
-// the TPU entropy stage.  Blob layout (all varint/blob/raw little-endian):
+// the TPU entropy stage.  Zero-copy handle design: the meta blob carries
+// only the container pieces (u8 has_trace marker per slice); the packed
+// u64 trace records stay in the recorders' own buffers and are exposed by
+// pointer (avtpu_xtrace) until the handle is closed — no serialize/copy of
+// the ~100x-inflated trace payload.  Meta blob layout:
 //   n_sps, sps blobs; n_pps, pps blobs; n_blocks, then per block:
 //     kind=0: literal blob
 //     kind=1: varint nal_size; blob head; varint mb_count; varint drop;
-//             blob tail; varint n_slots; raw u8 limits[n_slots];
-//             varint n_bins; raw i32 slots[n_bins]; raw u8 bits[n_bins];
-//             raw u16 pcabs[n_bins]
-static Bytes extract_blob(const uint8_t* data, size_t size, int scope) {
+//             blob tail; u8 has_trace
+struct XtractResult {
+  Bytes meta;
+  std::vector<std::shared_ptr<RecodeModel>> traces;
+};
+
+static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
   bool per_gop = scope == SCOPE_GOP;
   Walker w(data, size);
   struct XBlock {
@@ -541,7 +548,8 @@ static Bytes extract_blob(const uint8_t* data, size_t size, int scope) {
     int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
     std::shared_ptr<RecodeModel> recorder =
         per_gop ? gop_rec : std::make_shared<RecodeModel>(true);
-    size_t rec_mark_s = recorder->trace()->slots.size();
+    recorder->reserve_trace(payload_size * 20);  // ~18.5 bins/payload byte
+    size_t rec_mark_s = recorder->trace()->recs.size();
     size_t rec_mark_l = recorder->trace()->limits.size();
     int mb_count, drop;
     Bytes tail;
@@ -592,6 +600,7 @@ static Bytes extract_blob(const uint8_t* data, size_t size, int scope) {
     blocks.push_back(std::move(lb));
   }
 
+  XtractResult res;
   CWriter out;
   out.varint(w.all_sps_.size());
   for (auto& b : w.all_sps_) out.blob(b);
@@ -610,18 +619,10 @@ static Bytes extract_blob(const uint8_t* data, size_t size, int scope) {
     out.varint(xb.b.drop);
     out.blob(xb.b.tail);
     out.u8(xb.rec ? 1 : 0);  // trace carried? (gop continuations: 0)
-    if (!xb.rec) continue;
-    const RecodeModel::Trace* t = xb.rec->trace();
-    out.varint(t->limits.size());
-    out.out.insert(out.out.end(), t->limits.begin(), t->limits.end());
-    out.varint(t->bits.size());
-    const uint8_t* sp = (const uint8_t*)t->slots.data();
-    out.out.insert(out.out.end(), sp, sp + t->slots.size() * 4);
-    out.out.insert(out.out.end(), t->bits.begin(), t->bits.end());
-    const uint8_t* pp = (const uint8_t*)t->pcabs.data();
-    out.out.insert(out.out.end(), pp, pp + t->pcabs.size() * 2);
+    if (xb.rec) res.traces.push_back(xb.rec);
   }
-  return out.out;
+  res.meta = std::move(out.out);
+  return res;
 }
 
 static void dump_bill() {
@@ -872,19 +873,36 @@ size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
 }
 
 // Device-pipeline host stage: container pieces + per-slice bin traces.
-// Returns 0 / *out=nullptr on error.
-size_t avtpu_extract(const uint8_t* data, size_t size, int scope,
-                     uint8_t** out) {
+// Handle API, zero-copy: the returned handle owns the trace buffers; the
+// meta blob and per-trace record pointers stay valid until avtpu_xclose.
+// Returns nullptr on error.
+void* avtpu_xopen(const uint8_t* data, size_t size, int scope,
+                  const uint8_t** meta, size_t* meta_len, size_t* n_traces) {
   try {
-    avtpu::Bytes b = avtpu::extract_blob(data, size, scope);
-    *out = (uint8_t*)malloc(b.size());
-    memcpy(*out, b.data(), b.size());
-    return b.size();
+    auto* h = new avtpu::XtractResult(avtpu::extract_open(data, size, scope));
+    *meta = h->meta.data();
+    *meta_len = h->meta.size();
+    *n_traces = h->traces.size();
+    return h;
   } catch (...) {
-    *out = nullptr;
-    return 0;
+    *meta = nullptr;
+    *meta_len = 0;
+    *n_traces = 0;
+    return nullptr;
   }
 }
+
+void avtpu_xtrace(void* handle, size_t i, const uint64_t** recs,
+                  size_t* n_bins, const uint8_t** limits, size_t* n_slots) {
+  auto* h = (avtpu::XtractResult*)handle;
+  const avtpu::RecodeModel::Trace* t = h->traces[i]->trace();
+  *recs = t->recs.data();
+  *n_bins = t->recs.size();
+  *limits = t->limits.data();
+  *n_slots = t->limits.size();
+}
+
+void avtpu_xclose(void* handle) { delete (avtpu::XtractResult*)handle; }
 
 void avtpu_free(uint8_t* p) { free(p); }
 

@@ -10,6 +10,7 @@
 // estimator histories, so this layout change is byte-neutral (guarded by
 // the Python differential suite).
 #pragma once
+#include <algorithm>
 #include <cassert>
 #include <cstdint>
 #include <vector>
@@ -141,10 +142,11 @@ inline thread_local EstPool tls_pool;
 
 class RecodeModel {
  public:
+  // Packed trace: one u64 per bin — slot | bit<<32 | pcab<<40.  A single
+  // push_back per bin (vs 3 parallel vectors) and a single buffer to ship
+  // to the device, which unpacks with three cheap vector ops.
   struct Trace {
-    std::vector<int32_t> slots;
-    std::vector<uint8_t> bits;
-    std::vector<uint16_t> pcabs;
+    std::vector<uint64_t> recs;
     std::vector<uint8_t> limits;  // per slot
   };
 
@@ -171,9 +173,8 @@ class RecodeModel {
   void put_bit(uint64_t key, int bit, int pcab = 0) {
     uint32_t i = touch(key);
     if (trace_) {
-      trace_->slots.push_back(pool_->cells[i].slot);
-      trace_->bits.push_back((uint8_t)bit);
-      trace_->pcabs.push_back((uint16_t)pcab);
+      trace_->recs.push_back((uint64_t)pool_->cells[i].slot |
+                             ((uint64_t)bit << 32) | ((uint64_t)pcab << 40));
       return;
     }
     size_t n0 = bill ? enc_->out_size() : 0;
@@ -252,9 +253,16 @@ class RecodeModel {
   // slots encode nothing; estimator init is uniform).
   void truncate_trace(size_t n_bins, size_t n_slots) {
     (void)n_slots;
-    trace_->slots.resize(n_bins);
-    trace_->bits.resize(n_bins);
-    trace_->pcabs.resize(n_bins);
+    trace_->recs.resize(n_bins);
+  }
+  // pre-size the record buffer (driver estimates bins from payload size);
+  // grows geometrically so repeated per-slice calls never trigger
+  // linear-chain reallocations
+  void reserve_trace(size_t extra_bins) {
+    if (!trace_) return;
+    size_t need = trace_->recs.size() + extra_bins;
+    if (need > trace_->recs.capacity())
+      trace_->recs.reserve(std::max(need, 2 * trace_->recs.capacity()));
   }
 
  private:
