@@ -25,9 +25,17 @@ class RangeEncoder {
   }
 
   Bytes finish() {
-    for (int i = 0; i < 5; i++) shift_low();
+    // Shortest terminator (mirror of rangecoder.py): round low up to the
+    // next 2^24 multiple (in range: renorm keeps range >= 2^24), emit the
+    // carry + the one revealed byte, strip redundant trailing zeros (the
+    // decoder zero-fills past the end).
+    low_ = (low_ + (kTop - 1)) & ~(uint64_t)(kTop - 1);
+    shift_low();
+    shift_low();
     // out_[0] is the dummy integer-position byte (always 0): drop it.
-    return Bytes(out_.begin() + 1, out_.end());
+    size_t end = out_.size();
+    while (end > 1 && out_[end - 1] == 0) end--;
+    return Bytes(out_.begin() + 1, out_.begin() + end);
   }
   size_t out_size() const { return out_.size(); }
 

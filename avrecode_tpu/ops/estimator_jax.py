@@ -137,13 +137,19 @@ def range_encode(bits, p1s, valid):
     carries = _vlike(jnp.zeros(max_tok + 1, jnp.int32), bits).at[write_pos].set(ccarr)
     n_emitted = jnp.sum(flags)
 
-    # flush: 5 unconditional shifts from the final state
+    # shortest-terminator flush (mirror of rangecoder.py finish): round low
+    # up to the next 2^24 multiple (in range: renorm keeps range >= 2^24);
+    # the round-up carry folds into pend; two shifts emit the revealed byte
+    # and the flush event that materializes the pending run
     low, pend, rng = state
-    for k in range(5):
+    low_r = (low + jnp.uint32(TOP - 1)) & jnp.uint32(0xFF000000)
+    pend = pend + (low_r < low).astype(jnp.int32)  # 32-bit wrap = carry
+    low = low_r
+    for k in range(2):
         low, pend, rng, byte, tok_carry = shift(low, pend, rng, jnp.bool_(True))
         tokens = tokens.at[n_emitted + k].set(byte)
         carries = carries.at[n_emitted + k].set(tok_carry)
-    return tokens[:max_tok], carries[:max_tok], n_emitted + 5
+    return tokens[:max_tok], carries[:max_tok], n_emitted + 2
 
 
 def resolve_carries(tokens, carries, n_tokens):
@@ -175,7 +181,11 @@ def resolve_carries(tokens, carries, n_tokens):
     # clamp to 0 so the no-flushable-token degenerate tail yields an empty
     # stream, matching pallas_coder.finalize_streams (ADVICE r1)
     j_last = jnp.maximum(jnp.max(jnp.where(flushable, idx, -1)), 0)
-    return out, j_last  # bytes out[0:j_last]
+    # shortest-terminator strip: trailing zeros are redundant (the decoder
+    # zero-fills); must run on RESOLVED bytes (carries can create zeros)
+    nz = jnp.logical_and(idx < j_last, out != 0)
+    n_bytes = jnp.max(jnp.where(nz, idx + 1, 0))
+    return out, n_bytes  # bytes out[0:n_bytes]
 
 
 @jax.jit

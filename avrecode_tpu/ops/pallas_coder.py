@@ -115,10 +115,15 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref,
         (state_ref[0], state_ref[1], state_ref[2], jnp.int32(0)),
     )
 
-    # final chunk: flush 5 unconditional shifts into this chunk's segment
+    # final chunk: shortest-terminator flush (mirror of rangecoder.py):
+    # round low up to the next 2^24 multiple (renorm keeps range >= 2^24),
+    # fold the carry into pend, emit the revealed byte + the flush event
     def flush(args):
         low, pend, rng, pos = args
-        for _ in range(5):
+        low_r = (low + jnp.int32(TOP - 1)) & jnp.int32(-(1 << 24))
+        pend = pend + jnp.where(_ult(low_r, low), 1, 0)
+        low = low_r
+        for _ in range(2):
             pos, low, pend, rng = emit(pos, low, pend, rng, jnp.bool_(True))
         return low, pend, rng, pos
 
@@ -229,7 +234,8 @@ def finalize_streams(toks, carrs, counts):
         flushable = (raw != 0xFF) | (car > 0)
         nz = np.nonzero(flushable)[0]
         j_last = int(nz[-1]) if len(nz) else 0
-        out.append(bytes(tok[:j_last].astype(np.uint8)))
+        # shortest-terminator strip on resolved bytes (decoder zero-fills)
+        out.append(bytes(tok[:j_last].astype(np.uint8)).rstrip(b"\x00"))
     return out
 
 

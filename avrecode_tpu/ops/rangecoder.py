@@ -18,9 +18,12 @@ as a 16-bit integer in [1, 0xFFFF].  The split is
     r1 = (range >> 16) * p1         (range is kept in [2^24, 2^32))
 so r1 >= 1 and range - r1 >= 1 always hold for p1 in [1, 0xFFFF].
 
-Termination: `finish()` flushes the full low register (5 bytes).  Streams are
-per-slice, so the constant tail is amortized; a shortest-terminator variant
-like arithmetic_code.h:128-144 can be layered later without format changes.
+Termination: `finish()` picks the SHORTEST terminating value (the analog of
+arithmetic_code.h:128-144): low is rounded up to the next multiple of 2^24
+(always inside [low, low+range) because renormalization keeps range >= 2^24),
+so at most one fractional byte is revealed, and trailing zero bytes are
+stripped (the decoder zero-fills past the end).  Typical stream tail is 1-2
+bytes instead of the naive 5-byte register flush.
 """
 
 TOP = 1 << 24
@@ -69,13 +72,22 @@ class RangeEncoder:
             self._shift_low()
 
     def finish(self):
-        for _ in range(5):
-            self._shift_low()
+        # Shortest terminator: round low up to the next 2^24 multiple — in
+        # range because put() renormalizes to range >= 2^24 — revealing at
+        # most one fractional byte (plus a possible carry into the cache).
+        assert self.range >= TOP
+        self.low = (self.low + (TOP - 1)) & ~(TOP - 1)
+        # Two shifts: the first resolves the round-up carry into the cached
+        # byte run, the second emits the revealed byte itself.
+        self._shift_low()
+        self._shift_low()
         # out[0] is the dummy integer-position byte.  The coder maintains
         # low + range <= 2^32 (scaled), so the cumulative value never carries
         # out of the fractional window and out[0] is always 0: drop it.
         assert self.out[0] == 0
-        return bytes(self.out[1:])
+        out = bytes(self.out[1:])
+        # the decoder zero-fills past the end: trailing zeros are redundant
+        return out.rstrip(b"\x00")
 
 
 class RangeDecoder:
