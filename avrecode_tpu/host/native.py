@@ -99,27 +99,38 @@ class _XtractHandle:
 
 class NativeTrace:
     """Per-slice/GOP bin trace from the native extractor (device-stage
-    input).  `recs` is the packed u64 record array (slot | bit<<32 |
-    pcab<<40) viewed zero-copy over the native buffer; slots/bits/pcabs
-    are derived lazily for consumers of the unpacked surface."""
+    input).  `recs` is the packed u64 record array, byte-aligned as two
+    u32 halves for cheap device unpacking:
+        lo32 = slot(24) | bit<<24;  hi32 = pcab(16) | p1<<16
+    viewed zero-copy over the native buffer.  p1 is the exact model
+    probability for the bin (recorder adapts like the encoder), enabling
+    the estimator-free lane-parallel coder kernel; slot/pcab feed the
+    est-on-device kernels.  slots/bits/pcabs/p1s derive lazily."""
 
-    __slots__ = ("recs", "limits", "_handle", "_slots", "_bits", "_pcabs")
+    __slots__ = ("recs", "limits", "_handle", "_slots", "_bits", "_pcabs",
+                 "_p1s")
 
     def __init__(self, recs, limits, handle=None):
         self.recs = recs
         self.limits = limits
         self._handle = handle  # keeps the native buffers alive
-        self._slots = self._bits = self._pcabs = None
+        self._slots = self._bits = self._pcabs = self._p1s = None
 
     def __len__(self):
         return len(self.recs)
+
+    def recs32(self):
+        """Zero-copy view as [n, 2] u32 (lo, hi) for x64-free device upload."""
+        import numpy as np
+
+        return self.recs.view(np.uint32).reshape(-1, 2)
 
     @property
     def slots(self):
         import numpy as np
 
         if self._slots is None:
-            self._slots = (self.recs & 0xFFFFFFFF).astype(np.int32)
+            self._slots = (self.recs & 0xFFFFFF).astype(np.int32)
         return self._slots
 
     @property
@@ -127,7 +138,7 @@ class NativeTrace:
         import numpy as np
 
         if self._bits is None:
-            self._bits = ((self.recs >> 32) & 1).astype(np.uint8)
+            self._bits = ((self.recs >> 24) & 1).astype(np.uint8)
         return self._bits
 
     @property
@@ -135,8 +146,16 @@ class NativeTrace:
         import numpy as np
 
         if self._pcabs is None:
-            self._pcabs = (self.recs >> 40).astype(np.uint16)
+            self._pcabs = ((self.recs >> 32) & 0xFFFF).astype(np.uint16)
         return self._pcabs
+
+    @property
+    def p1s(self):
+        import numpy as np
+
+        if self._p1s is None:
+            self._p1s = (self.recs >> 48).astype(np.uint16)
+        return self._p1s
 
 
 def extract(data, scope="slice"):

@@ -549,8 +549,9 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
     std::shared_ptr<RecodeModel> recorder =
         per_gop ? gop_rec : std::make_shared<RecodeModel>(true);
     recorder->reserve_trace(payload_size * 20);  // ~18.5 bins/payload byte
-    size_t rec_mark_s = recorder->trace()->recs.size();
-    size_t rec_mark_l = recorder->trace()->limits.size();
+    // the recorder adapts estimators (for the p1 field), so a failed slice
+    // must roll back counters as well as recorded bins
+    RecodeModel::Snapshot snap = recorder->snapshot();
     int mb_count, drop;
     Bytes tail;
     try {
@@ -562,9 +563,10 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
       mb_count = p.parse_slice_data(-1);
       if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
     } catch (const ParseError&) {
-      if (per_gop) recorder->truncate_trace(rec_mark_s, rec_mark_l);
+      recorder->rollback(snap);
       return;
     }
+    recorder->commit(snap);
     if (advance) prev = std::move(cur);
     cur = std::make_unique<PicState>(std::move(scratch));
     slice_id = sid;

@@ -142,9 +142,13 @@ inline thread_local EstPool tls_pool;
 
 class RecodeModel {
  public:
-  // Packed trace: one u64 per bin — slot | bit<<32 | pcab<<40.  A single
-  // push_back per bin (vs 3 parallel vectors) and a single buffer to ship
-  // to the device, which unpacks with three cheap vector ops.
+  // Packed trace: one u64 per bin, byte-aligned for cheap 2xu32 device
+  // unpacking:  lo32 = slot(24) | bit<<24;  hi32 = pcab(16) | p1<<16.
+  // p1 is the EXACT model probability for the bin (the recorder adapts its
+  // estimators just like the encoder), so a pure vectorized range coder on
+  // the device reproduces host streams without any estimator state —
+  // the lane-parallel fast path.  slot/pcab remain for the est-on-device
+  // kernels.  A single push_back per bin; a single buffer to ship.
   struct Trace {
     std::vector<uint64_t> recs;
     std::vector<uint8_t> limits;  // per slot
@@ -173,8 +177,11 @@ class RecodeModel {
   void put_bit(uint64_t key, int bit, int pcab = 0) {
     uint32_t i = touch(key);
     if (trace_) {
-      trace_->recs.push_back((uint64_t)pool_->cells[i].slot |
-                             ((uint64_t)bit << 32) | ((uint64_t)pcab << 40));
+      uint32_t p1 = prob(i, pcab);
+      trace_->recs.push_back(
+          (uint64_t)(pool_->cells[i].slot | ((uint32_t)bit << 24)) |
+          ((uint64_t)(uint32_t)pcab << 32) | ((uint64_t)p1 << 48));
+      adapt(i, key, bit);
       return;
     }
     size_t n0 = bill ? enc_->out_size() : 0;
@@ -213,7 +220,7 @@ class RecodeModel {
     return v + 1;
   }
 
-  // --- single-pass compress rollback ---------------------------------
+  // --- single-pass compress / extract rollback -----------------------
   struct Snapshot {
     uint64_t epoch;
     size_t journal_len;
@@ -222,15 +229,20 @@ class RecodeModel {
     uint8_t cache;
     uint64_t cache_size;
     size_t out_len;
+    size_t rec_len, lim_len;  // trace mode
   };
 
   Snapshot snapshot() {
     // bump generation: future touches journal their prior state exactly once
     epoch_ = ++pool_->gen_counter;
-    Snapshot s;
+    Snapshot s{};
     s.epoch = epoch_;
     s.journal_len = journal_.size();
-    enc_->save(&s.low, &s.range, &s.cache, &s.cache_size, &s.out_len);
+    if (enc_) enc_->save(&s.low, &s.range, &s.cache, &s.cache_size, &s.out_len);
+    if (trace_) {
+      s.rec_len = trace_->recs.size();
+      s.lim_len = trace_->limits.size();
+    }
     return s;
   }
   void commit(const Snapshot& s) { journal_.resize(s.journal_len); }
@@ -243,18 +255,15 @@ class RecodeModel {
       cc.gen = u.prev_gen;
     }
     journal_.resize(s.journal_len);
-    enc_->restore(s.low, s.range, s.cache, s.cache_size, s.out_len);
+    if (enc_) enc_->restore(s.low, s.range, s.cache, s.cache_size, s.out_len);
+    if (trace_) {
+      trace_->recs.resize(s.rec_len);
+      trace_->limits.resize(s.lim_len);
+    }
   }
 
   Bytes finish() { return enc_->finish(); }
   const Trace* trace() const { return trace_; }
-  // gop-scope extract: drop a failed slice's recorded bins.  Slot ids
-  // assigned during the dropped span stay allocated (harmless: unused
-  // slots encode nothing; estimator init is uniform).
-  void truncate_trace(size_t n_bins, size_t n_slots) {
-    (void)n_slots;
-    trace_->recs.resize(n_bins);
-  }
   // pre-size the record buffer (driver estimates bins from payload size);
   // grows geometrically so repeated per-slice calls never trigger
   // linear-chain reallocations
@@ -280,24 +289,23 @@ class RecodeModel {
   }
 
   // Resolve key -> dense index, initializing / journaling as needed.
+  // Both modes adapt counters now (the recorder needs live probabilities
+  // for the p1 field), so both journal for rollback.
   uint32_t touch(uint64_t key) {
     uint32_t i = kKeys.index(key);
     EstPool::Cell& c = pool_->cells[i];
     uint64_t g = c.gen;
     if (g == epoch_) return i;
+    journal_.push_back({i, c.pos, c.neg, g});
     if (g < start_gen_) {
-      // fresh for this model: init (no journal needed for rollback —
-      // prev_gen below start_gen_ restores freshness)
-      if (!trace_) {
-        journal_.push_back({i, c.pos, c.neg, g});
-        c.pos = c.neg = 1;
-      } else {
+      // fresh for this model: init (rollback to prev_gen below start_gen_
+      // restores freshness, which also voids the slot assignment)
+      c.pos = c.neg = 1;
+      if (trace_) {
         c.slot = (uint32_t)trace_->limits.size();
         trace_->limits.push_back(
             (key >> 40) == K_SIG ? kHalveSig : kHalveDefault);
       }
-    } else if (!trace_) {
-      journal_.push_back({i, c.pos, c.neg, g});
     }
     c.gen = epoch_;
     return i;
