@@ -58,7 +58,8 @@ def _try_slice(rec, cur_pic, prev_pic, slice_id, model, isolate=False):
 SCOPE_NAMES = {"stream": SCOPE_STREAM, "slice": SCOPE_SLICE, "gop": SCOPE_GOP}
 
 
-def compress(data, verbose=False, scope="stream", slice_model_factory=None):
+def compress(data, verbose=False, scope="stream", slice_model_factory=None,
+             substream_bins=0):
     """Compress with total-function semantics: any failure anywhere in
     demux/parse degrades to literal passthrough, never an error.
 
@@ -74,6 +75,7 @@ def compress(data, verbose=False, scope="stream", slice_model_factory=None):
             verbose,
             scope=SCOPE_NAMES.get(scope, scope),
             slice_model_factory=slice_model_factory,
+            substream_bins=substream_bins,
         )
     except Exception:
         out = Writer()
@@ -81,6 +83,7 @@ def compress(data, verbose=False, scope="stream", slice_model_factory=None):
         out.u8(VERSION)
         out.u8(0)
         out.u16(SCOPE_STREAM)
+        out.varint(0)  # substream_bins
         out.varint(0)
         out.varint(0)
         if data:
@@ -91,7 +94,8 @@ def compress(data, verbose=False, scope="stream", slice_model_factory=None):
         return out.bytes()
 
 
-def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
+def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill,
+                 substream_bins=0):
     """Walk the file, parse/verify every slice, build the block list.
 
     Per-slice-scope slice blocks carry the finished per-slice MODEL OBJECT in
@@ -104,14 +108,16 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
     per_gop = scope == SCOPE_GOP
     w = StreamWalker(data)
 
-    model = RecodeModel("encode") if not per_gop else None
+    B = substream_bins
+    model = RecodeModel("encode", substream_bins=B) if not per_gop else None
     blocks = []  # (kind, payload...)
     pos = 0
 
     for rec in w.slices():
         stats["slices"] += 1
         if per_slice:
-            model = (slice_model_factory or (lambda: RecodeModel("encode")))()
+            model = (slice_model_factory
+                     or (lambda: RecodeModel("encode", substream_bins=B)))()
         gop_start = per_gop and (
             model is None
             or (rec.header.idr and rec.header.first_mb_in_slice == 0)
@@ -119,7 +125,7 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
         if gop_start:
             # fresh GOP: new model + wiped picture ring (no priors cross
             # the IDR), making GOPs independently decodable units
-            model = RecodeModel("encode")
+            model = RecodeModel("encode", substream_bins=B)
             model._gop_emitted = False
             w.cur_pic = None
             w.prev_pic = None
@@ -187,7 +193,8 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill):
     return w.all_sps, w.all_pps, blocks, model
 
 
-def serialize_container(scope, sps_list, pps_list, blocks, stream_model, finisher=None):
+def serialize_container(scope, sps_list, pps_list, blocks, stream_model,
+                        finisher=None, substream_bins=0):
     """Serialize scanned blocks into the AVTR container.  `finisher` maps a
     per-slice model object to its stream bytes (default: model.finish())."""
     per_slice = scope != SCOPE_STREAM
@@ -197,6 +204,7 @@ def serialize_container(scope, sps_list, pps_list, blocks, stream_model, finishe
     out.u8(VERSION)
     out.u8(0)
     out.u16(scope)
+    out.varint(substream_bins)
     out.varint(len(sps_list))
     for b in sps_list:
         out.blob(bytes(b))
@@ -222,14 +230,18 @@ def serialize_container(scope, sps_list, pps_list, blocks, stream_model, finishe
     return out.bytes()
 
 
-def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory=None):
+def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory=None,
+                    substream_bins=0):
     per_slice = scope != SCOPE_STREAM
     stats = {"slices": 0, "recoded": 0, "bins": 0}
     cabac_bill = {}
     sps_list, pps_list, blocks, model = _scan_blocks(
-        data, scope, slice_model_factory, stats, cabac_bill
+        data, scope, slice_model_factory, stats, cabac_bill,
+        substream_bins=substream_bins,
     )
-    result = serialize_container(scope, sps_list, pps_list, blocks, model)
+    result = serialize_container(
+        scope, sps_list, pps_list, blocks, model, substream_bins=substream_bins
+    )
     if verbose and not per_slice:
         import sys
 
@@ -259,6 +271,7 @@ def decompress(blob):
         raise ContainerError(f"unsupported container version {version}")
     r.u8()
     scope = r.u16()
+    substream_bins = r.varint()
     per_slice = scope != SCOPE_STREAM
     sps_map, pps_map = {}, {}
     for _ in range(r.varint()):
@@ -284,7 +297,8 @@ def decompress(blob):
             tail = r.blob()
             sstream = r.blob() if per_slice else None
             blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, sstream))
-    model = None if per_slice else RecodeModel("decode", r.blob())
+    model = None if per_slice else RecodeModel(
+        "decode", r.blob(), substream_bins=substream_bins)
 
     out = bytearray()
     cur_pic = prev_pic = None
@@ -300,10 +314,12 @@ def decompress(blob):
             head[1:], nal_type, nal_ref_idc, sps_map, pps_map
         )
         if scope == SCOPE_SLICE:
-            smodel = RecodeModel("decode", sstream)
+            smodel = RecodeModel("decode", sstream,
+                                 substream_bins=substream_bins)
         elif scope == SCOPE_GOP:
             if sstream:  # non-empty blob = GOP start: new model, wiped ring
-                model = RecodeModel("decode", sstream)
+                model = RecodeModel("decode", sstream,
+                                    substream_bins=substream_bins)
                 cur_pic = prev_pic = None
             smodel = model
         else:

@@ -152,6 +152,7 @@ static Bytes literal_container(const uint8_t* data, size_t size) {
   out.u8(kVersion);
   out.u8(0);
   out.u16(SCOPE_STREAM);
+  out.varint(0);  // substream_bins
   out.varint(0);
   out.varint(0);
   if (size) {
@@ -307,6 +308,7 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
   out.u8(kVersion);
   out.u8(0);
   out.u16((uint16_t)scope);
+  out.varint(0);  // substream_bins (host single-pass path writes one stream)
   out.varint(w.all_sps_.size());
   for (auto& b : w.all_sps_) out.blob(b);
   out.varint(w.all_pps_.size());
@@ -452,6 +454,7 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
   out.u8(kVersion);
   out.u8(0);
   out.u16(SCOPE_GOP);
+  out.varint(0);  // substream_bins
   out.varint(w.all_sps_.size());
   for (auto& b : w.all_sps_) out.blob(b);
   out.varint(w.all_pps_.size());
@@ -674,7 +677,7 @@ struct DecodeState {
   int slice_id = 0;
 };
 
-static void decode_slice_block(const DBlock& b, int scope,
+static void decode_slice_block(const DBlock& b, int scope, uint32_t sub_bins,
                                const std::map<int, SPS>& sps_map,
                                const std::map<int, PPS>& pps_map,
                                DecodeState* st, Bytes* out) {
@@ -688,13 +691,13 @@ static void decode_slice_block(const DBlock& b, int scope,
   std::unique_ptr<RecodeModel> slice_model;
   RecodeModel* model;
   if (scope == SCOPE_SLICE) {
-    slice_model =
-        std::make_unique<RecodeModel>(b.sstream.data(), b.sstream.size());
+    slice_model = std::make_unique<RecodeModel>(b.sstream.data(),
+                                                b.sstream.size(), sub_bins);
     model = slice_model.get();
   } else if (scope == SCOPE_GOP) {
     if (!b.sstream.empty()) {  // GOP start: new model, wiped ring
-      st->stream_model =
-          std::make_unique<RecodeModel>(b.sstream.data(), b.sstream.size());
+      st->stream_model = std::make_unique<RecodeModel>(
+          b.sstream.data(), b.sstream.size(), sub_bins);
       st->cur.reset();
       st->prev.reset();
     }
@@ -733,6 +736,7 @@ Bytes decompress(const uint8_t* data, size_t size, int threads) {
   if (r.u8() != kVersion) throw ParseError("bad version");
   r.u8();
   int scope = r.u16();
+  uint32_t substream_bins = (uint32_t)r.varint();
   bool per_slice = scope != SCOPE_STREAM;  // slice/gop: per-block stream slot
 
   std::map<int, SPS> sps_map;
@@ -795,8 +799,8 @@ Bytes decompress(const uint8_t* data, size_t size, int threads) {
         try {
           for (size_t i = groups[g].first; i < groups[g].second; i++) {
             if (blocks[i].kind != KIND_SLICE) continue;
-            decode_slice_block(blocks[i], scope, sps_map, pps_map, &st,
-                               &nal_out[i]);
+            decode_slice_block(blocks[i], scope, substream_bins, sps_map,
+                               pps_map, &st, &nal_out[i]);
           }
         } catch (...) {
           failed.store(true);
@@ -822,15 +826,15 @@ Bytes decompress(const uint8_t* data, size_t size, int threads) {
 
   DecodeState st;
   if (!per_slice)
-    st.stream_model = std::make_unique<RecodeModel>(stream_bytes.data(),
-                                                    stream_bytes.size());
+    st.stream_model = std::make_unique<RecodeModel>(
+        stream_bytes.data(), stream_bytes.size(), substream_bins);
   Bytes out;
   for (auto& b : blocks) {
     if (b.kind == KIND_LITERAL) {
       out.insert(out.end(), b.lit.begin(), b.lit.end());
       continue;
     }
-    decode_slice_block(b, scope, sps_map, pps_map, &st, &out);
+    decode_slice_block(b, scope, substream_bins, sps_map, pps_map, &st, &out);
   }
   return out;
 }

@@ -162,9 +162,37 @@ class RecodeModel {
       enc_ = new RangeEncoder();
     init_pool();
   }
-  // decode mode
-  RecodeModel(const uint8_t* data, size_t size)
-      : dec_(new RangeDecoder(data, size)) {
+  // decode mode.  substream_bins (container v2): nonzero means `data` is a
+  // multi-stream envelope (varint n, n varint lens, concatenated bytes) and
+  // the range DECODER re-inits on the next sub-stream every B bins; the
+  // estimator state runs across the whole scope (h264_model.py mirror).
+  RecodeModel(const uint8_t* data, size_t size, uint32_t substream_bins = 0)
+      : B_(substream_bins) {
+    if (!B_) {
+      dec_ = new RangeDecoder(data, size);
+    } else {
+      size_t pos = 0;
+      auto varint = [&]() {
+        uint64_t v = 0;
+        int shift = 0;
+        while (pos < size) {
+          uint8_t b = data[pos++];
+          v |= (uint64_t)(b & 0x7F) << shift;
+          if (!(b & 0x80)) break;
+          shift += 7;
+        }
+        return v;
+      };
+      uint64_t n = varint();
+      std::vector<uint64_t> lens(n);
+      for (uint64_t i = 0; i < n; i++) lens[i] = varint();
+      for (uint64_t i = 0; i < n; i++) {
+        subs_.emplace_back(data + pos, lens[i]);
+        pos += lens[i];
+      }
+      if (subs_.empty()) subs_.emplace_back(data, (size_t)0);
+      dec_ = new RangeDecoder(subs_[0].first, subs_[0].second);
+    }
     init_pool();
   }
   ~RecodeModel() {
@@ -194,6 +222,14 @@ class RecodeModel {
   // recode.cpp:642-668): caller-provided uint64[K_NCLS]
   uint64_t* bill = nullptr;
   int get_bit(uint64_t key, int pcab = 0) {
+    if (B_) {
+      if (cur_bins_ == B_) {
+        si_++;
+        *dec_ = RangeDecoder(subs_[si_].first, subs_[si_].second);
+        cur_bins_ = 0;
+      }
+      cur_bins_++;
+    }
     uint32_t i = touch(key);
     int bit = dec_->get(prob(i, pcab));
     adapt(i, key, bit);
@@ -348,6 +384,10 @@ class RecodeModel {
   RangeEncoder* enc_ = nullptr;
   RangeDecoder* dec_ = nullptr;
   Trace* trace_ = nullptr;
+  // v2 sub-stream decode state
+  uint32_t B_ = 0, cur_bins_ = 0;
+  size_t si_ = 0;
+  std::vector<std::pair<const uint8_t*, size_t>> subs_;
 };
 
 }  // namespace avtpu

@@ -31,16 +31,45 @@ HALVE_SIG = 0x50
 
 
 class RecodeModel:
-    """mode='encode' wraps a RangeEncoder; mode='decode' a RangeDecoder."""
+    """mode='encode' wraps a RangeEncoder; mode='decode' a RangeDecoder.
 
-    def __init__(self, mode, data=None):
+    substream_bins (container field, v2): when nonzero, the coder (NOT the
+    model) is reset every B bins, producing a list of independent
+    sub-streams framed in a multi-stream envelope.  The estimator state
+    runs across the whole model scope unchanged, so the split costs only
+    the per-sub-stream terminator (~1-2 bytes) while making encode
+    lane-parallel on the device (each sub-stream is an independent range
+    coder given recorded probabilities) — the interleaved-entropy-stream
+    design of SURVEY.md §2 (bin-level parallelism)."""
+
+    def __init__(self, mode, data=None, substream_bins=0):
         self.mode = mode
+        self.B = substream_bins
+        self.cur_bins = 0
         if mode == "encode":
             self.rc = RangeEncoder()
+            self.closed = []  # finished sub-stream bytes
+        elif self.B:
+            self.streams = _parse_envelope(data)
+            self.si = 0
+            self.rc = RangeDecoder(self.streams[0] if self.streams else b"")
         else:
             self.rc = RangeDecoder(data)
         self.est = {}  # key -> [pos, neg]
         self.bill = {}  # key-class -> recoded bits (approx, for the ledger)
+
+    def _boundary(self):
+        if not self.B:
+            return
+        if self.cur_bins == self.B:
+            if self.mode == "encode":
+                self.closed.append((self.rc, self.rc.finish()))
+                self.rc = RangeEncoder()
+            else:
+                self.si += 1
+                self.rc = RangeDecoder(self.streams[self.si])
+            self.cur_bins = 0
+        self.cur_bins += 1
 
     # -- estimator core --------------------------------------------------
     def _prob_update(self, key, pcab):
@@ -66,6 +95,7 @@ class RecodeModel:
             e[1] = (e[1] + 1) >> 1
 
     def put_bit(self, key, bit, pcab=None):
+        self._boundary()
         e, p1 = self._prob_update(key, pcab)
         n0 = len(self.rc.out)
         self.rc.put(bit, p1)
@@ -74,6 +104,7 @@ class RecodeModel:
         self._adapt(key, e, bit)
 
     def get_bit(self, key, pcab=None):
+        self._boundary()
         e, p1 = self._prob_update(key, pcab)
         bit = self.rc.get(p1)
         self._adapt(key, e, bit)
@@ -112,16 +143,51 @@ class RecodeModel:
             {k: list(v) for k, v in self.est.items()},
             (rc.low, rc.range, rc.cache, rc.cache_size, len(rc.out)),
             dict(self.bill),
+            (rc, len(self.closed), self.cur_bins),
         )
 
     def rollback(self, snap):
-        est, (low, rng, cache, csize, outlen), bill = snap
+        est, (low, rng, cache, csize, outlen), bill, (rc, ncl, cb) = snap
         self.est = {k: list(v) for k, v in est.items()}
-        rc = self.rc
+        # the active encoder at snapshot time may have been closed since;
+        # restoring its registers + out length reopens it (finish() only
+        # appends flush bytes past outlen and mutates registers)
+        self.rc = rc
+        del self.closed[ncl:]
+        self.cur_bins = cb
         rc.low, rc.range, rc.cache, rc.cache_size = low, rng, cache, csize
         del rc.out[outlen:]
         self.bill = dict(bill)
 
     def finish(self):
         assert self.mode == "encode"
-        return self.rc.finish()
+        if not self.B:
+            return self.rc.finish()
+        streams = [b for (_, b) in self.closed] + [self.rc.finish()]
+        return _make_envelope(streams)
+
+
+def _make_envelope(streams):
+    """Multi-stream envelope: varint n, n varint lengths, concatenated
+    bytes (the v2 'interleaved sub-streams' stream-blob payload)."""
+    from ..utils.container import Writer
+
+    w = Writer()
+    w.varint(len(streams))
+    for s in streams:
+        w.varint(len(s))
+    for s in streams:
+        w.out += s
+    return w.bytes()
+
+
+def _parse_envelope(blob):
+    from ..utils.container import Reader
+
+    r = Reader(blob)
+    lens = [r.varint() for _ in range(r.varint())]
+    out = []
+    for n in lens:
+        out.append(bytes(blob[r.pos : r.pos + n]))
+        r.pos += n
+    return out

@@ -24,7 +24,8 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 1
+VERSION = 2  # v2: header gains varint substream_bins; model stream blobs
+# become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 
 class ContainerError(ValueError):

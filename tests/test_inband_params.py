@@ -14,6 +14,7 @@ from avrecode_tpu.utils.mp4 import demux
 def _n_slice_blocks(comp):
     r = Reader(comp)
     r.pos = 8
+    r.varint()  # substream_bins (v2)
     for _ in range(r.varint()):
         r.blob()
     for _ in range(r.varint()):
