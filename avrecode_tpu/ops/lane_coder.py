@@ -1,0 +1,493 @@
+"""Lane-parallel, estimator-free device entropy coder.
+
+The round-1 device kernels re-ran the adaptive model on device, which forced
+either per-bin gathers (unsupported by Mosaic) or a scalar one-bin-at-a-time
+loop using none of the VPU (ops/pallas_coder.py).  This module is the
+TPU-native redesign enabled by two format/trace decisions:
+
+  * trace records carry the EXACT per-bin model probability p1 (the host
+    recorder adapts estimators exactly like the encoder), so device coding
+    needs NO estimator state — each bin is (bit, p1) -> pure integer range
+    coder arithmetic;
+  * container v2 sub-streams: the coder (not the model) resets every B bins,
+    so a model-scope trace splits into ceil(T/B) INDEPENDENT serial
+    recurrences of <= B bins — the interleaved-entropy-coder design of
+    SURVEY.md §2 ("bin level" parallelism).
+
+Each sub-stream rides one VPU lane: the kernel steps bin index i = 0..B-1,
+processing 1024 lanes (an (8, 128) int32 vreg) per vector op — pure
+elementwise math, no gathers, no dynamic stores.  The same per-bin step
+function runs in three forms, all byte-identical:
+
+  * lane_encode_scan   — lax.scan over the bin axis (CPU / mesh portable)
+  * lane_encode_pallas — Pallas TPU kernel (grid = lane-blocks x bin-chunks)
+  * the host encoders  — ops/rangecoder.py / host/src/rangecoder.h
+
+Token semantics are those of ops/pallas_coder.py (proven byte-identical to
+the host cache/0xFF-run encoder): each bin emits <= 2 renorm bytes; a byte
+carries the count of pending 32-bit carries since the previous byte; a
+vectorized host pass resolves carries (base-256 ripple) and applies the
+host flush-truncation + shortest-terminator rules.
+
+Replaces (TPU-first, not a translation): the reference's serial
+arithmetic_code.h:106-126 encoder recurrence, whose single-stream design is
+why the reference is single-threaded (SURVEY.md §2 "Parallelism: NONE").
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TOP = 1 << 24
+SIGN = -0x80000000
+CHUNK = 256      # bins per Pallas grid step (VMEM window)
+LANES = 1024     # lanes per Pallas grid row: one (8, 128) int32 vreg
+
+
+def _ult(a, b):
+    """Unsigned int32 a < b."""
+    return (a ^ jnp.int32(SIGN)) < (b ^ jnp.int32(SIGN))
+
+
+def encode_step(low, pend, rng, bit, p1, v):
+    """One range-coder bin on a vector of lanes (exact int32 mirror of
+    RangeEncoder.put, with (byte, pending-carry-count) token emission).
+
+    All arrays share a shape; int32 holds uint32 bit patterns (wrapping
+    multiply/add match uint32 mod-2^32 arithmetic).
+    Returns (low, pend, rng, tok, car):
+      tok = byte0 | byte1 << 8 | n_emitted << 16   (n in 0..2)
+      car = pending-carry count attached to byte0 (byte1's is always 0:
+            emission resets the counter and no carry occurs between the
+            two renorm shifts of a single bin).
+    """
+    r1 = ((rng >> 16) & 0xFFFF) * p1
+    low_a = low + r1
+    carry = jnp.where(_ult(low_a, low), 1, 0)
+    is1 = bit == 1
+    low_n = jnp.where(is1, low, low_a)
+    pend_n = pend + jnp.where(is1, 0, carry)
+    rng_n = jnp.where(is1, r1, rng - r1)
+
+    do0 = _ult(rng_n, jnp.int32(TOP))
+    tok0 = (low_n >> 24) & 0xFF
+    car0 = jnp.where(do0, pend_n, 0)
+    low_n = jnp.where(do0, low_n << 8, low_n)
+    pend_n = jnp.where(do0, 0, pend_n)
+    rng_n = jnp.where(do0, rng_n << 8, rng_n)
+
+    do1 = _ult(rng_n, jnp.int32(TOP))
+    tok1 = (low_n >> 24) & 0xFF
+    low_n = jnp.where(do1, low_n << 8, low_n)
+    rng_n = jnp.where(do1, rng_n << 8, rng_n)
+
+    n = do0.astype(jnp.int32) + do1.astype(jnp.int32)
+    tok = tok0 | (tok1 << 8) | (n << 16)
+
+    low = jnp.where(v, low_n, low)
+    pend = jnp.where(v, pend_n, pend)
+    rng = jnp.where(v, rng_n, rng)
+    tok = jnp.where(v, tok, 0)
+    car = jnp.where(v, car0, 0)
+    return low, pend, rng, tok, car
+
+
+def flush_state(low, pend):
+    """Shortest-terminator flush from final lane state (vector mirror of
+    RangeEncoder.finish): round low up to the next 2^24 multiple (in range
+    because renorm keeps range >= 2^24), then two byte shifts.
+    Returns (ftok = byte0 | byte1 << 8, fcar for byte0; byte1's count is 0
+    and its value is provably 0 — low is a 2^24 multiple)."""
+    low_r = (low + jnp.int32(TOP - 1)) & jnp.int32(-(1 << 24))
+    fcar = pend + jnp.where(_ult(low_r, low), 1, 0)
+    ftok = ((low_r >> 24) & 0xFF) | (((low_r >> 16) & 0xFF) << 8)
+    return ftok, fcar
+
+
+# ---------------------------------------------------------------------------
+# XLA scan formulation (portable: CPU tests, mesh sharding)
+
+
+@jax.jit
+def lane_encode_scan(bitp1, lens):
+    """[L, B] packed (p1 | bit << 16) int32, [L] lens -> per-lane tokens.
+
+    Returns (tok [L, B], car [L, B], ftok [L], fcar [L])."""
+    L, B = bitp1.shape
+    xs = (bitp1.T, jnp.arange(B, dtype=jnp.int32))
+
+    def step(st, x):
+        low, pend, rng = st
+        row, i = x
+        bit = row >> 16
+        p1 = row & 0xFFFF
+        v = i < lens
+        low, pend, rng, tok, car = encode_step(low, pend, rng, bit, p1, v)
+        return (low, pend, rng), (tok, car)
+
+    z = jnp.zeros((L,), jnp.int32)
+    (low, pend, _), (tok, car) = jax.lax.scan(
+        step, (z, z, z - 1), xs
+    )
+    ftok, fcar = flush_state(low, pend)
+    return tok.T, car.T, ftok, fcar
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: grid (lane_blocks, bin_chunks); 1024 lanes per step
+
+
+def _lane_kernel(bitp1_ref, lens_ref, tok_out, car_out, ftok_out, fcar_out,
+                 st_ref):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        z = jnp.zeros((8, 128), jnp.int32)
+        st_ref[0] = z          # low
+        st_ref[1] = z          # pend
+        st_ref[2] = z - 1      # rng = 0xFFFFFFFF
+
+    lens = lens_ref[0]
+    base = c * CHUNK
+
+    def body(i, st):
+        low, pend, rng = st
+        x = bitp1_ref[0, i]
+        bit = x >> 16
+        p1 = x & 0xFFFF
+        v = (base + i) < lens
+        low, pend, rng, tok, car = encode_step(low, pend, rng, bit, p1, v)
+        tok_out[0, i] = tok
+        car_out[0, i] = car
+        return low, pend, rng
+
+    low, pend, rng = jax.lax.fori_loop(
+        0, CHUNK, body, (st_ref[0], st_ref[1], st_ref[2])
+    )
+    st_ref[0] = low
+    st_ref[1] = pend
+    st_ref[2] = rng
+    # flush written every chunk from the running state; the block index map
+    # pins one output block per lane row, so the last chunk's write (the
+    # frozen post-lens state) is what lands in HBM
+    ftok, fcar = flush_state(low, pend)
+    ftok_out[0] = ftok
+    fcar_out[0] = fcar
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lane_encode_pallas_jit(bitp1, lens, interpret=False):
+    L, B = bitp1.shape  # L % LANES == 0, B % CHUNK == 0
+    NL = L // LANES
+    NC = B // CHUNK
+    x = bitp1.reshape(NL, 8, 128, B).transpose(0, 3, 1, 2)
+    lens4 = lens.reshape(NL, 8, 128)
+
+    bin_spec = pl.BlockSpec((1, CHUNK, 8, 128), lambda lb, c: (lb, c, 0, 0))
+    row_spec = pl.BlockSpec((1, 8, 128), lambda lb, c: (lb, 0, 0))
+    tok, car, ftok, fcar = pl.pallas_call(
+        _lane_kernel,
+        grid=(NL, NC),
+        in_specs=[bin_spec, row_spec],
+        out_specs=[bin_spec, bin_spec, row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((NL, B, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NL, B, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NL, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((NL, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, 8, 128), jnp.int32)],
+        interpret=interpret,
+    )(x, lens4)
+    tok = tok.transpose(0, 2, 3, 1).reshape(L, B)
+    car = car.transpose(0, 2, 3, 1).reshape(L, B)
+    return tok, car, ftok.reshape(L), fcar.reshape(L)
+
+
+def lane_encode_pallas(bitp1, lens, interpret=False):
+    """Pad (lanes to 1024s, bins to CHUNKs) and run the Pallas kernel."""
+    L, B = bitp1.shape
+    Lp = -(-max(L, 1) // LANES) * LANES
+    Bp = -(-max(B, 1) // CHUNK) * CHUNK
+    if (Lp, Bp) != (L, B):
+        bitp1 = np.pad(np.asarray(bitp1), ((0, Lp - L), (0, Bp - B)))
+        lens = np.pad(np.asarray(lens), (0, Lp - L))
+    tok, car, ftok, fcar = _lane_encode_pallas_jit(
+        jnp.asarray(bitp1), jnp.asarray(lens), interpret=interpret
+    )
+    return tok[:L, :B], car[:L, :B], ftok[:L], fcar[:L]
+
+
+# ---------------------------------------------------------------------------
+# Host-side finalize: tokens -> stream bytes (vectorized across all lanes)
+
+
+def finalize_lanes(tok, car, ftok, fcar, lens):
+    """Resolve carries + host truncation rules for all lanes at once.
+
+    tok/car: [L, B] int32; ftok/fcar: [L]; lens: [L].
+    Returns a list of L bytes objects (byte-identical to RangeEncoder)."""
+    tok = np.asarray(tok)
+    car = np.asarray(car)
+    ftok = np.asarray(ftok)
+    fcar = np.asarray(fcar)
+    lens = np.asarray(lens)
+    L, B = tok.shape
+    n = (tok >> 16) & 3
+
+    # candidate timeline per lane: 2 slots per bin + 2 flush slots
+    W = 2 * B + 2
+    cand_tok = np.zeros((L, W), np.int64)
+    cand_tok[:, 0 : 2 * B : 2] = tok & 0xFF
+    cand_tok[:, 1 : 2 * B : 2] = (tok >> 8) & 0xFF
+    cand_tok[:, 2 * B] = ftok & 0xFF
+    cand_tok[:, 2 * B + 1] = (ftok >> 8) & 0xFF
+    cand_car = np.zeros((L, W), np.int64)
+    cand_car[:, 0 : 2 * B : 2] = car
+    cand_car[:, 2 * B] = fcar
+    msk = np.zeros((L, W), bool)
+    msk[:, 0 : 2 * B : 2] = n >= 1
+    msk[:, 1 : 2 * B : 2] = n >= 2
+    msk[:, 2 * B :] = True
+
+    counts = msk.sum(axis=1)
+    M = int(counts.max()) if L else 0
+    pos = np.cumsum(msk, axis=1) - 1
+    rows, cols = np.nonzero(msk)
+    p = pos[rows, cols]
+    val = np.zeros((L, M), np.int64)
+    raw = np.full((L, M), 0xFF, np.int64)  # padding: never flushable
+    carr = np.zeros((L, M), np.int64)
+    val[rows, p] = cand_tok[rows, cols]
+    raw[rows, p] = cand_tok[rows, cols]
+    carr[rows, p] = cand_car[rows, cols]
+
+    # base-256 carry ripple toward lower indices; pass count = longest
+    # 0xFF run anywhere (carries are rare events)
+    val[:, :-1] += carr[:, 1:]
+    while True:
+        ov = val >> 8
+        if not ov.any():
+            break
+        val &= 0xFF
+        val[:, :-1] += ov[:, 1:]
+
+    # host flush condition: a byte lands in the output iff a LATER token has
+    # byte != 0xFF or a pending carry (the cache/run closes); the final
+    # pending token is never emitted -> truncate AT the last flushable index
+    flushable = (raw != 0xFF) | (carr > 0)
+    j_last = np.where(
+        flushable.any(axis=1),
+        M - 1 - np.argmax(flushable[:, ::-1], axis=1),
+        0,
+    )
+    # shortest-terminator: strip trailing zeros (decoder zero-fills) — on
+    # RESOLVED bytes (carries can create zeros)
+    idx = np.arange(M)
+    nzmask = (val != 0) & (idx[None, :] < j_last[:, None])
+    nbytes = np.where(
+        nzmask.any(axis=1), M - np.argmax(nzmask[:, ::-1], axis=1), 0
+    )
+    u8 = val.astype(np.uint8)
+    return [bytes(u8[l, : nbytes[l]]) for l in range(L)]
+
+
+# ---------------------------------------------------------------------------
+# On-device finalize: kernel tokens -> resolved stream bytes on the device,
+# so only ~stream-sized uint8 data crosses the (slow, ~40 MB/s tunnel)
+# device->host link instead of 8 bytes/bin of raw tokens.
+
+
+@functools.partial(jax.jit, static_argnames=("max_bytes",))
+def _finalize_device(tok, car, ftok, fcar, max_bytes):
+    """Vector finalize on [L, B] kernel outputs.
+
+    Compaction is ONE packed scatter (TPU scatter cost scales with update
+    count; sort-based compaction measured 60x slower): each emitted byte is
+    a cell  byte(8) | carry_count(16) | present(1)<<24.  Carry counts fit
+    16 bits because the counter resets at every emission and a lane codes
+    at most B <= 2^15 bins.
+
+    Returns (bytes uint8 [L, M], nbytes [L], overflow bool): `overflow`
+    set when some lane emitted more than M bytes (adversarial streams;
+    caller falls back to the exact host finalize on raw tokens)."""
+    L, B = tok.shape
+    M = max_bytes
+    n = (tok >> 16) & 3
+    cum = jnp.cumsum(n, axis=1)
+    pos0 = cum - n
+    total = cum[:, -1]
+    overflow = jnp.any(total + 2 > M)
+
+    rows = jnp.arange(L)[:, None]
+    dump = M  # masked/overflow writes land in a dump slot
+    pk0 = (tok & 0xFF) | (car << 8) | (1 << 24)
+    pk1 = ((tok >> 8) & 0xFF) | (1 << 24)
+    w0 = jnp.where(n >= 1, jnp.minimum(pos0, dump), dump)
+    w1 = jnp.where(n >= 2, jnp.minimum(pos0 + 1, dump), dump)
+    cells = (
+        jnp.zeros((L, M + 1), jnp.int32)
+        .at[rows, jnp.concatenate([w0, w1], axis=1)]
+        .set(jnp.concatenate([pk0, pk1], axis=1))
+    )
+    lr = jnp.arange(L)
+    fw0 = jnp.minimum(total, dump)
+    fw1 = jnp.minimum(total + 1, dump)
+    cells = cells.at[lr, fw0].set((ftok & 0xFF) | (fcar << 8) | (1 << 24))
+    cells = cells.at[lr, fw1].set(((ftok >> 8) & 0xFF) | (1 << 24))
+    cells = cells[:, :M]
+
+    present = cells >> 24
+    raw = jnp.where(present == 1, cells & 0xFF, 0xFF)
+    carr = jnp.where(present == 1, (cells >> 8) & 0xFFFF, 0)
+
+    # base-256 ripple toward lower indices; iterations = longest 0xFF
+    # propagation chain (carries are rare events)
+    val = raw * present + jnp.pad(carr[:, 1:], ((0, 0), (0, 1)))
+
+    def ripple_cond(v):
+        return jnp.any(v >> 8 != 0)
+
+    def ripple_body(v):
+        ov = v >> 8
+        return (v & 0xFF) + jnp.pad(ov[:, 1:], ((0, 0), (0, 1)))
+
+    val = jax.lax.while_loop(ripple_cond, ripple_body, val)
+
+    # host truncation: output ends AT the last token with byte != 0xFF or a
+    # pending carry (exclusive); then strip trailing zeros (decoder
+    # zero-fills)
+    idx = jnp.arange(M)[None, :]
+    flushable = (raw != 0xFF) | (carr > 0)
+    j_last = jnp.max(jnp.where(flushable, idx, -1), axis=1)
+    j_last = jnp.maximum(j_last, 0)
+    nz = (val != 0) & (idx < j_last[:, None])
+    nbytes = jnp.max(jnp.where(nz, idx + 1, 0), axis=1)
+    return val.astype(jnp.uint8), nbytes, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "max_bytes"))
+def _lane_pipeline_jit(p1u16, bitw, lens, interpret, max_bytes):
+    """Device pipeline: unpack compact upload -> kernel -> finalize.
+
+    p1u16: uint16 [L, B]; bitw: int32 [L, B//32] little-endian bit words.
+    The compact upload halves host->device bytes vs int32 (p1|bit<<16),
+    which matters on a ~40 MB/s tunneled link."""
+    L, B = p1u16.shape
+    bits = (bitw[:, :, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+    bitp1 = p1u16.astype(jnp.int32) | (bits.reshape(L, B) << 16)
+    tok, car, ftok, fcar = _lane_encode_pallas_jit(bitp1, lens,
+                                                   interpret=interpret)
+    out, nbytes, overflow = _finalize_device(tok, car, ftok, fcar, max_bytes)
+    return out, nbytes, overflow, (tok, car, ftok, fcar)
+
+
+def pack_compact(bitp1, lens):
+    """Host-side compact packing: int32 (p1 | bit << 16) [L, B] ->
+    (uint16 p1, int32 bit-words, int32 lens), lane/bin axes padded to the
+    kernel grid (LANES x CHUNK)."""
+    bitp1 = np.asarray(bitp1)
+    lens = np.asarray(lens, np.int32)
+    L, B = bitp1.shape
+    Lp = -(-max(L, 1) // LANES) * LANES
+    Bp = -(-max(B, 1) // CHUNK) * CHUNK
+    if (Lp, Bp) != (L, B):
+        bitp1 = np.pad(bitp1, ((0, Lp - L), (0, Bp - B)))
+        lens = np.pad(lens, (0, Lp - L))
+    p1u16 = (bitp1 & 0xFFFF).astype(np.uint16)
+    bitw = np.packbits(
+        (bitp1 >> 16).astype(np.uint8), axis=1, bitorder="little"
+    ).view(np.int32)
+    return p1u16, bitw, lens
+
+
+def lane_streams_device(bitp1, lens, interpret=False, bits_per_byte=4):
+    """Pallas kernel + on-device finalize -> list of per-lane stream bytes.
+
+    bits_per_byte bounds the transfer buffer (M = B / bits_per_byte + 8
+    bytes per lane); lanes exceeding it (adversarial input) trigger one
+    exact host-finalize fallback on the raw tokens."""
+    L, B = np.asarray(bitp1).shape
+    assert B <= 1 << 15, "substream_bins > 32768 overflows 16-bit carry counts"
+    p1u16, bitw, lens_p = pack_compact(bitp1, lens)
+    M = -(-p1u16.shape[1] // bits_per_byte // 8) * 8 + 8
+    out, nbytes, overflow, raw = _lane_pipeline_jit(
+        jnp.asarray(p1u16), jnp.asarray(bitw), jnp.asarray(lens_p),
+        interpret, M
+    )
+    if bool(overflow):
+        tok, car, ftok, fcar = raw
+        return finalize_lanes(tok[:L, :B], car[:L, :B], ftok[:L], fcar[:L],
+                              np.asarray(lens))
+    out = np.asarray(out[:L])
+    nbytes = np.asarray(nbytes[:L])
+    return [bytes(out[l, : nbytes[l]]) for l in range(L)]
+
+
+# ---------------------------------------------------------------------------
+# Trace front end: sub-stream splitting / packing / envelope assembly
+
+
+def split_lanes(traces, B):
+    """Chop each trace into ceil(T/B)-bin sub-streams (>= 1), pack all
+    sub-streams of all traces into one [L, B] problem.
+
+    Returns (bitp1 int32 [L, B], lens int32 [L], spans) where spans[i] is
+    the (lo, hi) lane range of traces[i]."""
+    spans = []
+    L = 0
+    for t in traces:
+        k = max(1, -(-len(t) // B))
+        spans.append((L, L + k))
+        L += k
+    bitp1 = np.zeros((L, B), np.int32)
+    lens = np.zeros(L, np.int32)
+    for t, (lo, hi) in zip(traces, spans):
+        T = len(t)
+        if T:
+            packed = (
+                np.asarray(t.p1s, np.int32)
+                | (np.asarray(t.bits, np.int32) << 16)
+            )
+            full = (hi - lo) * B
+            if T < full:
+                packed = np.pad(packed, (0, full - T))
+            bitp1[lo:hi] = packed.reshape(hi - lo, B)
+            lens[lo:hi] = B
+            lens[hi - 1] = T - (hi - lo - 1) * B
+    return bitp1, lens, spans
+
+
+def encode_traces_lanes(traces, B, use_pallas=None, interpret=False,
+                        encode_fn=None):
+    """Device entropy stage: traces -> per-trace sub-stream ENVELOPE bytes
+    (the v2 container's stream blob for substream_bins=B), byte-identical
+    to RecodeModel(..., substream_bins=B).finish().
+
+    encode_fn overrides the kernel (e.g. a mesh-sharded wrapper); default
+    auto-selects Pallas on TPU, the XLA scan elsewhere."""
+    from ..models.h264_model import _make_envelope
+
+    if not traces:
+        return []
+    bitp1, lens, spans = split_lanes(traces, B)
+    if encode_fn is not None:
+        tok, car, ftok, fcar = encode_fn(jnp.asarray(bitp1), jnp.asarray(lens))
+        streams = finalize_lanes(tok, car, ftok, fcar, lens)
+    else:
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            # Pallas kernel + on-device finalize (tunnel-friendly transfer)
+            streams = lane_streams_device(bitp1, lens, interpret=interpret)
+        else:
+            tok, car, ftok, fcar = lane_encode_scan(
+                jnp.asarray(bitp1), jnp.asarray(lens)
+            )
+            streams = finalize_lanes(tok, car, ftok, fcar, lens)
+    return [_make_envelope(streams[lo:hi]) for lo, hi in spans]

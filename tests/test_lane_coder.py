@@ -1,0 +1,164 @@
+"""Lane-parallel estimator-free coder: every path (XLA scan, Pallas
+interpret, numpy finalize, device finalize) must produce sub-stream
+envelopes BYTE-IDENTICAL to the host RecodeModel(substream_bins=B).
+
+The host model is the semantics oracle; traces carry the exact per-bin
+probability (TraceModel mirrors the model's estimator arithmetic), so the
+device coder is a bare range coder — SURVEY.md §2 bin-level parallelism."""
+
+import os
+import random
+import subprocess
+
+import numpy as np
+import pytest
+
+from avrecode_tpu.models.h264_model import RecodeModel
+from avrecode_tpu.models.trace import TraceModel
+from avrecode_tpu.ops.lane_coder import (
+    encode_traces_lanes,
+    finalize_lanes,
+    lane_encode_pallas,
+    lane_encode_scan,
+    split_lanes,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+GEN = os.path.join(os.path.dirname(__file__), "..", "tools", "genvideo")
+
+
+def _drive(seq, B):
+    """Feed one (key, bit, pcab) sequence to both the host model and the
+    trace recorder; return (host envelope, trace)."""
+    m = RecodeModel("encode", substream_bins=B)
+    t = TraceModel()
+    for k, bit, pcab in seq:
+        m.put_bit(k, bit, pcab)
+        t.put_bit(k, bit, pcab)
+    return m.finish(), t
+
+
+def _mk(seed, n):
+    rng = random.Random(seed)
+    keys = [("ctx", i) for i in range(40)] + [("sig", 2, i, 0, 1) for i in range(14)]
+    biases = {k: rng.random() for k in keys}
+    return [
+        (
+            k,
+            1 if rng.random() < biases[k] else 0,
+            rng.choice([None, None, rng.randint(1, 0xFFFF)]),
+        )
+        for k in [rng.choice(keys) for _ in range(n)]
+    ]
+
+
+@pytest.mark.parametrize("B", [64, 257, 1024])
+@pytest.mark.parametrize("n", [0, 1, 63, 64, 65, 1024, 5000])
+def test_scan_matches_host(B, n):
+    host, t = _drive(_mk(B * 1000 + n, n), B)
+    assert encode_traces_lanes([t], B, use_pallas=False)[0] == host
+
+
+def test_pallas_interpret_matches_host():
+    host, t = _drive(_mk(42, 3000), 512)
+    dev = encode_traces_lanes([t], 512, use_pallas=True, interpret=True)[0]
+    assert dev == host
+
+
+def test_carry_stress():
+    """Near-certain symbols coded against the grain force carry chains and
+    0xFF runs through sub-stream boundaries."""
+    m = RecodeModel("encode", substream_bins=128)
+    t = TraceModel()
+    for i in range(3000):
+        bit = 1 if i % 101 else 0
+        m.put_bit(("ctx", 0), bit)
+        t.put_bit(("ctx", 0), bit)
+    assert encode_traces_lanes([t], 128, use_pallas=False)[0] == m.finish()
+
+
+def test_multi_trace_batch():
+    traces, hosts = [], []
+    for s in range(5):
+        host, t = _drive(_mk(s, 700 + 631 * s), 256)
+        hosts.append(host)
+        traces.append(t)
+    devs = encode_traces_lanes(traces, 256, use_pallas=False)
+    assert devs == hosts
+
+
+def test_finalize_matches_scan_and_interpret():
+    """The two kernels must agree token-for-token, and the numpy finalize
+    must be the identity bridge between them."""
+    _, t = _drive(_mk(9, 2000), 320)
+    bitp1, lens, spans = split_lanes([t], 320)
+    s = lane_encode_scan(np.asarray(bitp1), np.asarray(lens))
+    p = lane_encode_pallas(np.asarray(bitp1), np.asarray(lens), interpret=True)
+    for a, b in zip(s, p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert finalize_lanes(*s, lens) == finalize_lanes(*p, lens)
+
+
+def test_device_finalize_matches_numpy():
+    """On-device finalize (packed scatter + ripple) == numpy finalize."""
+    from avrecode_tpu.ops.lane_coder import lane_streams_device
+
+    _, t = _drive(_mk(13, 4000), 512)
+    bitp1, lens, _ = split_lanes([t], 512)
+    s = lane_encode_scan(np.asarray(bitp1), np.asarray(lens))
+    expect = finalize_lanes(*s, lens)
+    got = lane_streams_device(bitp1, lens, interpret=True)
+    assert got[: len(expect)] == expect
+
+
+def test_device_finalize_overflow_fallback():
+    """Streams denser than the transfer bound must fall back to the exact
+    host finalize (bits_per_byte=1000 makes M tiny)."""
+    from avrecode_tpu.ops.lane_coder import lane_streams_device
+
+    host, t = _drive(_mk(17, 2000), 512)
+    bitp1, lens, _ = split_lanes([t], 512)
+    s = lane_encode_scan(np.asarray(bitp1), np.asarray(lens))
+    expect = finalize_lanes(*s, lens)
+    got = lane_streams_device(bitp1, lens, interpret=True, bits_per_byte=1000)
+    assert got[: len(expect)] == expect
+
+
+def test_real_clip_gop_scope_envelopes():
+    """Per-GOP traces from a real x264 clip -> lane envelopes must equal
+    the host compress(substream_bins=B) container's stream blobs."""
+    from avrecode_tpu.host import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    path = os.path.join(DATA, "rt_gop.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "192", "160", "12", "30", "4", "1", "26", "9", "1"],
+            check=True,
+            capture_output=True,
+        )
+    data = open(path, "rb").read()
+    B = 2000
+    _, _, _, traces = native.extract(data, "gop")
+    assert traces
+    envs = encode_traces_lanes(traces, B, use_pallas=False)
+    for t, env in zip(traces, envs):
+        m = RecodeModel("encode", substream_bins=B)
+        # replay the recorded (bit, p1) pairs through the host coder path
+        # via direct sub-stream encoding to cross-check the envelope
+        from avrecode_tpu.models.h264_model import _make_envelope
+        from avrecode_tpu.ops.rangecoder import RangeEncoder
+
+        streams = []
+        rc = RangeEncoder()
+        nb = 0
+        for bit, p1 in zip(t.bits, t.p1s):
+            if nb == B:
+                streams.append(rc.finish())
+                rc = RangeEncoder()
+                nb = 0
+            rc.put(int(bit), int(p1))
+            nb += 1
+        streams.append(rc.finish())
+        assert env == _make_envelope(streams)
