@@ -129,7 +129,9 @@ def lane_encode_scan(bitp1, lens):
         low, pend, rng, tok, car = encode_step(low, pend, rng, bit, p1, v)
         return (low, pend, rng), (tok, car)
 
-    z = jnp.zeros((L,), jnp.int32)
+    # derive the carry init from the input so its varying-manual-axes type
+    # matches under shard_map (same trick as estimator_jax._vlike)
+    z = jnp.zeros((L,), jnp.int32) + bitp1[:, 0] * 0
     (low, pend, _), (tok, car) = jax.lax.scan(
         step, (z, z, z - 1), xs
     )

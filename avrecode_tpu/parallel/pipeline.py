@@ -85,14 +85,45 @@ def make_mesh(n_devices=None):
     return Mesh(np.array(devs), ("dp",))
 
 
-def device_compress(data, mesh=None, use_pallas=None, scope=None):
+def _mesh_lane_encoder(mesh):
+    """Lane-sharded encode_fn for ops.lane_coder.encode_traces_lanes: lanes
+    (sub-streams) are independent by format, so multi-chip compression is
+    the [L, B] lane axis sharded over the mesh 'dp' axis — the scan's
+    per-step elementwise math partitions with zero collectives."""
+    from ..ops.lane_coder import lane_encode_scan
+
+    n = len(mesh.devices.flat)
+    sharding = NamedSharding(mesh, P("dp"))
+
+    def encode(bitp1, lens):
+        L = bitp1.shape[0]
+        Lp = -(-L // n) * n
+        if Lp != L:
+            bitp1 = np.pad(np.asarray(bitp1), ((0, Lp - L), (0, 0)))
+            lens = np.pad(np.asarray(lens), (0, Lp - L))
+        bitp1 = jax.device_put(jnp.asarray(bitp1), sharding)
+        lens = jax.device_put(jnp.asarray(lens), sharding)
+        tok, car, ftok, fcar = lane_encode_scan(bitp1, lens)
+        return tok[:L], car[:L], ftok[:L], fcar[:L]
+
+    return encode
+
+
+def device_compress(data, mesh=None, use_pallas=None, scope=None,
+                    substream_bins=4096):
     """Full compression with the device entropy stage.
 
     scope: "gop" (default with native extraction; best ratio, GOP-parallel)
-    or "slice" (finest parallel grain).  use_pallas=None auto-selects the
-    Pallas kernel on TPU backends (~60 Mbins/s kernel compute), the XLA
-    scan path elsewhere/under a mesh.  Per-trace streams are independent by
-    format, so the entropy stage needs no collectives."""
+    or "slice" (finest parallel grain).
+
+    substream_bins > 0 (default) selects the LANE-PARALLEL estimator-free
+    coder: the recorded exact per-bin probabilities drive a bare range
+    coder, one sub-stream per VPU lane (Pallas kernel on TPU, XLA scan
+    elsewhere, lane axis sharded over `mesh` when given).  Output is
+    byte-identical to codec.compress(scope=..., substream_bins=...).
+
+    substream_bins=0 keeps the round-1 single-stream-per-trace device path
+    (estimator scans on device; Pallas scalar kernel on TPU)."""
     data = bytes(data)
     if scope is None:
         from ..host import native
@@ -102,8 +133,7 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None):
     if not traces:
         from ..codec import compress
 
-        return compress(data, scope=scope)
-    packed = pack_traces(traces, pad_multiple=(len(mesh.devices.flat) if mesh else 1))
+        return compress(data, scope=scope, substream_bins=substream_bins)
     if use_pallas is None:
         use_pallas = mesh is None and jax.default_backend() == "tpu"
     scope_id = SCOPE_SLICE if scope == "slice" else 2  # SCOPE_GOP
@@ -112,16 +142,30 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None):
     def finisher(t):
         return t if isinstance(t, bytes) else finmap[id(t)]
 
+    if substream_bins:
+        from ..ops.lane_coder import encode_traces_lanes
+
+        envs = encode_traces_lanes(
+            traces,
+            substream_bins,
+            use_pallas=use_pallas,
+            encode_fn=_mesh_lane_encoder(mesh) if mesh is not None else None,
+        )
+        finmap = {id(t): envs[i] for i, t in enumerate(traces)}
+        return serialize_container(
+            scope_id, sps, pps, blocks, None, finisher=finisher,
+            substream_bins=substream_bins,
+        )
     if use_pallas:
         from ..ops.pallas_coder import encode_traces_pallas
 
         byte_streams = encode_traces_pallas(traces)
         finmap = {id(t): byte_streams[i] for i, t in enumerate(traces)}
         return serialize_container(scope_id, sps, pps, blocks, None, finisher=finisher)
-    arrays = packed
+    arrays = pack_traces(traces, pad_multiple=(len(mesh.devices.flat) if mesh else 1))
     if mesh is not None:
         sharding = NamedSharding(mesh, P("dp"))
-        arrays = tuple(jax.device_put(a, sharding) for a in packed)
+        arrays = tuple(jax.device_put(a, sharding) for a in arrays)
     out, lens = encode_slices(*arrays)
     out = np.asarray(out)
     lens = np.asarray(lens)
@@ -132,7 +176,7 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None):
 def multichip_step(mesh, slots, bits, pcabs, limits, valid):
     """One sharded device step with a cross-chip billing collective —
     the SPMD program the driver dry-runs on an N-device mesh."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(slots, bits, pcabs, limits, valid):
         out, lens = encode_slices(slots, bits, pcabs, limits, valid)

@@ -122,6 +122,11 @@ def test_device_pipeline_gop_scope_matches_host():
         )
     data = open(path, "rb").read()
     for scope in ("slice", "gop"):
+        # default device path: lane-parallel sub-stream coder
         dev = pipeline.device_compress(data, scope=scope)
-        assert dev == compress(data, scope=scope), scope
+        assert dev == compress(data, scope=scope, substream_bins=4096), scope
         assert decompress(dev) == data
+        # legacy single-stream-per-trace device path
+        dev0 = pipeline.device_compress(data, scope=scope, substream_bins=0)
+        assert dev0 == compress(data, scope=scope), scope
+        assert decompress(dev0) == data

@@ -26,7 +26,7 @@ jax.distributed.initialize(coordinator_address=coord, num_processes=2,
                            process_id=proc_id)
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 sys.path.insert(0, os.environ["AVT_ROOT"])
 from avrecode_tpu.ops.estimator_jax import encode_slices
 
