@@ -44,6 +44,7 @@ def _load():
         ctypes.c_char_p,
         ctypes.c_size_t,
         ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_size_t),
@@ -158,14 +159,16 @@ class NativeTrace:
         return self._p1s
 
 
-def extract(data, scope="slice"):
+def extract(data, scope="slice", threads=1):
     """Native host stage of the device pipeline: returns
     (sps_list, pps_list, blocks, traces) matching codec._scan_blocks
     output for the scope.  Slice scope: every slice block carries its
     NativeTrace; GOP scope: the first slice of each GOP carries the GOP
     trace, continuations carry b"" (the container's empty-blob marker).
     Trace record arrays are zero-copy views over native memory, kept
-    alive by the traces themselves."""
+    alive by the traces themselves.
+
+    threads: 1=serial, 0=auto (parallel GOP jobs, gop scope only)."""
     import numpy as np
 
     from ..utils.container import KIND_LITERAL, KIND_SLICE, Reader
@@ -177,7 +180,7 @@ def extract(data, scope="slice"):
     meta_len = ctypes.c_size_t()
     n_traces = ctypes.c_size_t()
     ptr = lib.avtpu_xopen(
-        bytes(data), len(data), scope_id,
+        bytes(data), len(data), scope_id, threads,
         ctypes.byref(meta_p), ctypes.byref(meta_len), ctypes.byref(n_traces),
     )
     if not ptr:

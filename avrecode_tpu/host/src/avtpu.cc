@@ -630,6 +630,161 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
   return res;
 }
 
+// Threaded trace extraction (gop scope): same GOP-job decomposition as
+// compress_gop_mt — model + picture ring reset at the IDR, so jobs are
+// fully independent and the stitched meta is byte-identical to the serial
+// extract_open.  This is the host-side throughput path feeding the device
+// entropy stage (extraction caps the whole device pipeline — Amdahl).
+struct XGopJob {
+  size_t begin, end;
+  std::vector<BlockRec> blocks;
+  std::vector<uint8_t> ok;
+  std::shared_ptr<RecodeModel> rec;  // GOP recorder (trace carrier)
+  int first_ok = -1;
+};
+
+static void process_gop_x(const uint8_t* data,
+                          const std::vector<SliceRec>& sl, XGopJob* job) {
+  auto recorder = std::make_shared<RecodeModel>(true);
+  std::unique_ptr<PicState> cur, prev;
+  int slice_id = 0;
+  job->blocks.resize(job->end - job->begin);
+  job->ok.assign(job->end - job->begin, 0);
+  for (size_t i = job->begin; i < job->end; i++) {
+    const SliceRec& rec = sl[i];
+    size_t k = i - job->begin;
+    bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
+    {
+      Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
+      if (esc.size() + 1 != rec.size ||
+          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
+        continue;
+    }
+    PicState scratch;
+    const PicState* cand_prev;
+    if (advance) {
+      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      cand_prev = cur.get();
+    } else {
+      scratch = *cur;
+      cand_prev = prev.get();
+    }
+    int sid = slice_id + 1;
+    const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
+    size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
+    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    recorder->reserve_trace(payload_size * 20);
+    RecodeModel::Snapshot snap = recorder->snapshot();
+    int mb_count, drop;
+    Bytes tail;
+    try {
+      Coder c;
+      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+      c.model = recorder.get();
+      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
+                    false);
+      mb_count = p.parse_slice_data(-1);
+      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+    } catch (const ParseError&) {
+      recorder->rollback(snap);
+      continue;
+    }
+    recorder->commit(snap);
+    if (advance) prev = std::move(cur);
+    cur = std::make_unique<PicState>(std::move(scratch));
+    slice_id = sid;
+    BlockRec& b = job->blocks[k];
+    b.kind = KIND_SLICE;
+    b.nal_size = rec.size;
+    b.head.assign(rec.rbsp.begin(), rec.rbsp.begin() + rec.cabac_offset);
+    b.head[0] = data[rec.offset];
+    b.mb_count = mb_count;
+    b.drop = drop;
+    b.tail = tail;
+    job->ok[k] = 1;
+    if (job->first_ok < 0) job->first_ok = (int)k;
+  }
+  if (job->first_ok >= 0) job->rec = recorder;
+}
+
+static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
+                                        int threads) {
+  Walker w(data, size);
+  std::vector<SliceRec> sl;
+  w.slices([&](const SliceRec& rec) { sl.push_back(rec); });
+
+  std::vector<XGopJob> jobs;
+  for (size_t i = 0; i < sl.size(); i++) {
+    bool start = jobs.empty() ||
+                 (sl[i].hdr.idr && sl[i].hdr.first_mb_in_slice == 0);
+    if (start) {
+      if (!jobs.empty()) jobs.back().end = i;
+      jobs.push_back({i, sl.size(), {}, {}, nullptr, -1});
+    }
+  }
+  std::atomic<size_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      size_t j = next.fetch_add(1);
+      if (j >= jobs.size()) return;
+      process_gop_x(data, sl, &jobs[j]);
+    }
+  };
+  int nt = std::max(1, std::min<int>(threads, (int)jobs.size()));
+  std::vector<std::thread> pool;
+  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+
+  XtractResult res;
+  CWriter out;
+  out.varint(w.all_sps_.size());
+  for (auto& b : w.all_sps_) out.blob(b);
+  out.varint(w.all_pps_.size());
+  for (auto& b : w.all_pps_) out.blob(b);
+  // count blocks first (literal gaps + ok slices), then emit
+  uint64_t pos = 0;
+  size_t n_blocks = 0;
+  for (auto& job : jobs)
+    for (size_t i = job.begin; i < job.end; i++) {
+      if (!job.ok[i - job.begin]) continue;
+      if (sl[i].offset > pos) n_blocks++;
+      n_blocks++;
+      pos = sl[i].offset + sl[i].size;
+    }
+  if (pos < size) n_blocks++;
+  out.varint(n_blocks);
+  pos = 0;
+  for (auto& job : jobs) {
+    for (size_t i = job.begin; i < job.end; i++) {
+      size_t k = i - job.begin;
+      if (!job.ok[k]) continue;
+      const SliceRec& rec = sl[i];
+      if (rec.offset > pos) {
+        out.u8(KIND_LITERAL);
+        out.blob(data + pos, rec.offset - pos);
+      }
+      BlockRec& b = job.blocks[k];
+      out.u8(KIND_SLICE);
+      out.varint(b.nal_size);
+      out.blob(b.head);
+      out.varint(b.mb_count);
+      out.varint(b.drop);
+      out.blob(b.tail);
+      bool carries = (int)k == job.first_ok;
+      out.u8(carries ? 1 : 0);
+      if (carries) res.traces.push_back(job.rec);
+      pos = rec.offset + rec.size;
+    }
+  }
+  if (pos < size) {
+    out.u8(KIND_LITERAL);
+    out.blob(data + pos, size - pos);
+  }
+  res.meta = std::move(out.out);
+  return res;
+}
+
 static void dump_bill() {
   fprintf(stderr, "%12s %12s %12s %10s\n", "class", "cabac_bits", "recode_bits",
           "delta");
@@ -882,9 +1037,21 @@ size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
 // Handle API, zero-copy: the returned handle owns the trace buffers; the
 // meta blob and per-trace record pointers stay valid until avtpu_xclose.
 // Returns nullptr on error.
-void* avtpu_xopen(const uint8_t* data, size_t size, int scope,
+// threads: 1=serial, 0=auto (parallel GOP jobs, gop scope only).
+void* avtpu_xopen(const uint8_t* data, size_t size, int scope, int threads,
                   const uint8_t** meta, size_t* meta_len, size_t* n_traces) {
   try {
+    if (scope == avtpu::SCOPE_GOP && threads != 1) {
+      int nt = threads > 0
+                   ? threads
+                   : std::min(16u, std::thread::hardware_concurrency());
+      auto* h = new avtpu::XtractResult(
+          avtpu::extract_open_gop_mt(data, size, nt));
+      *meta = h->meta.data();
+      *meta_len = h->meta.size();
+      *n_traces = h->traces.size();
+      return h;
+    }
     auto* h = new avtpu::XtractResult(avtpu::extract_open(data, size, scope));
     *meta = h->meta.data();
     *meta_len = h->meta.size();

@@ -389,14 +389,14 @@ def _lane_pipeline_jit(p1u16, bitw, lens, interpret, max_bytes):
     return out, nbytes, overflow, (tok, car, ftok, fcar)
 
 
-def pack_compact(bitp1, lens):
+def pack_compact(bitp1, lens, pad_lanes=LANES):
     """Host-side compact packing: int32 (p1 | bit << 16) [L, B] ->
-    (uint16 p1, int32 bit-words, int32 lens), lane/bin axes padded to the
-    kernel grid (LANES x CHUNK)."""
+    (uint16 p1, int32 bit-words, int32 lens), lane/bin axes padded to
+    (pad_lanes x CHUNK)."""
     bitp1 = np.asarray(bitp1)
     lens = np.asarray(lens, np.int32)
     L, B = bitp1.shape
-    Lp = -(-max(L, 1) // LANES) * LANES
+    Lp = -(-max(L, 1) // pad_lanes) * pad_lanes
     Bp = -(-max(B, 1) // CHUNK) * CHUNK
     if (Lp, Bp) != (L, B):
         bitp1 = np.pad(bitp1, ((0, Lp - L), (0, Bp - B)))
@@ -408,27 +408,60 @@ def pack_compact(bitp1, lens):
     return p1u16, bitw, lens
 
 
+GROUP_LB = 8  # lane-blocks (x1024 lanes) per dispatch: big groups amortize
+# the ~1 s tunnel dispatch latency; the lane axis is chunked into full
+# GROUP_LB-sized dispatches plus 1-block tail dispatches, so exactly TWO
+# shapes ever compile per B (remote compiles cost tens of seconds on axon)
+
+
 def lane_streams_device(bitp1, lens, interpret=False, bits_per_byte=4):
     """Pallas kernel + on-device finalize -> list of per-lane stream bytes.
 
+    All groups are dispatched asynchronously before any result is read
+    back, overlapping upload/compute/download across groups.
     bits_per_byte bounds the transfer buffer (M = B / bits_per_byte + 8
-    bytes per lane); lanes exceeding it (adversarial input) trigger one
-    exact host-finalize fallback on the raw tokens."""
-    L, B = np.asarray(bitp1).shape
+    bytes per lane); lanes exceeding it (adversarial input) trigger an
+    exact host-finalize fallback on that group's raw tokens."""
+    bitp1 = np.asarray(bitp1)
+    lens = np.asarray(lens, np.int32)
+    L, B = bitp1.shape
     assert B <= 1 << 15, "substream_bins > 32768 overflows 16-bit carry counts"
-    p1u16, bitw, lens_p = pack_compact(bitp1, lens)
-    M = -(-p1u16.shape[1] // bits_per_byte // 8) * 8 + 8
-    out, nbytes, overflow, raw = _lane_pipeline_jit(
-        jnp.asarray(p1u16), jnp.asarray(bitw), jnp.asarray(lens_p),
-        interpret, M
-    )
-    if bool(overflow):
-        tok, car, ftok, fcar = raw
-        return finalize_lanes(tok[:L, :B], car[:L, :B], ftok[:L], fcar[:L],
-                              np.asarray(lens))
-    out = np.asarray(out[:L])
-    nbytes = np.asarray(nbytes[:L])
-    return [bytes(out[l, : nbytes[l]]) for l in range(L)]
+    Bp = -(-max(B, 1) // CHUNK) * CHUNK
+    M = -(-Bp // bits_per_byte // 8) * 8 + 8
+    big = GROUP_LB * LANES
+
+    pending = []
+    lo = 0
+    while lo < L:
+        g = big if L - lo >= big else LANES
+        hi = min(lo + g, L)
+        p1u16, bitw, lens_p = pack_compact(bitp1[lo:hi], lens[lo:hi],
+                                           pad_lanes=g)
+        pending.append(
+            (
+                hi - lo,
+                lens[lo:hi],
+                _lane_pipeline_jit(
+                    jnp.asarray(p1u16), jnp.asarray(bitw),
+                    jnp.asarray(lens_p), interpret, M,
+                ),
+            )
+        )
+        lo = hi
+
+    streams = []
+    for n, glens, (out, nbytes, overflow, raw) in pending:
+        if bool(overflow):
+            tok, car, ftok, fcar = raw
+            streams.extend(
+                finalize_lanes(tok[:n, :B], car[:n, :B], ftok[:n], fcar[:n],
+                               glens)
+            )
+            continue
+        out = np.asarray(out[:n])
+        nb = np.asarray(nbytes[:n])
+        streams.extend(bytes(out[l, : nb[l]]) for l in range(n))
+    return streams
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +498,100 @@ def split_lanes(traces, B):
     return bitp1, lens, spans
 
 
+def auto_substream_bins(n_bins):
+    """Two-tier sub-stream length: short lanes for small workloads (a
+    populated device grid beats envelope overhead at small absolute cost),
+    long lanes once there is enough work to fill thousands of them.  Two
+    tiers keep the compiled-kernel shape count bounded (remote compiles
+    cost tens of seconds)."""
+    return 2048 if n_bins < (1 << 22) else 16384
+
+
+def split_lanes_recs(traces, B):
+    """Fast path of split_lanes for native traces: build the compact device
+    upload (uint16 p1, packed bit words) DIRECTLY from the zero-copy u64
+    record views (recs32: lo = slot|bit<<24, hi = pcab|p1<<16), skipping
+    the [L, B] int32 intermediate entirely (one pass over the records
+    instead of four)."""
+    spans = []
+    L = 0
+    for t in traces:
+        k = max(1, -(-len(t) // B))
+        spans.append((L, L + k))
+        L += k
+    Bp = -(-max(B, 1) // CHUNK) * CHUNK
+    p1u16 = np.zeros((L, Bp), np.uint16)
+    bitu8 = np.zeros((L, Bp), np.uint8)
+    lens = np.zeros(L, np.int32)
+    for t, (lo, hi) in zip(traces, spans):
+        T = len(t)
+        if not T:
+            continue
+        r32 = t.recs32()
+        flat_p1 = p1u16[lo:hi].reshape(-1)
+        flat_bit = bitu8[lo:hi].reshape(-1)
+        if Bp == B:
+            np.right_shift(r32[:, 1], 16, out=flat_p1[:T], casting="unsafe")
+            np.bitwise_and(r32[:T, 0] >> 24, 1, out=flat_bit[:T],
+                           casting="unsafe")
+        else:  # B not CHUNK-aligned: scatter each lane row's B bins
+            for j in range(hi - lo):
+                a, b = j * B, min((j + 1) * B, T)
+                row = p1u16[lo + j]
+                np.right_shift(r32[a:b, 1], 16, out=row[: b - a],
+                               casting="unsafe")
+                np.bitwise_and(r32[a:b, 0] >> 24, 1,
+                               out=bitu8[lo + j, : b - a], casting="unsafe")
+        lens[lo:hi] = B
+        lens[hi - 1] = T - (hi - lo - 1) * B
+    bitw = np.packbits(bitu8, axis=1, bitorder="little").view(np.int32)
+    return p1u16, bitw, lens, spans
+
+
+def lane_streams_device_compact(p1u16, bitw, lens, interpret=False,
+                                bits_per_byte=4):
+    """lane_streams_device on pre-packed compact arrays (see
+    split_lanes_recs); groups the lane axis like lane_streams_device."""
+    L, Bp = p1u16.shape
+    assert Bp <= 1 << 15
+    M = -(-Bp // bits_per_byte // 8) * 8 + 8
+    big = GROUP_LB * LANES
+    pending = []
+    lo = 0
+    while lo < L:
+        g = big if L - lo >= big else LANES
+        hi = min(lo + g, L)
+        pu, bw, lp = p1u16[lo:hi], bitw[lo:hi], lens[lo:hi]
+        if hi - lo < g:
+            pad = g - (hi - lo)
+            pu = np.pad(pu, ((0, pad), (0, 0)))
+            bw = np.pad(bw, ((0, pad), (0, 0)))
+            lp = np.pad(lp, (0, pad))
+        pending.append(
+            (
+                hi - lo,
+                lens[lo:hi],
+                _lane_pipeline_jit(
+                    jnp.asarray(pu), jnp.asarray(bw), jnp.asarray(lp),
+                    interpret, M,
+                ),
+            )
+        )
+        lo = hi
+    streams = []
+    for n, glens, (out, nbytes, overflow, raw) in pending:
+        if bool(overflow):
+            tok, car, ftok, fcar = raw
+            streams.extend(
+                finalize_lanes(tok[:n], car[:n], ftok[:n], fcar[:n], glens)
+            )
+            continue
+        out = np.asarray(out[:n])
+        nb = np.asarray(nbytes[:n])
+        streams.extend(bytes(out[l, : nb[l]]) for l in range(n))
+    return streams
+
+
 def encode_traces_lanes(traces, B, use_pallas=None, interpret=False,
                         encode_fn=None):
     """Device entropy stage: traces -> per-trace sub-stream ENVELOPE bytes
@@ -477,19 +604,25 @@ def encode_traces_lanes(traces, B, use_pallas=None, interpret=False,
 
     if not traces:
         return []
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (encode_fn is None and use_pallas
+            and all(hasattr(t, "recs32") for t in traces)):
+        # native traces: one-pass packing straight from the u64 records
+        p1u16, bitw, lens, spans = split_lanes_recs(traces, B)
+        streams = lane_streams_device_compact(p1u16, bitw, lens,
+                                              interpret=interpret)
+        return [_make_envelope(streams[lo:hi]) for lo, hi in spans]
     bitp1, lens, spans = split_lanes(traces, B)
     if encode_fn is not None:
         tok, car, ftok, fcar = encode_fn(jnp.asarray(bitp1), jnp.asarray(lens))
         streams = finalize_lanes(tok, car, ftok, fcar, lens)
+    elif use_pallas:
+        # Pallas kernel + on-device finalize (tunnel-friendly transfer)
+        streams = lane_streams_device(bitp1, lens, interpret=interpret)
     else:
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
-            # Pallas kernel + on-device finalize (tunnel-friendly transfer)
-            streams = lane_streams_device(bitp1, lens, interpret=interpret)
-        else:
-            tok, car, ftok, fcar = lane_encode_scan(
-                jnp.asarray(bitp1), jnp.asarray(lens)
-            )
-            streams = finalize_lanes(tok, car, ftok, fcar, lens)
+        tok, car, ftok, fcar = lane_encode_scan(
+            jnp.asarray(bitp1), jnp.asarray(lens)
+        )
+        streams = finalize_lanes(tok, car, ftok, fcar, lens)
     return [_make_envelope(streams[lo:hi]) for lo, hi in spans]

@@ -30,19 +30,22 @@ from ..ops.estimator_jax import encode_slices, stream_bytes
 from ..utils.container import KIND_SLICE, SCOPE_SLICE
 
 
-def extract_traces(data, use_native=None, scope="slice"):
+def extract_traces(data, use_native=None, scope="slice", threads=0):
     """Host stage: parse + verify all slices, returning (container pieces,
     traces).  Slice blocks reference their trace in the stream slot (GOP
     scope: one trace per GOP on its first slice block, b"" continuations).
 
     Uses the native (C++) extractor when built — ~50x the Python parser —
-    falling back to the Python reference implementation (slice scope only)."""
+    falling back to the Python reference implementation (slice scope only).
+    threads: 0=auto (parallel GOP jobs, gop scope), 1=serial."""
     if use_native is None or use_native:
         try:
             from ..host import native
 
             if native.available():
-                sps, pps, blocks, traces = native.extract(bytes(data), scope)
+                sps, pps, blocks, traces = native.extract(
+                    bytes(data), scope, threads=threads
+                )
                 return sps, pps, blocks, traces, {"native": True}
         except Exception:
             if use_native:
@@ -130,6 +133,10 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None,
 
         scope = "gop" if native.available() else "slice"
     sps, pps, blocks, traces, stats = extract_traces(data, scope=scope)
+    if substream_bins == "auto":
+        from ..ops.lane_coder import auto_substream_bins
+
+        substream_bins = auto_substream_bins(sum(len(t) for t in traces))
     if not traces:
         from ..codec import compress
 
