@@ -704,7 +704,10 @@ static void process_gop_x(const uint8_t* data,
     job->ok[k] = 1;
     if (job->first_ok < 0) job->first_ok = (int)k;
   }
-  if (job->first_ok >= 0) job->rec = recorder;
+  if (job->first_ok >= 0) {
+    recorder->finalize_trace();  // slot remap inside the worker thread
+    job->rec = recorder;
+  }
 }
 
 static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
@@ -1068,6 +1071,7 @@ void* avtpu_xopen(const uint8_t* data, size_t size, int scope, int threads,
 void avtpu_xtrace(void* handle, size_t i, const uint64_t** recs,
                   size_t* n_bins, const uint8_t** limits, size_t* n_slots) {
   auto* h = (avtpu::XtractResult*)handle;
+  h->traces[i]->finalize_trace();  // no-op when the worker already did
   const avtpu::RecodeModel::Trace* t = h->traces[i]->trace();
   *recs = t->recs.data();
   *n_bins = t->recs.size();

@@ -94,102 +94,111 @@ class CabacDecoder {
   uint32_t range_, offset_;
 };
 
+// Byte-queue encoder core: `low` carries the 10-bit active window at bits
+// [0,10) and every renormalization shift stacks the departing bit above it;
+// whole BYTES are popped off the stack with carry deferral (0xFF bytes are
+// escrowed in a run counter until a non-0xFF byte fences them), replacing
+// the spec's bit-at-a-time PutBit/outstanding loop.  The spec's dropped
+// first bit rides the FIRST pop's carry into a dummy leading byte (queue
+// starts at -9: the first pop extracts 9 bits).  Output is byte-identical
+// to the bit-loop formulation (differential-tested on random streams and
+// on every corpus slice via verify_tail).
+struct CabacByteQueue {
+  uint64_t low_ = 0;
+  int queue_ = -9;
+  uint64_t ffrun_ = 0;
+  Bytes out_{0};  // dummy byte: absorbs the dropped-first-bit carry
+
+  inline void shift(int n) {
+    low_ <<= n;
+    queue_ += n;
+    if (queue_ >= 0) pop();
+  }
+  void pop() {
+    do {
+      unsigned out = (unsigned)(low_ >> (queue_ + 10));
+      low_ &= (((uint64_t)0x400 << queue_) - 1);
+      queue_ -= 8;
+      if ((out & 0xFF) == 0xFF) {
+        ffrun_++;
+      } else {
+        unsigned carry = out >> 8;
+        out_.back() = (uint8_t)(out_.back() + carry);
+        for (; ffrun_; ffrun_--) out_.push_back((uint8_t)(0xFF + carry));
+        out_.push_back((uint8_t)(out & 0xFF));
+      }
+    } while (queue_ >= 0);
+  }
+  // final-flush tail: 3 finale bits were already shifted in by the caller;
+  // pad with zero bits to the byte boundary (effective pending data bits =
+  // queue+8: the first pop consumes 9), resolve the 0xFF escrow, drop the
+  // dummy byte
+  void finish() {
+    int ep = queue_ + 8;
+    low_ &= ~(uint64_t)0x3FF;
+    int pad = (8 - (ep & 7)) & 7;
+    if (pad) shift(pad);
+    for (; ffrun_; ffrun_--) out_.push_back(0xFF);
+    out_.erase(out_.begin());
+  }
+};
+
 class CabacEncoder {
  public:
   void decision(CtxStates& st, int ctx, int bin) {
     uint8_t s = st.s[ctx];
     int pstate = s >> 1, mps = s & 1;
-    int r_lps = kRangeTabLPS[4 * pstate + ((range_ >> 6) & 3)];
+    uint32_t r_lps = kRangeTabLPS[4 * pstate + ((range_ >> 6) & 3)];
     range_ -= r_lps;
     if (bin != mps) {
-      low_ += range_;
+      q_.low_ += range_;
       range_ = r_lps;
       if (pstate == 0) mps ^= 1;
       st.s[ctx] = (uint8_t)((kTransIdxLPS[pstate] << 1) | mps);
     } else {
       st.s[ctx] = (uint8_t)((kTransIdxMPS[pstate] << 1) | mps);
     }
-    renorm();
+    if (range_ < 256) {
+      int n = __builtin_clz(range_) - 23;
+      q_.shift(n);
+      range_ <<= n;
+    }
   }
 
   void bypass(int bin) {
-    low_ <<= 1;
-    if (bin) low_ += range_;
-    if (low_ >= 1024) {
-      put_bit(1);
-      low_ -= 1024;
-    } else if (low_ < 512) {
-      put_bit(0);
-    } else {
-      low_ -= 512;
-      outstanding_++;
-    }
+    q_.low_ <<= 1;
+    q_.queue_ += 1;
+    if (bin) q_.low_ += range_;
+    if (q_.queue_ >= 0) q_.pop();
   }
 
   void terminate(int bin) {
     range_ -= 2;
     if (bin) {
-      low_ += range_;
+      q_.low_ += range_;
       flush();
-    } else {
-      renorm();
+    } else if (range_ < 256) {
+      int n = __builtin_clz(range_) - 23;
+      q_.shift(n);
+      range_ <<= n;
     }
   }
 
-  const Bytes& bytes() const { return out_; }
-  size_t size() const { return out_.size(); }
+  const Bytes& bytes() const { return q_.out_; }
+  size_t size() const { return q_.out_.size(); }
 
  private:
-  void write_bit(int b) {
-    bitbuf_ = (bitbuf_ << 1) | b;
-    if (++bitcnt_ == 8) {
-      out_.push_back((uint8_t)bitbuf_);
-      bitbuf_ = 0;
-      bitcnt_ = 0;
-    }
-  }
-  void put_bit(int b) {
-    if (first_) {
-      first_ = false;
-    } else {
-      write_bit(b);
-    }
-    while (outstanding_ > 0) {
-      write_bit(1 - b);
-      outstanding_--;
-    }
-  }
-  void renorm() {
-    while (range_ < 256) {
-      if (low_ < 256) {
-        put_bit(0);
-      } else if (low_ >= 512) {
-        low_ -= 512;
-        put_bit(1);
-      } else {
-        low_ -= 256;
-        outstanding_++;
-      }
-      range_ <<= 1;
-      low_ <<= 1;
-    }
-  }
   void flush() {
-    range_ = 2;
-    renorm();
-    put_bit((low_ >> 9) & 1);
-    uint32_t v = ((low_ >> 7) & 3) | 1;
-    write_bit((v >> 1) & 1);
-    write_bit(v & 1);
-    while (bitcnt_ != 0) write_bit(0);
+    q_.shift(7);                 // range 2 -> 256 renorm
+    q_.shift(1);                 // (low >> 9) & 1
+    q_.shift(1);                 // (low >> 8) & 1
+    q_.low_ |= (uint64_t)1 << 9; // stop bit
+    q_.shift(1);
+    q_.finish();
   }
 
-  uint32_t low_ = 0, range_ = 510;
-  bool first_ = true;
-  uint64_t outstanding_ = 0;
-  uint32_t bitbuf_ = 0;
-  int bitcnt_ = 0;
-  Bytes out_;
+  CabacByteQueue q_;
+  uint32_t range_ = 510;
 };
 
 // Fused CABAC decode + bit-exact re-encode (the compress-side "verify"
@@ -203,20 +212,19 @@ class CabacXcoder {
  public:
   CabacXcoder(const uint8_t* data, size_t size) : data_(data), size_(size) {
     range_ = 510;
-    offset_ = 0;
-    for (int i = 0; i < 9; i++) offset_ = (offset_ << 1) | bit();
+    offset_ = take(9);
   }
 
   int decision(CtxStates& st, int ctx) {
     uint8_t s = st.s[ctx];
     int pstate = s >> 1, mps = s & 1;
-    int r_lps = kRangeTabLPS[4 * pstate + ((range_ >> 6) & 3)];
+    uint32_t r_lps = kRangeTabLPS[4 * pstate + ((range_ >> 6) & 3)];
     range_ -= r_lps;
     int bin;
     if (offset_ >= range_) {
       bin = mps ^ 1;
       offset_ -= range_;
-      elow_ += range_;  // encoder LPS path uses the same post-sub range
+      q_.low_ += range_;  // encoder LPS path uses the same post-sub range
       range_ = r_lps;
       if (pstate == 0) mps ^= 1;
       st.s[ctx] = (uint8_t)((kTransIdxLPS[pstate] << 1) | mps);
@@ -224,114 +232,86 @@ class CabacXcoder {
       bin = mps;
       st.s[ctx] = (uint8_t)((kTransIdxMPS[pstate] << 1) | mps);
     }
-    while (range_ < 256) {
-      range_ <<= 1;
-      offset_ = (offset_ << 1) | bit();
-      renorm_step();
+    if (range_ < 256) {
+      int n = __builtin_clz(range_) - 23;
+      offset_ = (offset_ << n) | take(n);
+      range_ <<= n;
+      q_.shift(n);
     }
     return bin;
   }
 
   int bypass() {
-    offset_ = (offset_ << 1) | bit();
+    offset_ = (offset_ << 1) | take(1);
     int b = 0;
     if (offset_ >= range_) {
       offset_ -= range_;
       b = 1;
     }
-    elow_ <<= 1;
-    if (b) elow_ += range_;
-    if (elow_ >= 1024) {
-      put_bit(1);
-      elow_ -= 1024;
-    } else if (elow_ < 512) {
-      put_bit(0);
-    } else {
-      elow_ -= 512;
-      outstanding_++;
-    }
+    q_.low_ <<= 1;
+    q_.queue_ += 1;
+    if (b) q_.low_ += range_;
+    if (q_.queue_ >= 0) q_.pop();
     return b;
   }
 
   int terminate() {
     range_ -= 2;
     if (offset_ >= range_) {
-      elow_ += range_;
+      q_.low_ += range_;
       flush();
       return 1;
     }
-    while (range_ < 256) {
-      range_ <<= 1;
-      offset_ = (offset_ << 1) | bit();
-      renorm_step();
+    if (range_ < 256) {
+      int n = __builtin_clz(range_) - 23;
+      offset_ = (offset_ << n) | take(n);
+      range_ <<= n;
+      q_.shift(n);
     }
     return 0;
   }
 
   size_t bitpos() const { return bitpos_; }
-  const Bytes& bytes() const { return out_; }
+  const Bytes& bytes() const { return q_.out_; }
 
  private:
-  int bit() {
-    size_t byte_i = bitpos_ >> 3;
-    int b = byte_i < size_ ? (data_[byte_i] >> (7 - (bitpos_ & 7))) & 1 : 0;
-    bitpos_++;
-    return b;
-  }
-  // one encoder renorm iteration (CabacEncoder::renorm body, minus the
-  // range bookkeeping the decoder already did)
-  void renorm_step() {
-    if (elow_ < 256) {
-      put_bit(0);
-    } else if (elow_ >= 512) {
-      elow_ -= 512;
-      put_bit(1);
-    } else {
-      elow_ -= 256;
-      outstanding_++;
-    }
-    elow_ <<= 1;
-  }
-  void write_bit(int b) {
-    bitbuf_ = (bitbuf_ << 1) | b;
-    if (++bitcnt_ == 8) {
-      out_.push_back((uint8_t)bitbuf_);
-      bitbuf_ = 0;
-      bitcnt_ = 0;
+  // 64-bit MSB-aligned input window: refills 8 bytes at a time (zeros past
+  // the end, mirroring the decoder's zero-fill), replacing per-bit indexed
+  // loads; bitpos_ counts CONSUMED bits (the billing/trace anchor)
+  inline void refill() {
+    while (iav_ <= 56) {
+      uint64_t b = inext_ < size_ ? data_[inext_] : 0;
+      inext_++;
+      iwin_ |= b << (56 - iav_);
+      iav_ += 8;
     }
   }
-  void put_bit(int b) {
-    if (first_) {
-      first_ = false;
-    } else {
-      write_bit(b);
-    }
-    while (outstanding_ > 0) {
-      write_bit(1 - b);
-      outstanding_--;
-    }
+  inline uint32_t take(int n) {
+    if (n == 0) return 0;
+    if (iav_ < n) refill();
+    uint32_t v = (uint32_t)(iwin_ >> (64 - n));
+    iwin_ <<= n;
+    iav_ -= n;
+    bitpos_ += n;
+    return v;
   }
   void flush() {
-    // encoder-only final renorm with range=2 (7 doublings), then stop bits
-    for (uint32_t r = 2; r < 256; r <<= 1) renorm_step();
-    put_bit((elow_ >> 9) & 1);
-    uint32_t v = ((elow_ >> 7) & 3) | 1;
-    write_bit((v >> 1) & 1);
-    write_bit(v & 1);
-    while (bitcnt_ != 0) write_bit(0);
+    q_.shift(7);                 // range 2 -> 256 renorm (encoder side only)
+    q_.shift(1);                 // (low >> 9) & 1
+    q_.shift(1);                 // (low >> 8) & 1
+    q_.low_ |= (uint64_t)1 << 9; // stop bit
+    q_.shift(1);
+    q_.finish();
   }
 
   const uint8_t* data_;
   size_t size_;
   size_t bitpos_ = 0;
+  uint64_t iwin_ = 0;
+  int iav_ = 0;
+  size_t inext_ = 0;
   uint32_t range_, offset_;
-  // encoder half
-  uint32_t elow_ = 0;
-  bool first_ = true;
-  uint64_t outstanding_ = 0;
-  uint32_t bitbuf_ = 0;
-  int bitcnt_ = 0;
-  Bytes out_;
+  CabacByteQueue q_;  // fused bit-exact re-encoder (verify pass)
 };
 
 }  // namespace avtpu

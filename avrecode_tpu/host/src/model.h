@@ -123,19 +123,24 @@ struct DivTab {
 inline const DivTab kDiv{};
 
 // Thread-local estimator pool: generation stamps make per-model init O(1).
-// One 16-byte cell per key (pos/neg/slot/gen together) so the per-bin touch
-// path costs a single cache line, not one per parallel array.
+// One 8-byte cell per key (pos/neg/gen) — half the cache footprint of the
+// round-1 16-byte layout (the recorder slot id moved to an export-time
+// remap pass, out of the per-bin path).  gen is u32: the counter advances
+// once per model/snapshot (one per slice), so wrap needs 4e9 slices — the
+// ensure() guard resets the pool long before.
 struct EstPool {
   struct Cell {
     uint16_t pos, neg;
-    uint32_t slot;  // recorder slot id (large GOPs exceed 64k keys)
-    uint64_t gen;
+    uint32_t gen;
   };
   std::vector<Cell> cells;
-  uint64_t gen_counter = 0;
+  uint32_t gen_counter = 0;
 
   void ensure() {
-    if (cells.empty()) cells.assign(kKeys.total, Cell{0, 0, 0, 0});
+    if (cells.empty() || gen_counter > 0xFFFFFF00u) {
+      cells.assign(kKeys.total, Cell{0, 0, 0});
+      gen_counter = 0;
+    }
   }
 };
 inline thread_local EstPool tls_pool;
@@ -151,7 +156,8 @@ class RecodeModel {
   // kernels.  A single push_back per bin; a single buffer to ship.
   struct Trace {
     std::vector<uint64_t> recs;
-    std::vector<uint8_t> limits;  // per slot
+    std::vector<uint8_t> limits;  // per slot (built by finalize_trace)
+    bool finalized = false;
   };
 
   // encode mode (recording=true: trace recorder, no entropy coding)
@@ -205,9 +211,11 @@ class RecodeModel {
   void put_bit(uint64_t key, int bit, int pcab = 0) {
     uint32_t i = touch(key);
     if (trace_) {
+      // records carry the DENSE key index (fits 24 bits); finalize_trace()
+      // remaps to first-appearance slot ids in one export-time pass
       uint32_t p1 = prob(i, pcab);
       trace_->recs.push_back(
-          (uint64_t)(pool_->cells[i].slot | ((uint32_t)bit << 24)) |
+          (uint64_t)(i | ((uint32_t)bit << 24)) |
           ((uint64_t)(uint32_t)pcab << 32) | ((uint64_t)p1 << 48));
       adapt(i, key, bit);
       return;
@@ -300,6 +308,47 @@ class RecodeModel {
 
   Bytes finish() { return enc_->finish(); }
   const Trace* trace() const { return trace_; }
+
+  // Export-time trace finalization: remap dense key indices (written by
+  // put_bit) to first-appearance slot ids and build the per-slot halving
+  // limits.  One linear pass, run inside the (threaded) extraction worker —
+  // this keeps the recorder slot id OUT of the per-bin hot path and the
+  // estimator cell at 8 bytes.
+  void finalize_trace() {
+    if (!trace_ || trace_->finalized) return;
+    trace_->finalized = true;
+    static thread_local std::vector<uint32_t> remap, rstamp;
+    static thread_local uint32_t rgen = 0;
+    if (remap.size() != kKeys.total) {
+      remap.assign(kKeys.total, 0);
+      rstamp.assign(kKeys.total, 0);
+      rgen = 0;
+    }
+    if (++rgen == 0) {
+      std::fill(rstamp.begin(), rstamp.end(), 0u);
+      rgen = 1;
+    }
+    for (auto& r : trace_->recs) {
+      uint32_t i = (uint32_t)r & 0xFFFFFF;
+      uint32_t slot;
+      if (rstamp[i] == rgen) {
+        slot = remap[i];
+      } else {
+        rstamp[i] = rgen;
+        slot = (uint32_t)trace_->limits.size();
+        remap[i] = slot;
+        // class of index i = last cls with base[cls] <= i
+        uint32_t lo = 0, hi = K_NCLS - 1;
+        while (lo < hi) {
+          uint32_t mid = (lo + hi + 1) >> 1;
+          if (kKeys.base[mid] <= i) lo = mid;
+          else hi = mid - 1;
+        }
+        trace_->limits.push_back(lo == K_SIG ? kHalveSig : kHalveDefault);
+      }
+      r = (r & ~(uint64_t)0xFFFFFF) | slot;
+    }
+  }
   // pre-size the record buffer (driver estimates bins from payload size);
   // grows geometrically so repeated per-slice calls never trigger
   // linear-chain reallocations
@@ -330,19 +379,10 @@ class RecodeModel {
   uint32_t touch(uint64_t key) {
     uint32_t i = kKeys.index(key);
     EstPool::Cell& c = pool_->cells[i];
-    uint64_t g = c.gen;
+    uint32_t g = c.gen;
     if (g == epoch_) return i;
     journal_.push_back({i, c.pos, c.neg, g});
-    if (g < start_gen_) {
-      // fresh for this model: init (rollback to prev_gen below start_gen_
-      // restores freshness, which also voids the slot assignment)
-      c.pos = c.neg = 1;
-      if (trace_) {
-        c.slot = (uint32_t)trace_->limits.size();
-        trace_->limits.push_back(
-            (key >> 40) == K_SIG ? kHalveSig : kHalveDefault);
-      }
-    }
+    if (g < start_gen_) c.pos = c.neg = 1;  // fresh for this model
     c.gen = epoch_;
     return i;
   }
@@ -375,11 +415,11 @@ class RecodeModel {
   struct Undo {
     uint32_t idx;
     uint16_t pos, neg;
-    uint64_t prev_gen;
+    uint32_t prev_gen;
   };
 
   EstPool* pool_ = nullptr;
-  uint64_t start_gen_ = 0, epoch_ = 0;
+  uint32_t start_gen_ = 0, epoch_ = 0;
   std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;
   RangeDecoder* dec_ = nullptr;
