@@ -72,7 +72,11 @@ struct PicState {
   std::vector<uint8_t> nnz_luma_dc;            // [h*w]
   std::vector<uint8_t> nnz_chroma_dc;          // [h*w*2]
   std::vector<uint8_t> nnz_chroma_ac;          // [h*w*16] comp*8+sub
-  std::vector<int32_t> mvd;                    // [2*h*w*16*2] abs values
+  // abs mvd clamped to 33: the only reader (parse_mvd's 2-neighbor sum)
+  // classifies s into {<3, <=32, >32}, and min(v,33) preserves that
+  // classification exactly while keeping the array (the biggest per-picture
+  // zero/copy cost) at 1 byte per entry
+  std::vector<uint8_t> mvd;                    // [2*h*w*16*2]
   std::vector<int8_t> refidx;                  // [2*h*w*4]
 
   void init(int W, int H) {
@@ -508,8 +512,9 @@ class SliceParser {
       for (int xx = x0; xx < x0 + w4; xx++) {
         int b = G.raster_to_blk4[yy * 4 + xx];
         size_t base = (((size_t)lst * H_ * W_ + mb(mbx_, mby_)) * 16 + b) * 2;
-        pic_->mvd[base] = vx < 0 ? -vx : vx;
-        pic_->mvd[base + 1] = vy < 0 ? -vy : vy;
+        int ax = vx < 0 ? -vx : vx, ay = vy < 0 ? -vy : vy;
+        pic_->mvd[base] = (uint8_t)(ax < 33 ? ax : 33);
+        pic_->mvd[base + 1] = (uint8_t)(ay < 33 ? ay : 33);
       }
   }
   void parse_mvd_part(int lst, int blk, int w4, int h4) {
