@@ -45,6 +45,7 @@ def _load():
         ctypes.c_size_t,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_size_t),
@@ -131,6 +132,11 @@ class NativeTrace:
         import numpy as np
 
         if self._slots is None:
+            if len(self.limits) == 0 and len(self.recs):
+                raise ValueError(
+                    "trace extracted with want_slots=False: slot ids were "
+                    "not remapped (lane-parallel consumers read bit/p1 only)"
+                )
             self._slots = (self.recs & 0xFFFFFF).astype(np.int32)
         return self._slots
 
@@ -159,7 +165,7 @@ class NativeTrace:
         return self._p1s
 
 
-def extract(data, scope="slice", threads=1):
+def extract(data, scope="slice", threads=1, want_slots=True):
     """Native host stage of the device pipeline: returns
     (sps_list, pps_list, blocks, traces) matching codec._scan_blocks
     output for the scope.  Slice scope: every slice block carries its
@@ -168,7 +174,11 @@ def extract(data, scope="slice", threads=1):
     Trace record arrays are zero-copy views over native memory, kept
     alive by the traces themselves.
 
-    threads: 1=serial, 0=auto (parallel GOP jobs, gop scope only)."""
+    threads: 1=serial, 0=auto (parallel GOP jobs, gop scope only).
+    want_slots=False skips the export-time slot remap / halving-limit
+    build (model.h::finalize_trace): the lane-parallel device coder reads
+    only (bit, p1) from the records, fields the remap never touches, so
+    traces land one pass cheaper.  slots/limits are then unavailable."""
     import numpy as np
 
     from ..utils.container import KIND_LITERAL, KIND_SLICE, Reader
@@ -180,7 +190,7 @@ def extract(data, scope="slice", threads=1):
     meta_len = ctypes.c_size_t()
     n_traces = ctypes.c_size_t()
     ptr = lib.avtpu_xopen(
-        bytes(data), len(data), scope_id, threads,
+        bytes(data), len(data), scope_id, threads, 1 if want_slots else 0,
         ctypes.byref(meta_p), ctypes.byref(meta_len), ctypes.byref(n_traces),
     )
     if not ptr:

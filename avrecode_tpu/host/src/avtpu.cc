@@ -504,6 +504,9 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
 struct XtractResult {
   Bytes meta;
   std::vector<std::shared_ptr<RecodeModel>> traces;
+  // lane-parallel consumers read only (bit, p1) from the records — fields
+  // the slot remap never touches — so finalize_trace can be skipped
+  bool want_slots = true;
 };
 
 static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
@@ -644,7 +647,8 @@ struct XGopJob {
 };
 
 static void process_gop_x(const uint8_t* data,
-                          const std::vector<SliceRec>& sl, XGopJob* job) {
+                          const std::vector<SliceRec>& sl, XGopJob* job,
+                          bool want_slots) {
   auto recorder = std::make_shared<RecodeModel>(true);
   std::unique_ptr<PicState> cur, prev;
   int slice_id = 0;
@@ -705,13 +709,13 @@ static void process_gop_x(const uint8_t* data,
     if (job->first_ok < 0) job->first_ok = (int)k;
   }
   if (job->first_ok >= 0) {
-    recorder->finalize_trace();  // slot remap inside the worker thread
+    if (want_slots) recorder->finalize_trace();  // slot remap in the worker
     job->rec = recorder;
   }
 }
 
 static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
-                                        int threads) {
+                                        int threads, bool want_slots) {
   Walker w(data, size);
   std::vector<SliceRec> sl;
   w.slices([&](const SliceRec& rec) { sl.push_back(rec); });
@@ -730,7 +734,7 @@ static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
     for (;;) {
       size_t j = next.fetch_add(1);
       if (j >= jobs.size()) return;
-      process_gop_x(data, sl, &jobs[j]);
+      process_gop_x(data, sl, &jobs[j], want_slots);
     }
   };
   int nt = std::max(1, std::min<int>(threads, (int)jobs.size()));
@@ -740,6 +744,7 @@ static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
   for (auto& t : pool) t.join();
 
   XtractResult res;
+  res.want_slots = want_slots;
   CWriter out;
   out.varint(w.all_sps_.size());
   for (auto& b : w.all_sps_) out.blob(b);
@@ -1042,20 +1047,22 @@ size_t avtpu_decompress(const uint8_t* data, size_t size, uint8_t** out) {
 // Returns nullptr on error.
 // threads: 1=serial, 0=auto (parallel GOP jobs, gop scope only).
 void* avtpu_xopen(const uint8_t* data, size_t size, int scope, int threads,
-                  const uint8_t** meta, size_t* meta_len, size_t* n_traces) {
+                  int want_slots, const uint8_t** meta, size_t* meta_len,
+                  size_t* n_traces) {
   try {
     if (scope == avtpu::SCOPE_GOP && threads != 1) {
       int nt = threads > 0
                    ? threads
                    : std::min(16u, std::thread::hardware_concurrency());
       auto* h = new avtpu::XtractResult(
-          avtpu::extract_open_gop_mt(data, size, nt));
+          avtpu::extract_open_gop_mt(data, size, nt, want_slots != 0));
       *meta = h->meta.data();
       *meta_len = h->meta.size();
       *n_traces = h->traces.size();
       return h;
     }
     auto* h = new avtpu::XtractResult(avtpu::extract_open(data, size, scope));
+    h->want_slots = want_slots != 0;
     *meta = h->meta.data();
     *meta_len = h->meta.size();
     *n_traces = h->traces.size();
@@ -1071,7 +1078,8 @@ void* avtpu_xopen(const uint8_t* data, size_t size, int scope, int threads,
 void avtpu_xtrace(void* handle, size_t i, const uint64_t** recs,
                   size_t* n_bins, const uint8_t** limits, size_t* n_slots) {
   auto* h = (avtpu::XtractResult*)handle;
-  h->traces[i]->finalize_trace();  // no-op when the worker already did
+  if (h->want_slots)
+    h->traces[i]->finalize_trace();  // no-op when the worker already did
   const avtpu::RecodeModel::Trace* t = h->traces[i]->trace();
   *recs = t->recs.data();
   *n_bins = t->recs.size();

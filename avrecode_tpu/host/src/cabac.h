@@ -279,6 +279,17 @@ class CabacXcoder {
   // the end, mirroring the decoder's zero-fill), replacing per-bit indexed
   // loads; bitpos_ counts CONSUMED bits (the billing/trace anchor)
   inline void refill() {
+    if (inext_ + 8 <= size_) {
+      // bulk path: one unaligned big-endian load refills the whole window
+      uint64_t v;
+      __builtin_memcpy(&v, data_ + inext_, 8);
+      v = __builtin_bswap64(v);
+      int take_bytes = (64 - iav_) >> 3;
+      iwin_ |= v >> iav_;
+      iav_ += take_bytes * 8;
+      inext_ += take_bytes;
+      return;
+    }
     while (iav_ <= 56) {
       uint64_t b = inext_ < size_ ? data_[inext_] : 0;
       inext_++;

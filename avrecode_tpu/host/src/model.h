@@ -208,22 +208,38 @@ class RecodeModel {
   }
   RecodeModel(const RecodeModel&) = delete;
 
-  void put_bit(uint64_t key, int bit, int pcab = 0) {
+  // Split per-bin path: prepare() resolves the estimator cell and the mixed
+  // probability; commit() runs the entropy coder + adaptation.  Callers that
+  // know the key BEFORE the CABAC decode (Coder::bin) call prepare() first so
+  // the model's load chain (cell -> divtab -> mix) overlaps the CABAC
+  // decoder's serial range/offset chain instead of queuing behind it — the
+  // single biggest host hot-path cost (sampled profile: put_bit ~48% self).
+  struct Prep {
+    uint32_t idx;
+    uint32_t p1;
+    int pcab;
+  };
+  Prep prepare(uint64_t key, int pcab = 0) {
     uint32_t i = touch(key);
+    return Prep{i, prob(i, pcab), pcab};
+  }
+  void commit(const Prep& pp, uint64_t key, int bit) {
     if (trace_) {
       // records carry the DENSE key index (fits 24 bits); finalize_trace()
       // remaps to first-appearance slot ids in one export-time pass
-      uint32_t p1 = prob(i, pcab);
       trace_->recs.push_back(
-          (uint64_t)(i | ((uint32_t)bit << 24)) |
-          ((uint64_t)(uint32_t)pcab << 32) | ((uint64_t)p1 << 48));
-      adapt(i, key, bit);
+          (uint64_t)(pp.idx | ((uint32_t)bit << 24)) |
+          ((uint64_t)(uint32_t)pp.pcab << 32) | ((uint64_t)pp.p1 << 48));
+      adapt(pp.idx, key, bit);
       return;
     }
     size_t n0 = bill ? enc_->out_size() : 0;
-    enc_->put(bit, prob(i, pcab));
+    enc_->put(bit, pp.p1);
     if (bill) bill[key >> 40] += (enc_->out_size() - n0) * 8;
-    adapt(i, key, bit);
+    adapt(pp.idx, key, bit);
+  }
+  void put_bit(uint64_t key, int bit, int pcab = 0) {
+    commit(prepare(key, pcab), key, bit);
   }
 
   // optional per-class recode-bit ledger (the "Avrecode Bill",

@@ -163,13 +163,18 @@ struct Coder {
     bill_anchor = p;
   }
 
-  // unified modeled bin
+  // unified modeled bin.  Compress order matters for throughput: the model
+  // probability (cell load -> divtab -> mix) is prepared BEFORE the CABAC
+  // decode so the two serial dependency chains overlap (model.h::prepare).
   int bin(int ctx, uint64_t key) {
     if (is_compress) {
       int pcab = cabac_p1(ctx);
+      RecodeModel::Prep pp;
+      if (model) pp = model->prepare(key, pcab);
       int b = raw_bin(ctx);
-      bill_mark((uint32_t)(key >> 40));
-      if (model) model->put_bit(key, b, pcab);
+      if (__builtin_expect(cabac_bill != nullptr, 0))
+        bill_mark((uint32_t)(key >> 40));
+      if (model) model->commit(pp, key, b);
       return b;
     }
     int b = model->get_bit(key, cabac_p1(ctx));
@@ -178,9 +183,12 @@ struct Coder {
   }
   int bypass(uint64_t key) {
     if (is_compress) {
+      RecodeModel::Prep pp;
+      if (model) pp = model->prepare(key, 0);
       int b = raw_bypass();
-      bill_mark((uint32_t)(key >> 40));
-      if (model) model->put_bit(key, b, 0);
+      if (__builtin_expect(cabac_bill != nullptr, 0))
+        bill_mark((uint32_t)(key >> 40));
+      if (model) model->commit(pp, key, b);
       return b;
     }
     int b = model->get_bit(key, 0);

@@ -30,7 +30,8 @@ from ..ops.estimator_jax import encode_slices, stream_bytes
 from ..utils.container import KIND_SLICE, SCOPE_SLICE
 
 
-def extract_traces(data, use_native=None, scope="slice", threads=0):
+def extract_traces(data, use_native=None, scope="slice", threads=0,
+                   want_slots=True):
     """Host stage: parse + verify all slices, returning (container pieces,
     traces).  Slice blocks reference their trace in the stream slot (GOP
     scope: one trace per GOP on its first slice block, b"" continuations).
@@ -44,7 +45,8 @@ def extract_traces(data, use_native=None, scope="slice", threads=0):
 
             if native.available():
                 sps, pps, blocks, traces = native.extract(
-                    bytes(data), scope, threads=threads
+                    bytes(data), scope, threads=threads,
+                    want_slots=want_slots,
                 )
                 return sps, pps, blocks, traces, {"native": True}
         except Exception:
@@ -132,7 +134,10 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None,
         from ..host import native
 
         scope = "gop" if native.available() else "slice"
-    sps, pps, blocks, traces, stats = extract_traces(data, scope=scope)
+    # the lane-parallel coder (substream_bins > 0) reads only (bit, p1):
+    # skip the export-time slot remap pass in the native extractor
+    sps, pps, blocks, traces, stats = extract_traces(
+        data, scope=scope, want_slots=not substream_bins)
     if substream_bins == "auto":
         from ..ops.lane_coder import auto_substream_bins
 
