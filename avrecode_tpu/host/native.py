@@ -61,6 +61,12 @@ def _load():
     ]
     lib.avtpu_xclose.restype = None
     lib.avtpu_xclose.argtypes = [ctypes.c_void_p]
+    lib.avtpu_refscore.restype = ctypes.c_int
+    lib.avtpu_refscore.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_double),
+    ]
     lib.avtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return _LIB
@@ -253,3 +259,36 @@ def decompress(blob, threads=1):
         return ctypes.string_at(out, n)
     finally:
         lib.avtpu_free(out)
+
+
+def refscore(data):
+    """Reference-model replay (src/refscore.h): returns the idealized
+    recode-stream size the reference recoder's probability model would
+    produce for this file's CABAC payloads, for the ratio-parity table
+    (reference recode.cpp:683-827 keying, 1037-1054 estimator dynamics).
+
+    Returns a dict: ref_stream_bytes, payload_bytes, slices_ok,
+    slices_failed, bins, bits_{ctx,bypass,terminate,nnz,sig}, and
+    ref_file_bytes = len(data) - payload + ref_stream (every non-CABAC
+    byte charged 1:1, protobuf/container overhead uncounted — favors the
+    reference)."""
+    lib = _load()
+    assert lib is not None
+    out = (ctypes.c_double * 10)()
+    rc = lib.avtpu_refscore(bytes(data), len(data), out)
+    if rc:
+        raise RuntimeError("refscore failed")
+    d = {
+        "ref_stream_bytes": out[0],
+        "payload_bytes": int(out[1]),
+        "slices_ok": int(out[2]),
+        "slices_failed": int(out[3]),
+        "bins": int(out[4]),
+        "bits_ctx": out[5],
+        "bits_bypass": out[6],
+        "bits_terminate": out[7],
+        "bits_nnz": out[8],
+        "bits_sig": out[9],
+    }
+    d["ref_file_bytes"] = len(data) - d["payload_bytes"] + d["ref_stream_bytes"]
+    return d

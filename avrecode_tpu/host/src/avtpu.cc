@@ -1002,6 +1002,78 @@ Bytes decompress(const uint8_t* data, size_t size, int threads) {
   return out;
 }
 
+// ------------------------------------------------------ reference scorer --
+// Serial whole-file walk with the reference-model replay attached
+// (refscore.h) and no model of our own: produces the reference's idealized
+// recode-stream size for the ratio-parity table (BENCHMARKS.md).
+// out[0]=ref stream bytes  out[1]=cabac payload bytes  out[2]=slices ok
+// out[3]=slices failed     out[4]=bins scored
+// out[5..9]=bits by class (ctx, bypass, terminate, nnz, sig)
+static int refscore_run(const uint8_t* data, size_t size, double* out) {
+  Walker w(data, size);
+  RefScorer sc;
+  sc.kRefSig8x8 = kSig8x8;  // frame row == recode.cpp sig_coeff_flag_offset_8x8[0]
+  std::unique_ptr<PicState> cur, prev;
+  uint64_t payload_bytes = 0, n_ok = 0, n_failed = 0;
+  int slice_id = 0;
+
+  w.slices([&](const SliceRec& rec) {
+    {
+      Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
+      if (esc.size() + 1 != rec.size ||
+          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
+        return;
+    }
+    bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
+    PicState scratch;
+    const PicState* cand_prev;
+    if (advance) {
+      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      cand_prev = cur.get();
+    } else {
+      scratch = *cur;
+      cand_prev = prev.get();
+    }
+    int sid = slice_id + 1;
+    const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
+    size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
+    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    if (advance)  // reference frame_spec hook fires at slice start
+      sc.frame_start(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+    sc.begin_slice();
+    try {
+      Coder c;
+      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+      c.ref = &sc;
+      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
+                    /*isolate=*/false);
+      p.parse_slice_data(-1);
+      int drop;
+      Bytes tail;
+      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+    } catch (const ParseError&) {
+      // the reference (full ffmpeg decoder) would have recoded this slice;
+      // excluded from BOTH sides of the comparison (estimator pollution from
+      // the partial walk noted; zero failures on the bench corpus)
+      n_failed++;
+      return;
+    }
+    sc.commit_slice();
+    payload_bytes += payload_size;
+    n_ok++;
+    if (advance) prev = std::move(cur);
+    cur = std::make_unique<PicState>(std::move(scratch));
+    slice_id = sid;
+  });
+  out[0] = sc.stream_bytes;
+  out[1] = (double)payload_bytes;
+  out[2] = (double)n_ok;
+  out[3] = (double)n_failed;
+  out[4] = (double)sc.n_bins;
+  for (int i = 0; i < 5; i++) out[5 + i] = sc.bits[i];
+  return 0;
+}
+
 }  // namespace avtpu
 
 // ----------------------------------------------------------------- C API --
@@ -1088,6 +1160,16 @@ void avtpu_xtrace(void* handle, size_t i, const uint64_t** recs,
 }
 
 void avtpu_xclose(void* handle) { delete (avtpu::XtractResult*)handle; }
+
+// Reference-model replay scorer (refscore.h); out must hold 10 doubles.
+// Returns 0 on success, -1 on internal error.
+int avtpu_refscore(const uint8_t* data, size_t size, double* out) {
+  try {
+    return avtpu::refscore_run(data, size, out);
+  } catch (...) {
+    return -1;
+  }
+}
 
 void avtpu_free(uint8_t* p) { free(p); }
 

@@ -7,6 +7,7 @@
 #include "cabac.h"
 #include "h264.h"
 #include "model.h"
+#include "refscore.h"
 
 namespace avtpu {
 
@@ -110,6 +111,7 @@ struct Coder {
   CabacXcoder* xc = nullptr;     // compress: fused decode + verify re-encode
   CabacEncoder enc;              // decompress: output
   RecodeModel* model = nullptr;  // may be null (validation pass)
+  RefScorer* ref = nullptr;      // optional reference-model replay (refscore.h)
   const uint8_t* payload = nullptr;
   size_t payload_size = 0;
   uint64_t n_bins = 0;
@@ -145,6 +147,7 @@ struct Coder {
   int raw_terminate() {
     int b = xc->terminate();
     n_bins++;
+    if (__builtin_expect(ref != nullptr, 0)) ref->terminate_bin(b);
     return b;
   }
   // decompress primitives
@@ -174,6 +177,7 @@ struct Coder {
       int b = raw_bin(ctx);
       if (__builtin_expect(cabac_bill != nullptr, 0))
         bill_mark((uint32_t)(key >> 40));
+      if (__builtin_expect(ref != nullptr, 0)) ref->ctx_bin(ctx, b);
       if (model) model->commit(pp, key, b);
       return b;
     }
@@ -188,6 +192,7 @@ struct Coder {
       int b = raw_bypass();
       if (__builtin_expect(cabac_bill != nullptr, 0))
         bill_mark((uint32_t)(key >> 40));
+      if (__builtin_expect(ref != nullptr, 0)) ref->bypass_bin(b);
       if (model) model->commit(pp, key, b);
       return b;
     }
@@ -621,6 +626,64 @@ class SliceParser {
     }
   }
 
+  // reference-scorer geometry: scan8-equivalent sub-block slot + left/above
+  // neighbors with PICTURE-bounds-only availability (recode.cpp:426-478
+  // get_neighbor_sub_mb checks mb_x/mb_y > 0 only — not slice membership).
+  // Slot layout (any self-consistent layout with the same neighbor topology
+  // is faithful): luma 4x4 raster 0-15, chroma AC 16 + comp*16 + sub,
+  // luma DC 48, chroma DC 49+comp; 8x8 blocks live in their quadrant's
+  // top-left 4x4 slot (the reference rounds scan8 down to a multiple of 4)
+  void ref_sig_geometry(int cat, int blk, int* slot, RefScorer::Neighbor* L,
+                        RefScorer::Neighbor* A) const {
+    auto mb_level = [&](int s) {
+      *slot = s;
+      if (mbx_ > 0) { L->has = true; L->mbx = mbx_ - 1; L->mby = mby_; L->slot = s; }
+      if (mby_ > 0) { A->has = true; A->mbx = mbx_; A->mby = mby_ - 1; A->slot = s; }
+    };
+    switch (cat) {
+      case CAT_LUMA_DC: mb_level(48); break;
+      case CAT_CHROMA_DC: mb_level(49 + blk); break;
+      case CAT_CHROMA_AC: {
+        int comp = blk >> 3, sub = blk & 7;
+        *slot = 16 + comp * 16 + sub;
+        int nmbx, nmby, nsub;
+        chroma_neighbor(sub, -1, 0, &nmbx, &nmby, &nsub);
+        if (nmbx >= 0) { L->has = true; L->mbx = nmbx; L->mby = nmby;
+                         L->slot = 16 + comp * 16 + nsub; }
+        chroma_neighbor(sub, 0, -1, &nmbx, &nmby, &nsub);
+        if (nmby >= 0) { A->has = true; A->mbx = nmbx; A->mby = nmby;
+                         A->slot = 16 + comp * 16 + nsub; }
+        break;
+      }
+      case CAT_LUMA_8x8: {
+        int x8 = G.blk4_x[blk] >> 1, y8 = G.blk4_y[blk] >> 1;
+        *slot = y8 * 2 * 4 + x8 * 2;
+        if (x8 > 0) { L->has = true; L->mbx = mbx_; L->mby = mby_;
+                      L->slot = y8 * 2 * 4 + (x8 - 1) * 2; }
+        else if (mbx_ > 0) { L->has = true; L->mbx = mbx_ - 1; L->mby = mby_;
+                             L->slot = y8 * 2 * 4 + 2; }
+        if (y8 > 0) { A->has = true; A->mbx = mbx_; A->mby = mby_;
+                      A->slot = (y8 - 1) * 2 * 4 + x8 * 2; }
+        else if (mby_ > 0) { A->has = true; A->mbx = mbx_; A->mby = mby_ - 1;
+                             A->slot = 2 * 4 + x8 * 2; }
+        break;
+      }
+      default: {  // CAT_LUMA_AC / CAT_LUMA_4x4: 4x4 grid
+        int x4 = G.blk4_x[blk], y4 = G.blk4_y[blk];
+        *slot = y4 * 4 + x4;
+        if (x4 > 0) { L->has = true; L->mbx = mbx_; L->mby = mby_;
+                      L->slot = y4 * 4 + x4 - 1; }
+        else if (mbx_ > 0) { L->has = true; L->mbx = mbx_ - 1; L->mby = mby_;
+                             L->slot = y4 * 4 + 3; }
+        if (y4 > 0) { A->has = true; A->mbx = mbx_; A->mby = mby_;
+                      A->slot = (y4 - 1) * 4 + x4; }
+        else if (mby_ > 0) { A->has = true; A->mbx = mbx_; A->mby = mby_ - 1;
+                             A->slot = 3 * 4 + x4; }
+        break;
+      }
+    }
+  }
+
   int parse_residual_block(int cat, int blk, bool is_intra_b, bool has_cbf,
                            int nnz_prior) {
     int is_intra = is_intra_b ? 1 : 0;
@@ -673,6 +736,19 @@ class SliceParser {
         n_sig++;
       }
       nnz = n_sig;
+      if (__builtin_expect(c->ref != nullptr, 0)) {
+        // our Cat enum -> ffmpeg residual category (recode.cpp cat_lookup
+        // indexing): luma DC 0, luma AC 1, luma 4x4 2, chroma DC 3,
+        // chroma AC 4, luma 8x8 5
+        static const int kFfCat[6] = {0, 1, 2, 3, 4, 5};
+        int slot;
+        RefScorer::Neighbor L, A;
+        ref_sig_geometry(cat, blk, &slot, &L, &A);
+        int is_dc = cat == CAT_LUMA_DC || cat == CAT_CHROMA_DC;
+        int c422 = cat == CAT_CHROMA_DC && ch422_;
+        c->ref->sig_block(mbx_, mby_, slot, L, A, kFfCat[cat], max_coeff,
+                          is_dc, c422, sig, nnz);
+      }
       if (c->model) c->model->put_nnz(nnz, cat, max_coeff, nnz_prior);
       replay_sig(cat, sig, nnz, sig_ctx, last_ctx, max_coeff, pcabs, nullptr,
                  is_intra ? 1 : 0);
