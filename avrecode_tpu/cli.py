@@ -9,6 +9,8 @@ Options (before the command):
   --scope stream|gop|slice   model scope (default gop: parallel-decodable)
   --threads N                0=auto, 1=serial (gop scope parallelism)
   --python                   force the Python reference implementation
+  --hosts N                  shard each file over N simulated hosts
+                             (GOP-range fragments + stitch, gop scope)
 
 The corpus driver mirrors test.cpp:113-148 (the -ms fork's addition) with
 structured collection instead of stderr scraping: per file it records
@@ -23,7 +25,7 @@ import time
 
 from .codec import compress as py_compress, decompress as py_decompress
 
-OPTS = {"scope": "gop", "threads": 0, "python": False}
+OPTS = {"scope": "gop", "threads": 0, "python": False, "hosts": 0}
 
 
 def compress(data, verbose=False):
@@ -31,6 +33,18 @@ def compress(data, verbose=False):
         from .host import native
 
         if native.available():
+            if OPTS["hosts"] > 1 and OPTS["scope"] == "gop":
+                # multi-host mode: each "host" recodes its GOP shard, the
+                # fragments stitch into one container (parallel/multihost.py;
+                # run single-machine here, the same code path a real
+                # jax.distributed deployment drives per process)
+                from .parallel.multihost import compress_sharded, stitch
+
+                return stitch(
+                    compress_sharded(data, i, OPTS["hosts"],
+                                     threads=OPTS["threads"])
+                    for i in range(OPTS["hosts"])
+                )
             return native.compress(data, OPTS["scope"], OPTS["threads"])
     return py_compress(data, verbose=verbose, scope=OPTS["scope"])
 
@@ -183,6 +197,8 @@ def main(argv=None):
             OPTS["threads"] = int(argv.pop(0))
         elif opt == "--python":
             OPTS["python"] = True
+        elif opt == "--hosts":
+            OPTS["hosts"] = int(argv.pop(0))
         else:
             print(f"unknown option {opt}", file=sys.stderr)
             return 2

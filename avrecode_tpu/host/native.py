@@ -67,6 +67,18 @@ def _load():
         ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.avtpu_gop_count.restype = ctypes.c_int
+    lib.avtpu_gop_count.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.avtpu_compress_gops.restype = ctypes.c_size_t
+    lib.avtpu_compress_gops.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.avtpu_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return _LIB
@@ -292,3 +304,37 @@ def refscore(data):
     }
     d["ref_file_bytes"] = len(data) - d["payload_bytes"] + d["ref_stream_bytes"]
     return d
+
+
+def gop_count(data):
+    """GOP count from the cheap NAL + slice-header scan (no CABAC parse):
+    the multi-host work decomposition unit."""
+    lib = _load()
+    assert lib is not None
+    n = lib.avtpu_gop_count(bytes(data), len(data))
+    if n < 0:
+        raise ValueError("gop scan failed")
+    return n
+
+
+def compress_gops(data, lo, hi, threads=1):
+    """Container FRAGMENT for GOPs [lo, hi) (gop scope).  Fragment 0
+    carries the AVTR header; the fragment containing the last GOP carries
+    the trailing literal; no fragment carries the end marker — join the
+    fragments in order and append END (see parallel.multihost.stitch) to
+    get a container byte-identical to compress(data, scope='gop') when
+    every slice recodes.  Returns (fragment_bytes, total_gops)."""
+    lib = _load()
+    assert lib is not None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    total = ctypes.c_int()
+    n = lib.avtpu_compress_gops(
+        bytes(data), len(data), lo, hi, threads,
+        ctypes.byref(out), ctypes.byref(total)
+    )
+    if not out:
+        raise ValueError("compress_gops failed")
+    try:
+        return ctypes.string_at(out, n), total.value
+    finally:
+        lib.avtpu_free(out)

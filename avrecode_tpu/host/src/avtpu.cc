@@ -419,7 +419,18 @@ static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
   if (first_ok >= 0) job->blocks[first_ok].sstream = model.finish();
 }
 
-static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
+// GOP-range container fragment (multi-host sharding, SURVEY.md §2/§7 B6):
+// processes only GOPs [lo, hi) and emits their block region.  Fragment 0
+// (lo<=0) carries the AVTR header; the fragment containing the last GOP
+// carries the trailing literal; NO fragment carries the end marker (the
+// stitcher appends it), so stitching is pure concatenation and the result
+// is byte-identical to the single-process container whenever every slice
+// recodes (failed slices may split one literal across a fragment boundary
+// into two adjacent literals — still a valid, losslessly decodable
+// container).  total_out (optional) receives the file's GOP count.
+static Bytes compress_gops_range(const uint8_t* data, size_t size,
+                                 int threads, int lo, int hi,
+                                 int* total_out) {
   Walker w(data, size);
   std::vector<SliceRec> sl;
   w.slices([&](const SliceRec& rec) { sl.push_back(rec); });
@@ -434,33 +445,50 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
       jobs.push_back({i, sl.size(), {}, {}});
     }
   }
-  std::atomic<size_t> next{0};
+  int total = (int)jobs.size();
+  if (total_out) *total_out = total;
+  bool emit_head = lo <= 0;
+  CWriter out;
+  if (emit_head) {
+    out.out.insert(out.out.end(), {'A', 'V', 'T', 'R'});
+    out.u8(kVersion);
+    out.u8(0);
+    out.u16(SCOPE_GOP);
+    out.varint(0);  // substream_bins
+    out.varint(w.all_sps_.size());
+    for (auto& b : w.all_sps_) out.blob(b);
+    out.varint(w.all_pps_.size());
+    for (auto& b : w.all_pps_) out.blob(b);
+  }
+  if (total == 0) {
+    if (emit_head && size) {  // sliceless input: one whole-file literal
+      out.u8(KIND_LITERAL);
+      out.blob(data, size);
+    }
+    return out.out;
+  }
+  lo = std::max(0, std::min(lo, total));
+  hi = std::max(lo, std::min(hi < 0 ? total : hi, total));
+  if (lo == hi) return out.out;  // empty shard (more hosts than GOPs)
+
+  std::atomic<size_t> next{(size_t)lo};
   auto worker = [&]() {
     for (;;) {
       size_t j = next.fetch_add(1);
-      if (j >= jobs.size()) return;
+      if (j >= (size_t)hi) return;
       process_gop(data, sl, &jobs[j]);
     }
   };
-  int nt = std::max(1, std::min<int>(threads, (int)jobs.size()));
+  int nt = std::max(1, std::min<int>(threads, hi - lo));
   std::vector<std::thread> pool;
   for (int t = 1; t < nt; t++) pool.emplace_back(worker);
   worker();
   for (auto& t : pool) t.join();
 
-  // stitch: literals between recoded NALs + slice blocks in order
-  CWriter out;
-  out.out.insert(out.out.end(), {'A', 'V', 'T', 'R'});
-  out.u8(kVersion);
-  out.u8(0);
-  out.u16(SCOPE_GOP);
-  out.varint(0);  // substream_bins
-  out.varint(w.all_sps_.size());
-  for (auto& b : w.all_sps_) out.blob(b);
-  out.varint(w.all_pps_.size());
-  for (auto& b : w.all_pps_) out.blob(b);
-  uint64_t pos = 0;
-  for (auto& job : jobs) {
+  // literals between recoded NALs + slice blocks in order
+  uint64_t pos = lo == 0 ? 0 : sl[jobs[lo].begin].offset;
+  for (int g = lo; g < hi; g++) {
+    GopJob& job = jobs[g];
     for (size_t i = job.begin; i < job.end; i++) {
       size_t k = i - job.begin;
       if (!job.ok[k]) continue;
@@ -480,13 +508,21 @@ static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
       pos = rec.offset + rec.size;
     }
   }
-  if (pos < size) {
+  uint64_t bound = hi == total ? size : sl[jobs[hi].begin].offset;
+  if (pos < bound) {
     out.u8(KIND_LITERAL);
-    out.blob(data + pos, size - pos);
+    out.blob(data + pos, bound - pos);
   }
-  out.u8(KIND_END);
-  out.varint(0);
   return out.out;
+}
+
+static Bytes compress_gop_mt(const uint8_t* data, size_t size, int threads) {
+  Bytes out = compress_gops_range(data, size, threads, 0, -1, nullptr);
+  CWriter end;
+  end.out = std::move(out);
+  end.u8(KIND_END);
+  end.varint(0);
+  return end.out;
 }
 
 // -------------------------------------------------------- trace extract --
@@ -1160,6 +1196,42 @@ void avtpu_xtrace(void* handle, size_t i, const uint64_t** recs,
 }
 
 void avtpu_xclose(void* handle) { delete (avtpu::XtractResult*)handle; }
+
+// Cheap GOP index (NAL + slice-header scan only, no CABAC parse): the
+// multi-host work decomposition (parallel/multihost.py).
+int avtpu_gop_count(const uint8_t* data, size_t size) {
+  try {
+    avtpu::Walker w(data, size);
+    int n = 0;
+    bool any = false;
+    w.slices([&](const avtpu::SliceRec& rec) {
+      if (!any || (rec.hdr.idr && rec.hdr.first_mb_in_slice == 0)) n++;
+      any = true;
+    });
+    return n;
+  } catch (...) {
+    return -1;
+  }
+}
+
+// Container fragment for GOPs [lo, hi) — see compress_gops_range.
+// total_gops (optional) receives the file's GOP count.
+size_t avtpu_compress_gops(const uint8_t* data, size_t size, int gop_lo,
+                           int gop_hi, int threads, uint8_t** out,
+                           int* total_gops) {
+  try {
+    int nt = threads > 0 ? threads
+                         : std::min(16u, std::thread::hardware_concurrency());
+    avtpu::Bytes v =
+        avtpu::compress_gops_range(data, size, nt, gop_lo, gop_hi, total_gops);
+    *out = (uint8_t*)malloc(v.size() ? v.size() : 1);
+    memcpy(*out, v.data(), v.size());
+    return v.size();
+  } catch (...) {
+    *out = nullptr;
+    return 0;
+  }
+}
 
 // Reference-model replay scorer (refscore.h); out must hold 10 doubles.
 // Returns 0 on success, -1 on internal error.

@@ -64,22 +64,30 @@ def global_metrics_psum(local_metrics, mesh):
     return np.asarray(gathered).sum(axis=0)
 
 
-def compress_sharded(data, process_id, num_processes):
-    """Per-process compression of this process's GOP range.
+def compress_sharded(data, process_id, num_processes, threads=0):
+    """Per-process compression of this process's contiguous GOP range.
 
-    Each process parses the (cheap) slice index, takes its contiguous GOP
-    range, and compresses ONLY those GOPs via the native library; process 0
-    stitches the sub-containers.  Used by tools/multihost_demo.py; the
-    stitching path reuses the container's block framing (GOP blocks are
-    position-independent given their literals).
-    """
-    from ..h264.stream import StreamWalker
+    The cheap GOP index (NAL + slice-header scan, native.gop_count) gives
+    the work decomposition; this process then parses and recodes ONLY its
+    GOPs (native.compress_gops), returning a container FRAGMENT: fragment
+    0 carries the AVTR header, the fragment holding the last GOP carries
+    the trailing literal, no fragment carries the end marker.  GOPs are
+    entropy-independent at gop scope, so no cross-host state is exchanged
+    — only the fragments themselves ride DCN to process 0 for stitch().
 
-    w = StreamWalker(bytes(data))
-    gop_starts = []
-    for rec in w.slices():
-        if rec.header.idr and rec.header.first_mb_in_slice == 0 or not gop_starts:
-            gop_starts.append(rec.nal_index)
-    n_gops = max(1, len(gop_starts))
-    lo, hi = shard_gop_ranges(n_gops, num_processes)[process_id]
-    return n_gops, (lo, hi)
+    Returns fragment bytes (b"" for an empty shard when hosts > GOPs)."""
+    from ..host import native
+
+    n = max(1, native.gop_count(data))
+    lo, hi = shard_gop_ranges(n, num_processes)[process_id]
+    frag, _total = native.compress_gops(data, lo, hi, threads=threads)
+    return frag
+
+
+def stitch(fragments):
+    """Process-0 assembly of ordered per-process fragments into one
+    container: pure concatenation + the end marker.  Byte-identical to
+    native.compress(data, scope='gop') whenever every slice recodes."""
+    from ..utils.container import KIND_END
+
+    return b"".join(fragments) + bytes([KIND_END, 0])

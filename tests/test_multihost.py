@@ -66,6 +66,91 @@ print(f"proc {proc_id} OK total={int(total)}")
 """
 
 
+STITCH_WORKER = r"""
+import os, sys
+import numpy as np
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; clip = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=proc_id)
+sys.path.insert(0, os.environ["AVT_ROOT"])
+from jax.experimental import multihost_utils
+from avrecode_tpu.host import native
+from avrecode_tpu.parallel import multihost
+
+data = open(clip, "rb").read()
+# each process recodes ONLY its GOP range; fragments ride the distributed
+# backend (the DCN stand-in) to every process via allgather
+frag = multihost.compress_sharded(data, proc_id, 2, threads=1)
+lens = multihost_utils.process_allgather(np.array([len(frag)], np.int32))
+m = int(lens.max())
+buf = np.zeros(m, np.uint8)
+buf[: len(frag)] = np.frombuffer(frag, np.uint8)
+allb = multihost_utils.process_allgather(buf)
+frags = [bytes(allb[i][: int(lens[i][0])]) for i in range(2)]
+st = multihost.stitch(frags)
+assert st == native.compress(data, scope="gop"), "stitched != single-process"
+assert native.decompress(st) == data, "stitched container roundtrip failed"
+print(f"proc {proc_id} STITCH-OK bytes={len(st)}")
+"""
+
+
+def _run_pair(worker, extra_args=()):
+    port = 0
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["AVT_ROOT"] = os.path.abspath(ROOT)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(i), coord, *extra_args],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append(out)
+    return procs, outs
+
+
+def test_two_process_stitched_container():
+    """Full multi-host recode: two jax.distributed processes each compress
+    their GOP shard, fragments allgathered, process-0 stitch is
+    byte-identical to the single-process container and roundtrips."""
+    from avrecode_tpu.host import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    clip = os.path.join(ROOT, "data", "mid.mp4")
+    if not os.path.exists(clip):
+        gen = os.path.join(ROOT, "tools", "genvideo")
+        subprocess.run(
+            [gen, clip, "640", "480", "120", "30", "24", "1", "26", "7", "1"],
+            check=True,
+            capture_output=True,
+        )
+    procs, outs = _run_pair(STITCH_WORKER, (clip,))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "STITCH-OK" in out
+
+
 def test_two_process_distributed():
     port = 0
     with socket.socket() as s:

@@ -6,17 +6,31 @@ that our actual container beats the reference's idealized size there.
 """
 
 import os
+import subprocess
 
 import pytest
 
 from avrecode_tpu.host import native
 
 DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+GEN = os.path.join(os.path.dirname(__file__), "..", "tools", "genvideo")
+
+
+def _clip():
+    path = os.path.join(DATA, "mid.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "640", "480", "120", "30", "24", "1", "26", "7", "1"],
+            check=True,
+            capture_output=True,
+        )
+    with open(path, "rb") as f:
+        return f.read()
 
 
 @pytest.mark.skipif(not native.available(), reason="native library not built")
 def test_refscore_runs_and_we_win():
-    data = open(os.path.join(DATA, "mid.mp4"), "rb").read()
+    data = _clip()
     d = native.refscore(data)
     assert d["slices_failed"] == 0
     assert d["slices_ok"] > 0
