@@ -50,7 +50,7 @@ int main(int argc, char** argv) {
   int reps = argc > 2 ? atoi(argv[2]) : 5;
   char mode = argc > 3 ? argv[3][0] : 'c';
   int threads = argc > 4 ? atoi(argv[4]) : 1;
-  const int scope = 1;  // gop
+  const int scope = 2;  // gop
 
   uint8_t* comp = nullptr;
   size_t comp_n =
