@@ -1110,6 +1110,80 @@ static int refscore_run(const uint8_t* data, size_t size, double* out) {
   return 0;
 }
 
+// -------------------------------------------------------------- mix lab --
+// Serial whole-file walk with the model-upgrade laboratory attached
+// (mixlab.h): candidate vs production probability model on the real bin
+// stream, GOP-scoped like the production model.
+// params: [variant, lr, w_est, w_cab, sse_rate]
+// out: [bits_base, bits_mix, n_bins, slices_ok, slices_failed]
+static int mixlab_run(const uint8_t* data, size_t size, const double* params,
+                      double* out) {
+  Walker w(data, size);
+  MixLab lab;
+  lab.variant = (int)params[0];
+  lab.lr = params[1];
+  lab.w_est = params[2];
+  lab.w_cab = params[3];
+  lab.sse_rate = params[4];
+  std::unique_ptr<PicState> cur, prev;
+  uint64_t n_ok = 0, n_failed = 0;
+  int slice_id = 0;
+  bool started = false;
+
+  w.slices([&](const SliceRec& rec) {
+    {
+      Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
+      if (esc.size() + 1 != rec.size ||
+          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
+        return;
+    }
+    if (!started || (rec.hdr.idr && rec.hdr.first_mb_in_slice == 0)) {
+      started = true;
+      lab.gop_start();
+      cur.reset();
+      prev.reset();
+    }
+    bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
+    PicState scratch;
+    const PicState* cand_prev;
+    if (advance) {
+      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      cand_prev = cur.get();
+    } else {
+      scratch = *cur;
+      cand_prev = prev.get();
+    }
+    int sid = slice_id + 1;
+    const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
+    size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
+    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    try {
+      Coder c;
+      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+      c.mix = &lab;
+      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
+                    /*isolate=*/false);
+      p.parse_slice_data(-1);
+      int drop;
+      Bytes tail;
+      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+    } catch (const ParseError&) {
+      n_failed++;
+      return;
+    }
+    n_ok++;
+    if (advance) prev = std::move(cur);
+    cur = std::make_unique<PicState>(std::move(scratch));
+    slice_id = sid;
+  });
+  out[0] = lab.bits_base;
+  out[1] = lab.bits_mix;
+  out[2] = (double)lab.n_bins;
+  out[3] = (double)n_ok;
+  out[4] = (double)n_failed;
+  return 0;
+}
+
 }  // namespace avtpu
 
 // ----------------------------------------------------------------- C API --
@@ -1230,6 +1304,16 @@ size_t avtpu_compress_gops(const uint8_t* data, size_t size, int gop_lo,
   } catch (...) {
     *out = nullptr;
     return 0;
+  }
+}
+
+// Model-upgrade laboratory (mixlab.h); params[5], out[5].
+int avtpu_mixlab(const uint8_t* data, size_t size, const double* params,
+                 double* out) {
+  try {
+    return avtpu::mixlab_run(data, size, params, out);
+  } catch (...) {
+    return -1;
   }
 }
 

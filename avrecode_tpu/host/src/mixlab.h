@@ -1,0 +1,253 @@
+// Offline mixing laboratory — measures candidate probability-model
+// upgrades (logistic mixing, SSE/APM) against the production model on the
+// REAL bin/key/pcab stream, before committing to the byte-identical
+// Python/C++ mirror discipline.  Hooked into Coder like RefScorer; float
+// math is fine here (the lab picks the design, production re-measures its
+// integerization).  Costs are idealized -log2(p) bits.
+//
+// Baseline V0 replicates RecodeModel::prob()/adapt() exactly (same dense
+// KeySpace, same divtab-free math) and is validated against real
+// gop-scope stream sizes by tools/mixlab.py.
+#pragma once
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+#include "model.h"
+
+namespace avtpu {
+
+class MixLab {
+ public:
+  // variant: 0 baseline only; 1 logistic mix (per-class weights);
+  // 2 logistic mix (class x confidence-bucket weights); 3 baseline + SSE;
+  // 4 variant-2 + SSE
+  int variant = 1;
+  double lr = 0.02;        // mixer learning rate
+  double w_est = 3.0;      // initial weight: counter-estimator input
+  double w_cab = 3.0;      // initial weight: CABAC-prior input
+  double sse_rate = 5;     // APM adaptation shift
+  double bits_base = 0, bits_mix = 0;
+  uint64_t n_bins = 0;
+
+  MixLab() {
+    pos_.assign(kKeys.total, 1);
+    neg_.assign(kKeys.total, 1);
+    size_t nw = (size_t)K_NCLS * NBUCK * 3;
+    w_.assign(nw, 0.0);
+    winit_.assign((size_t)K_NCLS * NBUCK, 0);
+    // APM: class x 33 stretch buckets, cell = probability in [0,1]
+    apm_.assign((size_t)K_NCLS * 33, -1.0);
+  }
+
+  void gop_start() {  // production model scope: per-GOP reset
+    std::fill(pos_.begin(), pos_.end(), 1);
+    std::fill(neg_.begin(), neg_.end(), 1);
+    std::fill(w_.begin(), w_.end(), 0.0);
+    std::fill(apm_.begin(), apm_.end(), -1.0);
+    winit_.assign((size_t)K_NCLS * NBUCK, 0);
+    wi_.assign((size_t)K_NCLS * 3, 0);
+    for (uint32_t c = 0; c < K_NCLS; c++) {
+      wi_[(size_t)c * 3 + 0] = 24576;  // 0.375
+      wi_[(size_t)c * 3 + 1] = 24576;
+      wi_[(size_t)c * 3 + 2] = 0;
+    }
+  }
+
+  void on_bin(uint64_t key, int pcab, int bit) {
+    uint32_t i = kKeys.index(key);
+    uint32_t cls = (uint32_t)(key >> 40);
+    int pos = pos_[i], neg = neg_[i], total = pos + neg;
+
+    // --- V0: exact production probability (model.h::prob) ---
+    int32_t p = (int32_t)(((int64_t)pos << 16) / total);
+    if (p > 0xFFFF) p = 0xFFFF;
+    if (pcab > 0) {
+      int32_t w = 4 * total < 78 ? 4 * total : 78;
+      p = (p * w + pcab * (80 - w)) / 80;
+      if (p < 1) p = 1;
+      if (p > 0xFFFF) p = 0xFFFF;
+    }
+    double pb = p / 65536.0;
+    bits_base += -std::log2(bit ? pb : 1.0 - pb);
+
+    // --- candidate ---
+    double pm = pb;
+    if (variant == 6) {
+      // int32-safe production formulation: weights 16-frac clamped to
+      // +-2^24, dot via (w>>6)*x >> 10 (the update keeps full weight
+      // precision; only the dot truncates to 10-frac)
+      init_int_tables();
+      int32_t* w = &wi_[(size_t)cls * 3];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      if (pe > 0xFFFF) pe = 0xFFFF;
+      if (pe < 1) pe = 1;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x2 = 77;
+      int32_t dot =
+          ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * x2) >> 10;
+      if (dot < -2048) dot = -2048;
+      if (dot > 2047) dot = 2047;
+      int32_t p16 = kSquash[dot + 2048];
+      pm = p16 / 65536.0;
+      int32_t err = (bit << 16) - p16;
+      for (int k = 0; k < 3; k++) {
+        int32_t x = k == 0 ? x0 : k == 1 ? x1 : x2;
+        int32_t wn = w[k] + ((err * x) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
+    if (variant == 5) {
+      // exact-integer formulation (the production design): 12-bit stretch/
+      // squash tables, per-class {w_est, w_cab, w_bias} int32 1/65536,
+      // update dw = (err * x) >> 14  (lr ~= 0.0156)
+      init_int_tables();
+      int32_t* w = &wi_[(size_t)cls * 3];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      if (pe > 0xFFFF) pe = 0xFFFF;
+      if (pe < 1) pe = 1;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x2 = 77;
+      int64_t dot64 = (int64_t)w[0] * x0 + (int64_t)w[1] * x1 +
+                      (int64_t)w[2] * x2;
+      int32_t dot = (int32_t)(dot64 >> 16);
+      if (dot < -2048) dot = -2048;
+      if (dot > 2047) dot = 2047;
+      int32_t p16 = kSquash[dot + 2048];
+      pm = p16 / 65536.0;
+      int32_t err = (bit << 16) - p16;
+      w[0] += (err * x0) >> 14;
+      w[1] += (err * x1) >> 14;
+      w[2] += (err * x2) >> 14;
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
+    if (variant == 1 || variant == 2 || variant == 4) {
+      int buck = variant == 1 ? 0 : conf_bucket(total);
+      double* w = &w_[((size_t)cls * NBUCK + buck) * 3];
+      if (!winit_[(size_t)cls * NBUCK + buck]) {
+        winit_[(size_t)cls * NBUCK + buck] = 1;
+        w[0] = w_est / 8.0;
+        w[1] = w_cab / 8.0;
+        w[2] = 0.0;
+      }
+      double pe = std::min(65535, std::max(1, (int)(((int64_t)pos << 16) /
+                                                    total))) / 65536.0;
+      double x0 = st(pe);
+      double x1 = pcab > 0 ? st(pcab / 65536.0) : 0.0;
+      double x2 = 0.3;  // bias input
+      double dot = w[0] * x0 + w[1] * x1 + w[2] * x2;
+      pm = sq(dot);
+      double err = lr * (bit - pm);
+      w[0] += err * x0;
+      w[1] += err * x1;
+      w[2] += err * x2;
+    }
+    if (variant == 3 || variant == 4) pm = apm(cls, pm, bit);
+    pm = std::min(65535.5 / 65536.0, std::max(0.5 / 65536.0, pm));
+    bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+    n_bins++;
+
+    // --- production adaptation (shared by V0 and candidates) ---
+    if (bit)
+      pos_[i]++;
+    else
+      neg_[i]++;
+    int limit = cls == K_SIG ? kHalveSig : kHalveDefault;
+    if (pos_[i] + neg_[i] > limit) {
+      pos_[i] = (pos_[i] + 1) >> 1;
+      neg_[i] = (neg_[i] + 1) >> 1;
+    }
+  }
+
+  // mirror of RecodeModel::put_nnz key generation (pcab = 0)
+  void on_nnz(int nnz, int cat, int max_coeff, int prior) {
+    int v = nnz - 1, nb = 0;
+    while ((max_coeff - 1) >> nb) nb++;
+    uint32_t prefix = 0, pb = prior < 15 ? prior : 15;
+    for (int i = nb - 1; i >= 0; i--) {
+      int bit = (v >> i) & 1;
+      on_bin(mkey(K_NNZ, cat, i, prefix, pb), 0, bit);
+      prefix = (prefix << 1) | bit;
+    }
+  }
+
+ private:
+  void adapt_only(uint32_t i, uint32_t cls, int bit) {
+    if (bit)
+      pos_[i]++;
+    else
+      neg_[i]++;
+    int limit = cls == K_SIG ? kHalveSig : kHalveDefault;
+    if (pos_[i] + neg_[i] > limit) {
+      pos_[i] = (pos_[i] + 1) >> 1;
+      neg_[i] = (neg_[i] + 1) >> 1;
+    }
+  }
+
+  void init_int_tables() {
+    if (!kSquash.empty()) return;
+    kStretch.resize(4096);
+    kSquash.resize(4096);
+    for (int q = 0; q < 4096; q++) {
+      double p = (q * 16 + 8) / 65536.0;
+      int s = (int)std::lround(256.0 * std::log(p / (1.0 - p)));
+      kStretch[q] = std::max(-2047, std::min(2047, s));
+    }
+    for (int s = 0; s < 4096; s++) {
+      double p = 65536.0 / (1.0 + std::exp(-(s - 2048) / 256.0));
+      int v = (int)std::lround(p);
+      kSquash[s] = std::max(1, std::min(65535, v));
+    }
+  }
+
+  static constexpr int NBUCK = 8;
+  static int conf_bucket(int total) {  // total in [2, 96]
+    int b = 0;
+    int t = total >> 1;
+    while (t > 1 && b < NBUCK - 1) {
+      t >>= 1;
+      b++;
+    }
+    return b;
+  }
+  static double st(double p) { return std::log(p / (1.0 - p)); }
+  static double sq(double x) { return 1.0 / (1.0 + std::exp(-x)); }
+
+  // PAQ-style APM: per (cls, stretch bucket) probability cell, linear
+  // interpolation between the two neighboring buckets; cells init lazily
+  // to the identity (the incoming probability itself)
+  double apm(uint32_t cls, double pin, int bit) {
+    double s = std::max(-16.0, std::min(16.0, st(pin)));
+    double f = (s + 16.0) / 32.0 * 32.0;  // 0..32
+    int b0 = (int)f;
+    if (b0 > 31) b0 = 31;
+    double frac = f - b0;
+    double* c0 = &apm_[(size_t)cls * 33 + b0];
+    double* c1 = c0 + 1;
+    if (*c0 < 0) *c0 = sq(b0 / 32.0 * 32.0 - 16.0);
+    if (*c1 < 0) *c1 = sq((b0 + 1) / 32.0 * 32.0 - 16.0);
+    double pout = *c0 * (1.0 - frac) + *c1 * frac;
+    double rate = 1.0 / (1 << (int)sse_rate);
+    *c0 += (bit - *c0) * rate * (1.0 - frac);
+    *c1 += (bit - *c1) * rate * frac;
+    return pout;
+  }
+
+  std::vector<int> pos_, neg_;
+  std::vector<double> w_;
+  std::vector<uint8_t> winit_;
+  std::vector<double> apm_;
+  std::vector<int32_t> wi_, kStretch, kSquash;
+};
+
+}  // namespace avtpu

@@ -6,6 +6,7 @@
 #include <vector>
 #include "cabac.h"
 #include "h264.h"
+#include "mixlab.h"
 #include "model.h"
 #include "refscore.h"
 
@@ -112,6 +113,7 @@ struct Coder {
   CabacEncoder enc;              // decompress: output
   RecodeModel* model = nullptr;  // may be null (validation pass)
   RefScorer* ref = nullptr;      // optional reference-model replay (refscore.h)
+  MixLab* mix = nullptr;         // optional model-upgrade lab (mixlab.h)
   const uint8_t* payload = nullptr;
   size_t payload_size = 0;
   uint64_t n_bins = 0;
@@ -178,6 +180,7 @@ struct Coder {
       if (__builtin_expect(cabac_bill != nullptr, 0))
         bill_mark((uint32_t)(key >> 40));
       if (__builtin_expect(ref != nullptr, 0)) ref->ctx_bin(ctx, b);
+      if (__builtin_expect(mix != nullptr, 0)) mix->on_bin(key, pcab, b);
       if (model) model->commit(pp, key, b);
       return b;
     }
@@ -193,6 +196,7 @@ struct Coder {
       if (__builtin_expect(cabac_bill != nullptr, 0))
         bill_mark((uint32_t)(key >> 40));
       if (__builtin_expect(ref != nullptr, 0)) ref->bypass_bin(b);
+      if (__builtin_expect(mix != nullptr, 0)) mix->on_bin(key, 0, b);
       if (model) model->commit(pp, key, b);
       return b;
     }
@@ -608,8 +612,10 @@ class SliceParser {
         int actual = sig_in[i];
         if (det) {
           if (actual != s) throw Desync("sig map det mismatch");
-        } else if (c->model) {
-          c->model->put_bit(key, actual, pcabs[i]);
+        } else {
+          if (__builtin_expect(c->mix != nullptr, 0))
+            c->mix->on_bin(key, pcabs[i], actual);
+          if (c->model) c->model->put_bit(key, actual, pcabs[i]);
         }
         s = actual;
       } else {
@@ -749,6 +755,8 @@ class SliceParser {
         c->ref->sig_block(mbx_, mby_, slot, L, A, kFfCat[cat], max_coeff,
                           is_dc, c422, sig, nnz);
       }
+      if (__builtin_expect(c->mix != nullptr, 0))
+        c->mix->on_nnz(nnz, cat, max_coeff, nnz_prior);
       if (c->model) c->model->put_nnz(nnz, cat, max_coeff, nnz_prior);
       replay_sig(cat, sig, nnz, sig_ctx, last_ctx, max_coeff, pcabs, nullptr,
                  is_intra ? 1 : 0);
