@@ -57,6 +57,7 @@ def _load():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
         ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_size_t),
     ]
     lib.avtpu_xclose.restype = None
@@ -127,12 +128,13 @@ class NativeTrace:
     the estimator-free lane-parallel coder kernel; slot/pcab feed the
     est-on-device kernels.  slots/bits/pcabs/p1s derive lazily."""
 
-    __slots__ = ("recs", "limits", "_handle", "_slots", "_bits", "_pcabs",
-                 "_p1s")
+    __slots__ = ("recs", "limits", "cls", "_handle", "_slots", "_bits",
+                 "_pcabs", "_p1s")
 
-    def __init__(self, recs, limits, handle=None):
+    def __init__(self, recs, limits, cls=None, handle=None):
         self.recs = recs
         self.limits = limits
+        self.cls = cls if cls is not None else limits[:0]
         self._handle = handle  # keeps the native buffers alive
         self._slots = self._bits = self._pcabs = self._p1s = None
 
@@ -221,10 +223,11 @@ def extract(data, scope="slice", threads=1, want_slots=True):
         recs_p = ctypes.POINTER(ctypes.c_uint64)()
         n_bins = ctypes.c_size_t()
         lim_p = ctypes.POINTER(ctypes.c_uint8)()
+        cls_p = ctypes.POINTER(ctypes.c_uint8)()
         n_slots = ctypes.c_size_t()
         lib.avtpu_xtrace(
             ptr, i, ctypes.byref(recs_p), ctypes.byref(n_bins),
-            ctypes.byref(lim_p), ctypes.byref(n_slots),
+            ctypes.byref(lim_p), ctypes.byref(cls_p), ctypes.byref(n_slots),
         )
         recs = (
             np.ctypeslib.as_array(recs_p, shape=(n_bins.value,))
@@ -234,7 +237,11 @@ def extract(data, scope="slice", threads=1, want_slots=True):
             np.ctypeslib.as_array(lim_p, shape=(n_slots.value,)).astype(np.int32)
             if n_slots.value else np.zeros(0, np.int32)
         )
-        traces.append(NativeTrace(recs, limits, handle))
+        cls = (
+            np.ctypeslib.as_array(cls_p, shape=(n_slots.value,)).astype(np.int32)
+            if n_slots.value else np.zeros(0, np.int32)
+        )
+        traces.append(NativeTrace(recs, limits, cls, handle))
 
     r = Reader(blob)
     sps = [r.blob() for _ in range(r.varint())]

@@ -1258,7 +1258,8 @@ void* avtpu_xopen(const uint8_t* data, size_t size, int scope, int threads,
 }
 
 void avtpu_xtrace(void* handle, size_t i, const uint64_t** recs,
-                  size_t* n_bins, const uint8_t** limits, size_t* n_slots) {
+                  size_t* n_bins, const uint8_t** limits, const uint8_t** cls,
+                  size_t* n_slots) {
   auto* h = (avtpu::XtractResult*)handle;
   if (h->want_slots)
     h->traces[i]->finalize_trace();  // no-op when the worker already did
@@ -1266,6 +1267,7 @@ void avtpu_xtrace(void* handle, size_t i, const uint64_t** recs,
   *recs = t->recs.data();
   *n_bins = t->recs.size();
   *limits = t->limits.data();
+  *cls = t->cls.data();
   *n_slots = t->limits.size();
 }
 

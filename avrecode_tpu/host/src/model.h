@@ -14,6 +14,7 @@
 #include <cassert>
 #include <cstdint>
 #include <vector>
+#include "mix_tables.h"
 #include "rangecoder.h"
 #include "tables.h"
 
@@ -122,6 +123,19 @@ struct DivTab {
 };
 inline const DivTab kDiv{};
 
+// Fused counter->stretch table: kDivStretch[(total)*97+pos] ==
+// kStretch12[kDiv.t[...] >> 4] exactly (built integer-only from the two
+// tables, so the device mirrors — which compute the two steps separately —
+// stay bit-identical).  Replaces two dependent loads with one on the
+// per-bin critical path.
+struct DivStretchTab {
+  int16_t t[97 * 97];
+  DivStretchTab() {
+    for (int i = 0; i < 97 * 97; i++) t[i] = kStretch12[kDiv.t[i] >> 4];
+  }
+};
+inline const DivStretchTab kDivStretch{};
+
 // Thread-local estimator pool: generation stamps make per-model init O(1).
 // One 8-byte cell per key (pos/neg/gen) — half the cache footprint of the
 // round-1 16-byte layout (the recorder slot id moved to an export-time
@@ -157,6 +171,7 @@ class RecodeModel {
   struct Trace {
     std::vector<uint64_t> recs;
     std::vector<uint8_t> limits;  // per slot (built by finalize_trace)
+    std::vector<uint8_t> cls;     // per slot key class (mixer weight ctx)
     bool finalized = false;
   };
 
@@ -218,10 +233,16 @@ class RecodeModel {
     uint32_t idx;
     uint32_t p1;
     int pcab;
+    int32_t x0, x1;  // mixer inputs (stretch domain) for the weight update
+    uint32_t cls;
   };
   Prep prepare(uint64_t key, int pcab = 0) {
-    uint32_t i = touch(key);
-    return Prep{i, prob(i, pcab), pcab};
+    Prep pp;
+    pp.idx = touch(key);
+    pp.pcab = pcab;
+    pp.cls = (uint32_t)(key >> 40);
+    pp.p1 = mix_prob(pp.idx, pp.cls, pcab, &pp.x0, &pp.x1);
+    return pp;
   }
   void commit(const Prep& pp, uint64_t key, int bit) {
     if (trace_) {
@@ -230,12 +251,14 @@ class RecodeModel {
       trace_->recs.push_back(
           (uint64_t)(pp.idx | ((uint32_t)bit << 24)) |
           ((uint64_t)(uint32_t)pp.pcab << 32) | ((uint64_t)pp.p1 << 48));
+      update_mix(pp, bit);
       adapt(pp.idx, key, bit);
       return;
     }
     size_t n0 = bill ? enc_->out_size() : 0;
     enc_->put(bit, pp.p1);
     if (bill) bill[key >> 40] += (enc_->out_size() - n0) * 8;
+    update_mix(pp, bit);
     adapt(pp.idx, key, bit);
   }
   void put_bit(uint64_t key, int bit, int pcab = 0) {
@@ -254,9 +277,10 @@ class RecodeModel {
       }
       cur_bins_++;
     }
-    uint32_t i = touch(key);
-    int bit = dec_->get(prob(i, pcab));
-    adapt(i, key, bit);
+    Prep pp = prepare(key, pcab);
+    int bit = dec_->get(pp.p1);
+    update_mix(pp, bit);
+    adapt(pp.idx, key, bit);
     return bit;
   }
 
@@ -290,6 +314,7 @@ class RecodeModel {
     uint64_t cache_size;
     size_t out_len;
     size_t rec_len, lim_len;  // trace mode
+    int32_t wmix[K_NCLS * 3];  // mixer weights (small: full copy)
   };
 
   Snapshot snapshot() {
@@ -303,6 +328,7 @@ class RecodeModel {
       s.rec_len = trace_->recs.size();
       s.lim_len = trace_->limits.size();
     }
+    std::copy(wmix_, wmix_ + K_NCLS * 3, s.wmix);
     return s;
   }
   void commit(const Snapshot& s) { journal_.resize(s.journal_len); }
@@ -319,7 +345,9 @@ class RecodeModel {
     if (trace_) {
       trace_->recs.resize(s.rec_len);
       trace_->limits.resize(s.lim_len);
+      trace_->cls.resize(s.lim_len);
     }
+    std::copy(s.wmix, s.wmix + K_NCLS * 3, wmix_);
   }
 
   Bytes finish() { return enc_->finish(); }
@@ -361,6 +389,7 @@ class RecodeModel {
           else hi = mid - 1;
         }
         trace_->limits.push_back(lo == K_SIG ? kHalveSig : kHalveDefault);
+        trace_->cls.push_back((uint8_t)lo);
       }
       r = (r & ~(uint64_t)0xFFFFFF) | slot;
     }
@@ -387,6 +416,11 @@ class RecodeModel {
     pool_->ensure();
     start_gen_ = ++pool_->gen_counter;
     epoch_ = start_gen_;
+    for (uint32_t c = 0; c < K_NCLS; c++) {
+      wmix_[c * 3 + 0] = 24576;  // 0.375 in 16-frac
+      wmix_[c * 3 + 1] = 24576;
+      wmix_[c * 3 + 2] = 0;
+    }
   }
 
   // Resolve key -> dense index, initializing / journaling as needed.
@@ -403,17 +437,36 @@ class RecodeModel {
     return i;
   }
 
-  uint32_t prob(uint32_t i, int pcab) const {
+  // Logistic mixing (round-2 model upgrade, lab-validated at +2.0% of
+  // stream bytes over the round-1 linear mix — mixlab.h variant 6): mix
+  // the counter estimator and the live CABAC prior in the stretch
+  // (logit) domain with per-key-class learned weights.  All arithmetic is
+  // int32-safe and floor-shift based, mirrored exactly by
+  // models/h264_model.py and the device kernels; the shared stretch/
+  // squash tables are generated once (tools/gen_mix_tables.py).
+  uint32_t mix_prob(uint32_t i, uint32_t cls, int pcab, int32_t* x0o,
+                    int32_t* x1o) const {
     const EstPool::Cell& c = pool_->cells[i];
-    int32_t p = kDiv.t[(c.pos + c.neg) * 97 + c.pos];
-    if (pcab > 0) {
-      int32_t total = c.pos + c.neg;
-      int32_t w = 4 * total < 78 ? 4 * total : 78;
-      p = (p * w + pcab * (80 - w)) / 80;
-      if (p < 1) p = 1;
-      if (p > 0xFFFF) p = 0xFFFF;
-    }
-    return (uint32_t)p;
+    int32_t x0 = kDivStretch.t[(c.pos + c.neg) * 97 + c.pos];
+    int32_t x1 = pcab > 0 ? kStretch12[pcab >> 4] : 0;
+    const int32_t* w = &wmix_[cls * 3];
+    int32_t dot =
+        ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77) >> 10;
+    if (dot < -2048) dot = -2048;
+    if (dot > 2047) dot = 2047;
+    *x0o = x0;
+    *x1o = x1;
+    return kSquash[dot + 2048];
+  }
+  void update_mix(const Prep& pp, int bit) {
+    int32_t* w = &wmix_[pp.cls * 3];
+    int32_t err = (bit << 16) - (int32_t)pp.p1;
+    w[0] = wclamp(w[0] + ((err * pp.x0) >> 14));
+    w[1] = wclamp(w[1] + ((err * pp.x1) >> 14));
+    w[2] = wclamp(w[2] + ((err * 77) >> 14));
+  }
+  static int32_t wclamp(int32_t w) {
+    return w < -(1 << 24) ? -(1 << 24) : w > (1 << 24) ? (1 << 24) : w;
   }
   void adapt(uint32_t i, uint64_t key, int bit) {
     EstPool::Cell& c = pool_->cells[i];
@@ -435,6 +488,7 @@ class RecodeModel {
   };
 
   EstPool* pool_ = nullptr;
+  int32_t wmix_[K_NCLS * 3];
   uint32_t start_gen_ = 0, epoch_ = 0;
   std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;

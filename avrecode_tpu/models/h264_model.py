@@ -24,6 +24,7 @@ decompress touch keys in identical order, so the mapping never needs to be
 stored in the container.
 """
 
+from ..ops._mix_tables import SQUASH, STRETCH12
 from ..ops.rangecoder import RangeDecoder, RangeEncoder
 
 HALVE_DEFAULT = 0x60
@@ -56,6 +57,7 @@ class RecodeModel:
         else:
             self.rc = RangeDecoder(data)
         self.est = {}  # key -> [pos, neg]
+        self.wmix = {}  # key class -> [w_est, w_cab, w_bias] (16-frac)
         self.bill = {}  # key-class -> recoded bits (approx, for the ledger)
 
     def _boundary(self):
@@ -72,20 +74,35 @@ class RecodeModel:
         self.cur_bins += 1
 
     # -- estimator core --------------------------------------------------
+    # Logistic mixing (round-2 model upgrade, exact mirror of
+    # host/src/model.h::mix_prob/update_mix): counter estimator and live
+    # CABAC prior mixed in the stretch (logit) domain with per-key-class
+    # learned weights; all shifts are floor shifts, identical in both
+    # languages; tables generated once by tools/gen_mix_tables.py.
     def _prob_update(self, key, pcab):
         e = self.est.get(key)
         if e is None:
             e = self.est[key] = [1, 1]
-        p1 = (e[0] << 16) // (e[0] + e[1])
-        if pcab is not None:
-            # mix with the live CABAC-state prior: weight shifts toward the
-            # estimator as it accumulates evidence (total grows to the halve
-            # limit), fixing cold starts without diluting steady state
-            total = e[0] + e[1]
-            w = min(4 * total, 78)
-            p1 = (p1 * w + pcab * (80 - w)) // 80
-        p1 = 1 if p1 < 1 else (0xFFFF if p1 > 0xFFFF else p1)
-        return e, p1
+        pe = (e[0] << 16) // (e[0] + e[1])
+        pe = 1 if pe < 1 else (0xFFFF if pe > 0xFFFF else pe)
+        x0 = STRETCH12[pe >> 4]
+        x1 = STRETCH12[pcab >> 4] if pcab else 0
+        w = self.wmix.get(key[0])
+        if w is None:
+            w = self.wmix[key[0]] = [24576, 24576, 0]  # 0.375 in 16-frac
+        dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77) >> 10
+        dot = -2048 if dot < -2048 else (2047 if dot > 2047 else dot)
+        p1 = SQUASH[dot + 2048]
+        return e, p1, (w, x0, x1)
+
+    @staticmethod
+    def _update_mix(mixctx, p1, bit):
+        w, x0, x1 = mixctx
+        err = (bit << 16) - p1
+        for k, x in ((0, x0), (1, x1), (2, 77)):
+            wn = w[k] + ((err * x) >> 14)
+            w[k] = -(1 << 24) if wn < -(1 << 24) else (
+                (1 << 24) if wn > (1 << 24) else wn)
 
     def _adapt(self, key, e, bit):
         e[bit ^ 1] += 1  # index 0 counts ones, index 1 counts zeros
@@ -96,17 +113,19 @@ class RecodeModel:
 
     def put_bit(self, key, bit, pcab=None):
         self._boundary()
-        e, p1 = self._prob_update(key, pcab)
+        e, p1, mixctx = self._prob_update(key, pcab)
         n0 = len(self.rc.out)
         self.rc.put(bit, p1)
         cls = key[0]
         self.bill[cls] = self.bill.get(cls, 0) + (len(self.rc.out) - n0) * 8
+        self._update_mix(mixctx, p1, bit)
         self._adapt(key, e, bit)
 
     def get_bit(self, key, pcab=None):
         self._boundary()
-        e, p1 = self._prob_update(key, pcab)
+        e, p1, mixctx = self._prob_update(key, pcab)
         bit = self.rc.get(p1)
+        self._update_mix(mixctx, p1, bit)
         self._adapt(key, e, bit)
         return bit
 
@@ -144,11 +163,13 @@ class RecodeModel:
             (rc.low, rc.range, rc.cache, rc.cache_size, len(rc.out)),
             dict(self.bill),
             (rc, len(self.closed), self.cur_bins),
+            {k: list(v) for k, v in self.wmix.items()},
         )
 
     def rollback(self, snap):
-        est, (low, rng, cache, csize, outlen), bill, (rc, ncl, cb) = snap
+        est, (low, rng, cache, csize, outlen), bill, (rc, ncl, cb), wmix = snap
         self.est = {k: list(v) for k, v in est.items()}
+        self.wmix = {k: list(v) for k, v in wmix.items()}
         # the active encoder at snapshot time may have been closed since;
         # restoring its registers + out length reopens it (finish() only
         # appends flush bytes past outlen and mutates registers)

@@ -20,18 +20,39 @@ the per-bin std::map path called out as the reference's hotspot
 (SURVEY.md §3 hot loop #3).
 """
 
+from ..ops._mix_tables import SQUASH, STRETCH12
 from .h264_model import HALVE_DEFAULT, HALVE_SIG
+
+# key class name -> numeric id for the device mixer weight table; MUST
+# follow host/src/model.h::KeyCls order (the native extractor exports the
+# same ids via avtpu_xtrace)
+CLS_IDS = {
+    n: i for i, n in enumerate([
+        "ctx", "skip", "imbtype", "i16cbf", "i16cbc0", "i16cbc1", "i16pm1",
+        "i16pm0", "pmbtype0", "pmbtype_intra", "pmbtype1", "pmbtype2a",
+        "pmbtype2b", "bmbtype0", "bmbtype1", "bmbtype2", "bmbtype3",
+        "bmbtype4", "bmbtype5", "bmbtype6", "bmbtype7", "bmbtype_intra",
+        "psub0", "psub1", "psub2", "bsub0", "bsub1", "bsub2", "bsub3",
+        "bsub4", "bsub5", "bsub6", "bsub7", "t8x8", "ipredf", "ipredr",
+        "cpred0", "cpred1", "cpred2", "cbpl", "cbpc0", "cbpc1", "qpd0",
+        "qpd1", "qpd2", "ref", "mvd", "mvdp", "mvde", "mvdb", "mvds",
+        "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz",
+    ])
+}
+N_CLS = len(CLS_IDS)
 
 
 class TraceModel:
     def __init__(self):
         self.slot_of = {}
         self.limits = []
+        self.cls = []  # per-slot key-class id (device mixer weight context)
         self.slots = []
         self.bits = []
         self.pcabs = []
         self.p1s = []
         self.est = {}  # slot -> [pos, neg]; adapted exactly like RecodeModel
+        self.wmix = {}  # class id -> [w_est, w_cab, w_bias]
 
     def _slot(self, key):
         s = self.slot_of.get(key)
@@ -39,6 +60,7 @@ class TraceModel:
             s = len(self.limits)
             self.slot_of[key] = s
             self.limits.append(HALVE_SIG if key[0] == "sig" else HALVE_DEFAULT)
+            self.cls.append(CLS_IDS[key[0]])
         return s
 
     def put_bit(self, key, bit, pcab=None):
@@ -46,14 +68,25 @@ class TraceModel:
         e = self.est.get(s)
         if e is None:
             e = self.est[s] = [1, 1]
-        # identical integer arithmetic to RecodeModel._prob_update/_adapt
-        p1 = (e[0] << 16) // (e[0] + e[1])
-        if pcab is not None:
-            total = e[0] + e[1]
-            w = min(4 * total, 78)
-            p1 = (p1 * w + pcab * (80 - w)) // 80
-        p1 = 1 if p1 < 1 else (0xFFFF if p1 > 0xFFFF else p1)
+        # identical integer arithmetic to RecodeModel._prob_update/
+        # _update_mix/_adapt (logistic mixing, round-2 model)
+        pe = (e[0] << 16) // (e[0] + e[1])
+        pe = 1 if pe < 1 else (0xFFFF if pe > 0xFFFF else pe)
+        x0 = STRETCH12[pe >> 4]
+        x1 = STRETCH12[pcab >> 4] if pcab else 0
+        c = self.cls[s]
+        w = self.wmix.get(c)
+        if w is None:
+            w = self.wmix[c] = [24576, 24576, 0]
+        dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77) >> 10
+        dot = -2048 if dot < -2048 else (2047 if dot > 2047 else dot)
+        p1 = SQUASH[dot + 2048]
         bit = int(bit)
+        err = (bit << 16) - p1
+        for k, x in ((0, x0), (1, x1), (2, 77)):
+            wn = w[k] + ((err * x) >> 14)
+            w[k] = -(1 << 24) if wn < -(1 << 24) else (
+                (1 << 24) if wn > (1 << 24) else wn)
         e[bit ^ 1] += 1
         if e[0] + e[1] > self.limits[s]:
             e[0] = (e[0] + 1) >> 1

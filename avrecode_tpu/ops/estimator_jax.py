@@ -36,22 +36,42 @@ def _vlike(x, ref):
     return x + z
 
 
-def model_probs(slots, bits, pcabs, limits, valid, n_slots):
-    """Adaptive estimator scan over one slice's trace (host-model mirror).
+def _mix_tables():
+    from ._mix_tables import SQUASH, STRETCH12
 
-    slots/bits/pcabs/valid: int32[T]; limits: int32[n_slots].
+    return (jnp.asarray(STRETCH12, jnp.int32), jnp.asarray(SQUASH, jnp.int32))
+
+
+N_CLS = 59  # model.h::K_NCLS == models.trace.N_CLS
+
+
+def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
+    """Adaptive estimator + logistic-mixer scan over one slice's trace
+    (host-model mirror: model.h::mix_prob/update_mix/adapt).
+
+    slots/bits/pcabs/valid: int32[T]; limits/cls: int32[n_slots].
     Returns p1 int32[T]."""
+    stretch, squash = _mix_tables()
 
-    def step(est, x):
+    def step(carry, x):
+        est, w = carry
         slot, bit, pcab, v = x
         e = est[slot]
         e0, e1 = e[0], e[1]
-        p1 = (e0 << 16) // (e0 + e1)
-        total = e0 + e1
-        w = jnp.minimum(4 * total, 78)
-        p_mix = (p1 * w + pcab * (80 - w)) // 80
-        p1 = jnp.where(pcab > 0, p_mix, p1)
-        p1 = jnp.clip(p1, 1, 0xFFFF)
+        pe = jnp.clip((e0 << 16) // (e0 + e1), 1, 0xFFFF)
+        x0 = stretch[pe >> 4]
+        x1 = jnp.where(pcab > 0, stretch[pcab >> 4], 0)
+        c = cls[slot]
+        wr = w[c]
+        dot = ((wr[0] >> 6) * x0 + (wr[1] >> 6) * x1 + (wr[2] >> 6) * 77) >> 10
+        dot = jnp.clip(dot, -2048, 2047)
+        p1 = squash[dot + 2048]
+        err = (bit << 16) - p1
+        wn = jnp.clip(
+            wr + ((err * jnp.stack([x0, x1, jnp.int32(77)])) >> 14),
+            -(1 << 24), 1 << 24,
+        )
+        w = w.at[c].set(jnp.where(v == 1, wn, wr))
         inc1 = jnp.where(bit == 1, 1, 0)  # index 0 counts ones
         e0n, e1n = e0 + inc1, e1 + (1 - inc1)
         halve = (e0n + e1n) > limits[slot]
@@ -59,10 +79,15 @@ def model_probs(slots, bits, pcabs, limits, valid, n_slots):
         e1n = jnp.where(halve, (e1n + 1) >> 1, e1n)
         new = jnp.where(v == 1, jnp.stack([e0n, e1n]), e)
         est = est.at[slot].set(new)
-        return est, jnp.where(v == 1, p1, 0x8000)
+        return (est, w), jnp.where(v == 1, p1, 0x8000)
 
     est0 = _vlike(jnp.ones((n_slots, 2), jnp.int32), slots)
-    _, p1s = jax.lax.scan(step, est0, (slots, bits, pcabs, valid), unroll=SCAN_UNROLL)
+    w0 = _vlike(
+        jnp.tile(jnp.array([[24576, 24576, 0]], jnp.int32), (N_CLS, 1)), slots
+    )
+    (_, _), p1s = jax.lax.scan(
+        step, (est0, w0), (slots, bits, pcabs, valid), unroll=SCAN_UNROLL
+    )
     return p1s
 
 
@@ -189,19 +214,25 @@ def resolve_carries(tokens, carries, n_tokens):
 
 
 @jax.jit
-def encode_slices(slots, bits, pcabs, limits, valid):
+def encode_slices(slots, bits, pcabs, limits, valid, cls=None):
     """Batched device path: [S, T] arrays -> (bytes [S, 2T+8], lengths [S]).
+
+    cls: per-slot key-class ids [S, NS] for the mixer weight context
+    (pipeline.pack_traces); None (synthetic tests) puts every slot in
+    class 0 — still the exact model arithmetic, just one shared weight set.
 
     The batch dimension is the parallel unit (slices); shard it over the
     mesh for multi-chip compression (parallel/pipeline.py)."""
     n_slots = limits.shape[1]
+    if cls is None:
+        cls = jnp.zeros_like(limits)
 
-    def one(slot, bit, pcab, lim, v):
-        p1s = model_probs(slot, bit, pcab, lim, v, n_slots)
+    def one(slot, bit, pcab, lim, cl, v):
+        p1s = model_probs(slot, bit, pcab, lim, cl, v, n_slots)
         tokens, carries, n_tok = range_encode(bit, p1s, v)
         return resolve_carries(tokens, carries, n_tok)
 
-    return jax.vmap(one)(slots, bits, pcabs, limits, valid)
+    return jax.vmap(one)(slots, bits, pcabs, limits, cls, valid)
 
 
 def stream_bytes(out_row, n_bytes):

@@ -35,14 +35,17 @@ def _ult(a, b):
     return (a ^ jnp.int32(SIGN)) < (b ^ jnp.int32(SIGN))
 
 
-def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref,
-            tok_out, carry_out, count_out, est_ref, state_ref):
+def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
+            tok_out, carry_out, count_out, est_ref, w_ref, state_ref):
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
     @pl.when(c == 0)
     def _():
         est_ref[:, :] = jnp.ones_like(est_ref[:, :])
+        # mixer weights per key class: [w_est, w_cab, w_bias, pad]
+        colw = jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 1)
+        w_ref[:, :] = jnp.where(colw < 2, 24576, 0)
         state_ref[0] = 0   # low
         state_ref[1] = 0   # pend
         state_ref[2] = -1  # rng = 0xFFFFFFFF
@@ -73,11 +76,28 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref,
         e0 = epair[0, 0]
         e1 = epair[0, 1]
         total = e0 + e1
-        p1 = (e0 << 16) // total
-        w = jnp.minimum(4 * total, 78)
-        p_mix = (p1 * w + pcab * (80 - w)) // 80
-        p1 = jnp.where(pcab > 0, p_mix, p1)
-        p1 = jnp.clip(p1, 1, 0xFFFF)
+        # logistic mixing (model.h::mix_prob/update_mix mirror): stretch/
+        # squash live in tbl_ref columns 0/1, per-class weights in w_ref
+        pe = jnp.clip((e0 << 16) // total, 1, 0xFFFF)
+        lrow = limits_ref[pl.ds(slot, 1), :]
+        cls = lrow[0, 1]
+        wrow = w_ref[pl.ds(cls, 1), :]
+        w0, w1, w2 = wrow[0, 0], wrow[0, 1], wrow[0, 2]
+        x0 = tbl_ref[pl.ds(pe >> 4, 1), :][0, 0]
+        x1 = jnp.where(pcab > 0, tbl_ref[pl.ds(pcab >> 4, 1), :][0, 0], 0)
+        dot = ((w0 >> 6) * x0 + (w1 >> 6) * x1 + (w2 >> 6) * 77) >> 10
+        dot = jnp.clip(dot, -2048, 2047)
+        p1 = tbl_ref[pl.ds(dot + 2048, 1), :][0, 1]
+        err = (bit << 16) - p1
+        w0n = jnp.clip(w0 + ((err * x0) >> 14), -(1 << 24), 1 << 24)
+        w1n = jnp.clip(w1 + ((err * x1) >> 14), -(1 << 24), 1 << 24)
+        w2n = jnp.clip(w2 + ((err * 77) >> 14), -(1 << 24), 1 << 24)
+
+        @pl.when(v == 1)
+        def _():
+            w_ref[pl.ds(cls, 1), :] = jnp.stack(
+                [w0n, w1n, w2n, jnp.int32(0)]
+            ).reshape(1, 4)
 
         inc1 = jnp.where(bit == 1, 1, 0)
         e0n = e0 + inc1
@@ -138,12 +158,13 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _encode_raw(slots, bits, pcabs, limits, valid, interpret=False):
+def _encode_raw(slots, bits, pcabs, limits, valid, cls, interpret=False):
     S, T = slots.shape
     NS = limits.shape[1]
     NSp = -(-NS // 8) * 8
     if NSp != NS:
         limits = jnp.pad(limits, ((0, 0), (0, NSp - NS)), constant_values=0x60)
+        cls = jnp.pad(cls, ((0, 0), (0, NSp - NS)))
         NS = NSp
     Tp = -(-T // CHUNK) * CHUNK
     if Tp != T:
@@ -170,6 +191,7 @@ def _encode_raw(slots, bits, pcabs, limits, valid, interpret=False):
             bin_spec,
             bin_spec,
             pl.BlockSpec((NS, 2), lambda s, c: (s, 0)),
+            pl.BlockSpec((4096, 2), lambda s, c: (0, 0)),
         ],
         out_specs=[
             seg_spec,
@@ -183,10 +205,12 @@ def _encode_raw(slots, bits, pcabs, limits, valid, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((NS, 2), jnp.int32),
+            pltpu.VMEM((64, 4), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ],
         interpret=interpret,
-    )(col(slots), col(bits), col(pcabs), col(valid), _limits2(limits))
+    )(col(slots), col(bits), col(pcabs), col(valid), _limits2(limits, cls),
+      _mix_tbl())
     return (
         toks.reshape(S, NC, CAP),
         carrs.reshape(S, NC, CAP),
@@ -194,11 +218,22 @@ def _encode_raw(slots, bits, pcabs, limits, valid, interpret=False):
     )
 
 
-def _limits2(limits):
-    """[S, NS] -> [S*NS, 2] (limit duplicated; kernel reads column 0)."""
+def _limits2(limits, cls):
+    """[S, NS] x2 -> [S*NS, 2]: column 0 = halving limit, column 1 = key
+    class id (the mixer weight context)."""
     S, NS = limits.shape
-    rep = jnp.stack([limits, limits], axis=-1).astype(jnp.int32)
+    rep = jnp.stack([limits, cls], axis=-1).astype(jnp.int32)
     return rep.reshape(S * NS, 2)
+
+
+def _mix_tbl():
+    """[4096, 2] int32: column 0 = stretch, column 1 = squash."""
+    from ._mix_tables import SQUASH, STRETCH12
+
+    return jnp.stack(
+        [jnp.asarray(STRETCH12, jnp.int32), jnp.asarray(SQUASH, jnp.int32)],
+        axis=-1,
+    )
 
 
 def finalize_streams(toks, carrs, counts):
@@ -244,7 +279,8 @@ GROUP = 16  # slices per kernel launch: the (N,1) device layout carries the
 # bounded by the group size (~0.33 GB/slice at T~100k)
 
 
-def encode_slices_pallas(slots, bits, pcabs, limits, valid, interpret=False):
+def encode_slices_pallas(slots, bits, pcabs, limits, valid, cls=None,
+                         interpret=False):
     """Full device entropy stage via the Pallas kernel.
 
     Returns a list of per-slice stream bytes, identical to the host
@@ -264,11 +300,12 @@ def encode_slices_pallas(slots, bits, pcabs, limits, valid, interpret=False):
                 )
             return jnp.asarray(part)
 
+        gc = g(cls) if cls is not None else jnp.zeros_like(g(limits))
         pending.append(
             (
                 hi - lo,
                 _encode_raw(
-                    g(slots), g(bits), g(pcabs), g(limits), g(valid),
+                    g(slots), g(bits), g(pcabs), g(limits), g(valid), gc,
                     interpret=interpret,
                 ),
             )
@@ -307,6 +344,7 @@ def encode_traces_pallas(traces, interpret=False):
         pcabs = np.zeros((S, T), np.int32)
         valid = np.zeros((S, T), np.int32)
         limits = np.full((S, NS), 0x60, np.int32)
+        cls = np.zeros((S, NS), np.int32)
         for row, i in enumerate(grp):
             t = traces[i]
             k = len(t)
@@ -315,12 +353,13 @@ def encode_traces_pallas(traces, interpret=False):
             pcabs[row, :k] = t.pcabs
             valid[row, :k] = 1
             limits[row, : len(t.limits)] = t.limits
+            cls[row, : len(t.cls)] = t.cls
         pending.append(
             (
                 grp,
                 _encode_raw(
                     jnp.asarray(slots), jnp.asarray(bits), jnp.asarray(pcabs),
-                    jnp.asarray(limits), jnp.asarray(valid),
+                    jnp.asarray(limits), jnp.asarray(valid), jnp.asarray(cls),
                     interpret=interpret,
                 ),
             )

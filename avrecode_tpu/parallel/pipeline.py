@@ -61,7 +61,9 @@ def extract_traces(data, use_native=None, scope="slice", threads=0,
 
 
 def pack_traces(traces, pad_multiple=8):
-    """Pad/stack traces to [S, T] device arrays (S padded to the mesh)."""
+    """Pad/stack traces to [S, T] device arrays (S padded to the mesh).
+    Returns encode_slices' positional argument order
+    (slots, bits, pcabs, limits, valid, cls)."""
     n = len(traces)
     if n == 0:
         return None
@@ -73,6 +75,7 @@ def pack_traces(traces, pad_multiple=8):
     pcabs = np.zeros((S, T), np.int32)
     valid = np.zeros((S, T), np.int32)
     limits = np.full((S, NS), 0x60, np.int32)
+    cls = np.zeros((S, NS), np.int32)
     for i, t in enumerate(traces):
         k = len(t)
         slots[i, :k] = t.slots
@@ -80,7 +83,8 @@ def pack_traces(traces, pad_multiple=8):
         pcabs[i, :k] = t.pcabs
         valid[i, :k] = 1
         limits[i, : len(t.limits)] = t.limits
-    return slots, bits, pcabs, limits, valid
+        cls[i, : len(t.cls)] = t.cls
+    return slots, bits, pcabs, limits, valid, cls
 
 
 def make_mesh(n_devices=None):
@@ -185,13 +189,16 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None,
     return serialize_container(scope_id, sps, pps, blocks, None, finisher=finisher)
 
 
-def multichip_step(mesh, slots, bits, pcabs, limits, valid):
+def multichip_step(mesh, slots, bits, pcabs, limits, valid, cls=None):
     """One sharded device step with a cross-chip billing collective —
     the SPMD program the driver dry-runs on an N-device mesh."""
     from jax import shard_map
 
-    def local(slots, bits, pcabs, limits, valid):
-        out, lens = encode_slices(slots, bits, pcabs, limits, valid)
+    if cls is None:
+        cls = jnp.zeros_like(limits)
+
+    def local(slots, bits, pcabs, limits, valid, cls):
+        out, lens = encode_slices(slots, bits, pcabs, limits, valid, cls)
         # cross-chip ledger reduction (the device-side "billing" collective)
         total = jax.lax.psum(jnp.sum(lens), "dp")
         return out, lens, total
@@ -199,7 +206,7 @@ def multichip_step(mesh, slots, bits, pcabs, limits, valid):
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        in_specs=(P("dp"),) * 6,
         out_specs=(P("dp"), P("dp"), P()),
     )
-    return jax.jit(fn)(slots, bits, pcabs, limits, valid)
+    return jax.jit(fn)(slots, bits, pcabs, limits, valid, cls)

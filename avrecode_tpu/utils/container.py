@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 2  # v2: header gains varint substream_bins; model stream blobs
+VERSION = 3  # v3: logistic-mixing model (v2 added varint substream_bins)
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 

@@ -37,6 +37,7 @@ def device_encode(traces, pad_t=None, pad_s=None):
     pcabs = np.zeros((n, T), np.int32)
     valid = np.zeros((n, T), np.int32)
     limits = np.full((n, S), 0x60, np.int32)
+    cls = np.zeros((n, S), np.int32)
     for i, t in enumerate(traces):
         k = len(t)
         slots[i, :k] = t.slots
@@ -44,7 +45,8 @@ def device_encode(traces, pad_t=None, pad_s=None):
         pcabs[i, :k] = t.pcabs
         valid[i, :k] = 1
         limits[i, : len(t.limits)] = t.limits
-    out, lens = encode_slices(slots, bits, pcabs, limits, valid)
+        cls[i, : len(t.cls)] = t.cls
+    out, lens = encode_slices(slots, bits, pcabs, limits, valid, cls)
     return [stream_bytes(out[i], lens[i]) for i in range(n)]
 
 
