@@ -18,7 +18,7 @@
 #include <string.h>
 
 static unsigned rng_state;
-static int g_noise = 5;
+static int g_noise = 5; /* AVT_NOISE env overrides (PCM/interlace test content) */
 static unsigned xrand(void) {
   rng_state ^= rng_state << 13;
   rng_state ^= rng_state >> 17;
@@ -63,6 +63,7 @@ int main(int argc, char **argv) {
   int fps = atoi(argv[5]), gop = atoi(argv[6]), bframes = atoi(argv[7]);
   int crf = atoi(argv[8]);
   rng_state = (unsigned)atoi(argv[9]) | 1;
+  if (getenv("AVT_NOISE")) g_noise = atoi(getenv("AVT_NOISE"));
   int slices = argc > 10 ? atoi(argv[10]) : 1;
   const char *extra = argc > 11 ? argv[11] : "";
   int is422 = argc > 12 && argv[12][1] == '2' && argv[12][2] == '2';
