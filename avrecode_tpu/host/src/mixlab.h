@@ -48,6 +48,9 @@ class MixLab {
     std::fill(apm_.begin(), apm_.end(), -1.0);
     winit_.assign((size_t)K_NCLS * NBUCK, 0);
     wi_.assign((size_t)K_NCLS * 3, 0);
+    fpos_.clear();
+    fneg_.clear();
+    std::fill(w4init_, w4init_ + K_NCLS, 0);
     for (uint32_t c = 0; c < K_NCLS; c++) {
       wi_[(size_t)c * 3 + 0] = 24576;  // 0.375
       wi_[(size_t)c * 3 + 1] = 24576;
@@ -74,6 +77,48 @@ class MixLab {
 
     // --- candidate ---
     double pm = pb;
+    if (variant == 7) {
+      // variant 6 + a FAST second counter (halve at 0x18) as a 4th input:
+      // does a dual-rate estimator add anything beyond the mixer?
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      int32_t* w = &wi4_[(size_t)cls * 4];
+      if (!w4init_[cls]) {
+        w4init_[cls] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0;
+      }
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      pm = p16 / 65536.0;
+      int32_t err = (bit << 16) - p16;
+      int32_t xs[4] = {x0, x1, 77, x3};
+      for (int k = 0; k < 4; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      if (bit) fpos_[i]++; else fneg_[i]++;
+      if (fpos_[i] + fneg_[i] > 0x18) {
+        fpos_[i] = (fpos_[i] + 1) >> 1;
+        fneg_[i] = (fneg_[i] + 1) >> 1;
+      }
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
     if (variant == 6) {
       // int32-safe production formulation: weights 16-frac clamped to
       // +-2^24, dot via (w>>6)*x >> 10 (the update keeps full weight
@@ -248,6 +293,9 @@ class MixLab {
   std::vector<uint8_t> winit_;
   std::vector<double> apm_;
   std::vector<int32_t> wi_, kStretch, kSquash;
+  std::vector<int> fpos_, fneg_;
+  int32_t wi4_[59 * 4] = {};
+  uint8_t w4init_[59] = {};
 };
 
 }  // namespace avtpu

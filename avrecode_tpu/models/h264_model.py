@@ -29,6 +29,7 @@ from ..ops.rangecoder import RangeDecoder, RangeEncoder
 
 HALVE_DEFAULT = 0x60
 HALVE_SIG = 0x50
+HALVE_FAST = 0x18  # model v4: fast mixer-input counter
 
 
 class RecodeModel:
@@ -82,34 +83,42 @@ class RecodeModel:
     def _prob_update(self, key, pcab):
         e = self.est.get(key)
         if e is None:
-            e = self.est[key] = [1, 1]
+            e = self.est[key] = [1, 1, 1, 1]  # slow pos/neg, fast pos/neg
         pe = (e[0] << 16) // (e[0] + e[1])
         pe = 1 if pe < 1 else (0xFFFF if pe > 0xFFFF else pe)
+        pf = (e[2] << 16) // (e[2] + e[3])
+        pf = 1 if pf < 1 else (0xFFFF if pf > 0xFFFF else pf)
         x0 = STRETCH12[pe >> 4]
         x1 = STRETCH12[pcab >> 4] if pcab else 0
+        x3 = STRETCH12[pf >> 4]
         w = self.wmix.get(key[0])
         if w is None:
-            w = self.wmix[key[0]] = [24576, 24576, 0]  # 0.375 in 16-frac
-        dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77) >> 10
+            w = self.wmix[key[0]] = [24576, 24576, 0, 0]  # 0.375 in 16-frac
+        dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77
+               + (w[3] >> 6) * x3) >> 10
         dot = -2048 if dot < -2048 else (2047 if dot > 2047 else dot)
         p1 = SQUASH[dot + 2048]
-        return e, p1, (w, x0, x1)
+        return e, p1, (w, x0, x1, x3)
 
     @staticmethod
     def _update_mix(mixctx, p1, bit):
-        w, x0, x1 = mixctx
+        w, x0, x1, x3 = mixctx
         err = (bit << 16) - p1
-        for k, x in ((0, x0), (1, x1), (2, 77)):
+        for k, x in ((0, x0), (1, x1), (2, 77), (3, x3)):
             wn = w[k] + ((err * x) >> 14)
             w[k] = -(1 << 24) if wn < -(1 << 24) else (
                 (1 << 24) if wn > (1 << 24) else wn)
 
     def _adapt(self, key, e, bit):
         e[bit ^ 1] += 1  # index 0 counts ones, index 1 counts zeros
+        e[2 + (bit ^ 1)] += 1  # fast counter (model v4)
         limit = HALVE_SIG if key[0] == "sig" else HALVE_DEFAULT
         if e[0] + e[1] > limit:
             e[0] = (e[0] + 1) >> 1
             e[1] = (e[1] + 1) >> 1
+        if e[2] + e[3] > HALVE_FAST:
+            e[2] = (e[2] + 1) >> 1
+            e[3] = (e[3] + 1) >> 1
 
     def put_bit(self, key, bit, pcab=None):
         self._boundary()

@@ -43,11 +43,12 @@ def _mix_tables():
 
 
 N_CLS = 59  # model.h::K_NCLS == models.trace.N_CLS
+HALVE_FAST = 0x18  # model v4 fast-counter halving (model.h::kHalveFast)
 
 
 def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
-    """Adaptive estimator + logistic-mixer scan over one slice's trace
-    (host-model mirror: model.h::mix_prob/update_mix/adapt).
+    """Adaptive dual-rate estimator + logistic-mixer scan over one slice's
+    trace (host-model mirror: model.h::mix_prob/update_mix/adapt, model v4).
 
     slots/bits/pcabs/valid: int32[T]; limits/cls: int32[n_slots].
     Returns p1 int32[T]."""
@@ -57,33 +58,41 @@ def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
         est, w = carry
         slot, bit, pcab, v = x
         e = est[slot]
-        e0, e1 = e[0], e[1]
+        e0, e1, f0, f1 = e[0], e[1], e[2], e[3]
         pe = jnp.clip((e0 << 16) // (e0 + e1), 1, 0xFFFF)
+        pf = jnp.clip((f0 << 16) // (f0 + f1), 1, 0xFFFF)
         x0 = stretch[pe >> 4]
         x1 = jnp.where(pcab > 0, stretch[pcab >> 4], 0)
+        x3 = stretch[pf >> 4]
         c = cls[slot]
         wr = w[c]
-        dot = ((wr[0] >> 6) * x0 + (wr[1] >> 6) * x1 + (wr[2] >> 6) * 77) >> 10
+        dot = ((wr[0] >> 6) * x0 + (wr[1] >> 6) * x1 + (wr[2] >> 6) * 77
+               + (wr[3] >> 6) * x3) >> 10
         dot = jnp.clip(dot, -2048, 2047)
         p1 = squash[dot + 2048]
         err = (bit << 16) - p1
         wn = jnp.clip(
-            wr + ((err * jnp.stack([x0, x1, jnp.int32(77)])) >> 14),
+            wr + ((err * jnp.stack([x0, x1, jnp.int32(77), x3])) >> 14),
             -(1 << 24), 1 << 24,
         )
         w = w.at[c].set(jnp.where(v == 1, wn, wr))
         inc1 = jnp.where(bit == 1, 1, 0)  # index 0 counts ones
         e0n, e1n = e0 + inc1, e1 + (1 - inc1)
+        f0n, f1n = f0 + inc1, f1 + (1 - inc1)
         halve = (e0n + e1n) > limits[slot]
         e0n = jnp.where(halve, (e0n + 1) >> 1, e0n)
         e1n = jnp.where(halve, (e1n + 1) >> 1, e1n)
-        new = jnp.where(v == 1, jnp.stack([e0n, e1n]), e)
+        fhalve = (f0n + f1n) > HALVE_FAST
+        f0n = jnp.where(fhalve, (f0n + 1) >> 1, f0n)
+        f1n = jnp.where(fhalve, (f1n + 1) >> 1, f1n)
+        new = jnp.where(v == 1, jnp.stack([e0n, e1n, f0n, f1n]), e)
         est = est.at[slot].set(new)
         return (est, w), jnp.where(v == 1, p1, 0x8000)
 
-    est0 = _vlike(jnp.ones((n_slots, 2), jnp.int32), slots)
+    est0 = _vlike(jnp.ones((n_slots, 4), jnp.int32), slots)
     w0 = _vlike(
-        jnp.tile(jnp.array([[24576, 24576, 0]], jnp.int32), (N_CLS, 1)), slots
+        jnp.tile(jnp.array([[24576, 24576, 0, 0]], jnp.int32), (N_CLS, 1)),
+        slots,
     )
     (_, _), p1s = jax.lax.scan(
         step, (est0, w0), (slots, bits, pcabs, valid), unroll=SCAN_UNROLL

@@ -72,43 +72,57 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         bit = bits_ref[pl.ds(i, 1), :][0, 0]
         pcab = pcabs_ref[pl.ds(i, 1), :][0, 0]
 
-        epair = est_ref[pl.ds(slot, 1), :]
-        e0 = epair[0, 0]
-        e1 = epair[0, 1]
+        equad = est_ref[pl.ds(slot, 1), :]
+        e0 = equad[0, 0]
+        e1 = equad[0, 1]
+        f0 = equad[0, 2]
+        f1 = equad[0, 3]
         total = e0 + e1
-        # logistic mixing (model.h::mix_prob/update_mix mirror): stretch/
-        # squash live in tbl_ref columns 0/1, per-class weights in w_ref
+        # logistic mixing + dual-rate counter (model.h mix_prob/update_mix/
+        # adapt mirror, model v4): stretch/squash live in tbl_ref columns
+        # 0/1, per-class weights in w_ref
         pe = jnp.clip((e0 << 16) // total, 1, 0xFFFF)
+        pf = jnp.clip((f0 << 16) // (f0 + f1), 1, 0xFFFF)
         lrow = limits_ref[pl.ds(slot, 1), :]
         cls = lrow[0, 1]
         wrow = w_ref[pl.ds(cls, 1), :]
-        w0, w1, w2 = wrow[0, 0], wrow[0, 1], wrow[0, 2]
+        w0, w1, w2, w3 = wrow[0, 0], wrow[0, 1], wrow[0, 2], wrow[0, 3]
         x0 = tbl_ref[pl.ds(pe >> 4, 1), :][0, 0]
         x1 = jnp.where(pcab > 0, tbl_ref[pl.ds(pcab >> 4, 1), :][0, 0], 0)
-        dot = ((w0 >> 6) * x0 + (w1 >> 6) * x1 + (w2 >> 6) * 77) >> 10
+        x3 = tbl_ref[pl.ds(pf >> 4, 1), :][0, 0]
+        dot = ((w0 >> 6) * x0 + (w1 >> 6) * x1 + (w2 >> 6) * 77
+               + (w3 >> 6) * x3) >> 10
         dot = jnp.clip(dot, -2048, 2047)
         p1 = tbl_ref[pl.ds(dot + 2048, 1), :][0, 1]
         err = (bit << 16) - p1
         w0n = jnp.clip(w0 + ((err * x0) >> 14), -(1 << 24), 1 << 24)
         w1n = jnp.clip(w1 + ((err * x1) >> 14), -(1 << 24), 1 << 24)
         w2n = jnp.clip(w2 + ((err * 77) >> 14), -(1 << 24), 1 << 24)
+        w3n = jnp.clip(w3 + ((err * x3) >> 14), -(1 << 24), 1 << 24)
 
         @pl.when(v == 1)
         def _():
             w_ref[pl.ds(cls, 1), :] = jnp.stack(
-                [w0n, w1n, w2n, jnp.int32(0)]
+                [w0n, w1n, w2n, w3n]
             ).reshape(1, 4)
 
         inc1 = jnp.where(bit == 1, 1, 0)
         e0n = e0 + inc1
         e1n = e1 + (1 - inc1)
+        f0n = f0 + inc1
+        f1n = f1 + (1 - inc1)
         halve = (e0n + e1n) > limits_ref[pl.ds(slot, 1), :][0, 0]
         e0n = jnp.where(halve, (e0n + 1) >> 1, e0n)
         e1n = jnp.where(halve, (e1n + 1) >> 1, e1n)
+        fhalve = (f0n + f1n) > 0x18  # kHalveFast
+        f0n = jnp.where(fhalve, (f0n + 1) >> 1, f0n)
+        f1n = jnp.where(fhalve, (f1n + 1) >> 1, f1n)
 
         @pl.when(v == 1)
         def _():
-            est_ref[pl.ds(slot, 1), :] = jnp.stack([e0n, e1n]).reshape(1, 2)
+            est_ref[pl.ds(slot, 1), :] = jnp.stack(
+                [e0n, e1n, f0n, f1n]
+            ).reshape(1, 4)
 
         r1 = ((rng >> 16) & 0xFFFF) * p1
         low_a = low + r1
@@ -204,7 +218,7 @@ def _encode_raw(slots, bits, pcabs, limits, valid, cls, interpret=False):
             jax.ShapeDtypeStruct((S * NC, 8, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NS, 2), jnp.int32),
+            pltpu.VMEM((NS, 4), jnp.int32),
             pltpu.VMEM((64, 4), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ],

@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 3  # v3: logistic-mixing model (v2 added varint substream_bins)
+VERSION = 4  # v4: dual-rate counter mixer input (v3: logistic mixing)
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 
