@@ -5,9 +5,9 @@
 // math is fine here (the lab picks the design, production re-measures its
 // integerization).  Costs are idealized -log2(p) bits.
 //
-// Baseline V0 replicates RecodeModel::prob()/adapt() exactly (same dense
-// KeySpace, same divtab-free math) and is validated against real
-// gop-scope stream sizes by tools/mixlab.py.
+// Baseline V0 replicates the PRODUCTION model exactly (model v4: logistic
+// mixing + dual-rate counter) so new variants measure against what ships;
+// variant 9 replays the round-1 linear mix for historical comparison.
 #pragma once
 
 #include <cmath>
@@ -51,6 +51,7 @@ class MixLab {
     fpos_.clear();
     fneg_.clear();
     std::fill(w4init_, w4init_ + K_NCLS, 0);
+    std::fill(wbinit_, wbinit_ + K_NCLS, 0);
     for (uint32_t c = 0; c < K_NCLS; c++) {
       wi_[(size_t)c * 3 + 0] = 24576;  // 0.375
       wi_[(size_t)c * 3 + 1] = 24576;
@@ -63,7 +64,41 @@ class MixLab {
     uint32_t cls = (uint32_t)(key >> 40);
     int pos = pos_[i], neg = neg_[i], total = pos + neg;
 
-    // --- V0: exact production probability (model.h::prob) ---
+    // --- V0 baseline: exact PRODUCTION probability (model v4) ---
+    {
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      int32_t* w = &wb_[(size_t)cls * 4];
+      if (!wbinit_[cls]) {
+        wbinit_[cls] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0;
+      }
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      double pb0 = p16 / 65536.0;
+      bits_base += -std::log2(bit ? pb0 : 1.0 - pb0);
+      int32_t err = (bit << 16) - p16;
+      int32_t xs[4] = {x0, x1, 77, x3};
+      for (int k = 0; k < 4; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+    }
+
+    // --- round-1 linear mix (historical; variant 9 reports it as mix) ---
     int32_t p = (int32_t)(((int64_t)pos << 16) / total);
     if (p > 0xFFFF) p = 0xFFFF;
     if (pcab > 0) {
@@ -73,7 +108,12 @@ class MixLab {
       if (p > 0xFFFF) p = 0xFFFF;
     }
     double pb = p / 65536.0;
-    bits_base += -std::log2(bit ? pb : 1.0 - pb);
+    if (variant == 9) {
+      bits_mix += -std::log2(bit ? pb : 1.0 - pb);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
 
     // --- candidate ---
     double pm = pb;
@@ -108,11 +148,6 @@ class MixLab {
       for (int k = 0; k < 4; k++) {
         int32_t wn = w[k] + ((err * xs[k]) >> 14);
         w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
-      }
-      if (bit) fpos_[i]++; else fneg_[i]++;
-      if (fpos_[i] + fneg_[i] > 0x18) {
-        fpos_[i] = (fpos_[i] + 1) >> 1;
-        fneg_[i] = (fneg_[i] + 1) >> 1;
       }
       bits_mix += -std::log2(bit ? pm : 1.0 - pm);
       n_bins++;
@@ -203,15 +238,7 @@ class MixLab {
     n_bins++;
 
     // --- production adaptation (shared by V0 and candidates) ---
-    if (bit)
-      pos_[i]++;
-    else
-      neg_[i]++;
-    int limit = cls == K_SIG ? kHalveSig : kHalveDefault;
-    if (pos_[i] + neg_[i] > limit) {
-      pos_[i] = (pos_[i] + 1) >> 1;
-      neg_[i] = (neg_[i] + 1) >> 1;
-    }
+    adapt_only(i, cls, bit);
   }
 
   // mirror of RecodeModel::put_nnz key generation (pcab = 0)
@@ -227,15 +254,23 @@ class MixLab {
   }
 
  private:
+  // production adaptation: slow + fast counters (model v4)
   void adapt_only(uint32_t i, uint32_t cls, int bit) {
-    if (bit)
+    if (bit) {
       pos_[i]++;
-    else
+      fpos_[i]++;
+    } else {
       neg_[i]++;
+      fneg_[i]++;
+    }
     int limit = cls == K_SIG ? kHalveSig : kHalveDefault;
     if (pos_[i] + neg_[i] > limit) {
       pos_[i] = (pos_[i] + 1) >> 1;
       neg_[i] = (neg_[i] + 1) >> 1;
+    }
+    if (fpos_[i] + fneg_[i] > 0x18) {
+      fpos_[i] = (fpos_[i] + 1) >> 1;
+      fneg_[i] = (fneg_[i] + 1) >> 1;
     }
   }
 
@@ -296,6 +331,8 @@ class MixLab {
   std::vector<int> fpos_, fneg_;
   int32_t wi4_[59 * 4] = {};
   uint8_t w4init_[59] = {};
+  int32_t wb_[59 * 4] = {};
+  uint8_t wbinit_[59] = {};
 };
 
 }  // namespace avtpu
