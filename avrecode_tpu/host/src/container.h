@@ -6,7 +6,7 @@
 
 namespace avtpu {
 
-constexpr uint8_t kVersion = 4;  // v4: dual-rate counter mixer input (v3: logistic mixing)
+constexpr uint8_t kVersion = 5;  // v5: last-bit history mixer input (v4: dual-rate counter)
 enum { KIND_LITERAL = 0, KIND_SLICE = 1, KIND_END = 2 };
 enum { SCOPE_STREAM = 0, SCOPE_SLICE = 1, SCOPE_GOP = 2 };
 

@@ -52,6 +52,8 @@ class MixLab {
     fneg_.clear();
     std::fill(w4init_, w4init_ + K_NCLS, 0);
     std::fill(wbinit_, wbinit_ + K_NCLS, 0);
+    lastb_.clear();
+    std::fill(w5init_, w5init_ + K_NCLS, 0);
     for (uint32_t c = 0; c < K_NCLS; c++) {
       wi_[(size_t)c * 3 + 0] = 24576;  // 0.375
       wi_[(size_t)c * 3 + 1] = 24576;
@@ -117,6 +119,88 @@ class MixLab {
 
     // --- candidate ---
     double pm = pb;
+    if (variant == 10) {
+      // v4 + per-slot last-bit history as a 5th input (PAQ-style run bit)
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      if (lastb_.empty()) lastb_.assign(kKeys.total, 2);  // 2 = no history
+      int32_t* w = &wi5_[(size_t)cls * 5];
+      if (!w5init_[cls]) {
+        w5init_[cls] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0; w[4] = 0;
+      }
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int lb = lastb_[i];
+      int32_t x4 = lb == 2 ? 0 : lb ? 256 : -256;
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3 + (w[4] >> 6) * x4) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      pm = p16 / 65536.0;
+      int32_t err = (bit << 16) - p16;
+      int32_t xs[5] = {x0, x1, 77, x3, x4};
+      for (int k = 0; k < 5; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      lastb_[i] = bit;
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
+    if (variant == 8) {
+      // v4 production + APM/SSE on top (the baseline block above already
+      // computed the production probability and updated wb_; recompute it
+      // here cheaply via the same state is avoided by passing through the
+      // double: re-derive from bits_base delta is messy — instead rerun
+      // the same arithmetic on the CURRENT (pre-adapt) state)
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      int32_t* w = &wi4_[(size_t)cls * 4];
+      if (!w4init_[cls]) {
+        w4init_[cls] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0;
+      }
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      double pmix = p16 / 65536.0;
+      double pout = apm(cls, pmix, bit);
+      pout = std::min(65535.5 / 65536.0, std::max(0.5 / 65536.0, pout));
+      bits_mix += -std::log2(bit ? pout : 1.0 - pout);
+      n_bins++;
+      int32_t err = (bit << 16) - p16;
+      int32_t xs[4] = {x0, x1, 77, x3};
+      for (int k = 0; k < 4; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      adapt_only(i, cls, bit);
+      return;
+    }
     if (variant == 7) {
       // variant 6 + a FAST second counter (halve at 0x18) as a 4th input:
       // does a dual-rate estimator add anything beyond the mixer?
@@ -333,6 +417,9 @@ class MixLab {
   uint8_t w4init_[59] = {};
   int32_t wb_[59 * 4] = {};
   uint8_t wbinit_[59] = {};
+  std::vector<uint8_t> lastb_;
+  int32_t wi5_[59 * 5] = {};
+  uint8_t w5init_[59] = {};
 };
 
 }  // namespace avtpu

@@ -23,6 +23,7 @@ namespace avtpu {
 constexpr int kHalveDefault = 0x60;
 constexpr int kHalveSig = 0x50;
 constexpr int kHalveFast = 0x18;  // model v4: fast mixer-input counter
+constexpr int32_t kHistMag = 256;  // model v5: last-bit history input
 
 // model key classes (order is internal; independent per-key streams)
 enum KeyCls : uint32_t {
@@ -146,7 +147,9 @@ inline const DivStretchTab kDivStretch{};
 struct EstPool {
   struct Cell {
     uint16_t pos, neg;
-    uint16_t fpos, fneg;  // fast second counter (halve at kHalveFast)
+    uint8_t fpos, fneg;  // fast second counter (halve at kHalveFast <= 25)
+    uint8_t last;        // previous bit of this key (2 = no history yet)
+    uint8_t pad;
     uint32_t gen;
   };
   std::vector<Cell> cells;
@@ -154,7 +157,7 @@ struct EstPool {
 
   void ensure() {
     if (cells.empty() || gen_counter > 0xFFFFFF00u) {
-      cells.assign(kKeys.total, Cell{0, 0, 0, 0, 0});
+      cells.assign(kKeys.total, Cell{0, 0, 0, 0, 0, 0, 0});
       gen_counter = 0;
     }
   }
@@ -235,7 +238,7 @@ class RecodeModel {
     uint32_t idx;
     uint32_t p1;
     int pcab;
-    int32_t x0, x1, x3;  // mixer inputs (stretch domain) for the update
+    int32_t x0, x1, x3, x4;  // mixer inputs for the weight update
     uint32_t cls;
   };
   Prep prepare(uint64_t key, int pcab = 0) {
@@ -243,7 +246,7 @@ class RecodeModel {
     pp.idx = touch(key);
     pp.pcab = pcab;
     pp.cls = (uint32_t)(key >> 40);
-    pp.p1 = mix_prob(pp.idx, pp.cls, pcab, &pp.x0, &pp.x1, &pp.x3);
+    pp.p1 = mix_prob(pp.idx, pp.cls, pcab, &pp.x0, &pp.x1, &pp.x3, &pp.x4);
     return pp;
   }
   void commit(const Prep& pp, uint64_t key, int bit) {
@@ -316,7 +319,7 @@ class RecodeModel {
     uint64_t cache_size;
     size_t out_len;
     size_t rec_len, lim_len;  // trace mode
-    int32_t wmix[K_NCLS * 4];  // mixer weights (small: full copy)
+    int32_t wmix[K_NCLS * 5];  // mixer weights (small: full copy)
   };
 
   Snapshot snapshot() {
@@ -330,7 +333,7 @@ class RecodeModel {
       s.rec_len = trace_->recs.size();
       s.lim_len = trace_->limits.size();
     }
-    std::copy(wmix_, wmix_ + K_NCLS * 4, s.wmix);
+    std::copy(wmix_, wmix_ + K_NCLS * 5, s.wmix);
     return s;
   }
   void commit(const Snapshot& s) { journal_.resize(s.journal_len); }
@@ -342,6 +345,7 @@ class RecodeModel {
       cc.neg = u.neg;
       cc.fpos = u.fpos;
       cc.fneg = u.fneg;
+      cc.last = u.last;
       cc.gen = u.prev_gen;
     }
     journal_.resize(s.journal_len);
@@ -351,7 +355,7 @@ class RecodeModel {
       trace_->limits.resize(s.lim_len);
       trace_->cls.resize(s.lim_len);
     }
-    std::copy(s.wmix, s.wmix + K_NCLS * 4, wmix_);
+    std::copy(s.wmix, s.wmix + K_NCLS * 5, wmix_);
   }
 
   Bytes finish() { return enc_->finish(); }
@@ -421,10 +425,11 @@ class RecodeModel {
     start_gen_ = ++pool_->gen_counter;
     epoch_ = start_gen_;
     for (uint32_t c = 0; c < K_NCLS; c++) {
-      wmix_[c * 4 + 0] = 24576;  // 0.375 in 16-frac
-      wmix_[c * 4 + 1] = 24576;
-      wmix_[c * 4 + 2] = 0;
-      wmix_[c * 4 + 3] = 0;
+      wmix_[c * 5 + 0] = 24576;  // 0.375 in 16-frac
+      wmix_[c * 5 + 1] = 24576;
+      wmix_[c * 5 + 2] = 0;
+      wmix_[c * 5 + 3] = 0;
+      wmix_[c * 5 + 4] = 0;
     }
   }
 
@@ -436,8 +441,11 @@ class RecodeModel {
     EstPool::Cell& c = pool_->cells[i];
     uint32_t g = c.gen;
     if (g == epoch_) return i;
-    journal_.push_back({i, c.pos, c.neg, c.fpos, c.fneg, g});
-    if (g < start_gen_) c.pos = c.neg = c.fpos = c.fneg = 1;  // fresh
+    journal_.push_back({i, c.pos, c.neg, c.fpos, c.fneg, c.last, g});
+    if (g < start_gen_) {  // fresh for this model
+      c.pos = c.neg = c.fpos = c.fneg = 1;
+      c.last = 2;
+    }
     c.gen = epoch_;
     return i;
   }
@@ -450,34 +458,38 @@ class RecodeModel {
   // models/h264_model.py and the device kernels; the shared stretch/
   // squash tables are generated once (tools/gen_mix_tables.py).
   uint32_t mix_prob(uint32_t i, uint32_t cls, int pcab, int32_t* x0o,
-                    int32_t* x1o, int32_t* x3o) const {
+                    int32_t* x1o, int32_t* x3o, int32_t* x4o) const {
     const EstPool::Cell& c = pool_->cells[i];
     int32_t x0 = kDivStretch.t[(c.pos + c.neg) * 97 + c.pos];
     int32_t x1 = pcab > 0 ? kStretch12[pcab >> 4] : 0;
     int32_t x3 = kDivStretch.t[(c.fpos + c.fneg) * 97 + c.fpos];
-    const int32_t* w = &wmix_[cls * 4];
+    int32_t x4 = c.last == 2 ? 0 : c.last ? kHistMag : -kHistMag;
+    const int32_t* w = &wmix_[cls * 5];
     int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
-                   (w[3] >> 6) * x3) >> 10;
+                   (w[3] >> 6) * x3 + (w[4] >> 6) * x4) >> 10;
     if (dot < -2048) dot = -2048;
     if (dot > 2047) dot = 2047;
     *x0o = x0;
     *x1o = x1;
     *x3o = x3;
+    *x4o = x4;
     return kSquash[dot + 2048];
   }
   void update_mix(const Prep& pp, int bit) {
-    int32_t* w = &wmix_[pp.cls * 4];
+    int32_t* w = &wmix_[pp.cls * 5];
     int32_t err = (bit << 16) - (int32_t)pp.p1;
     w[0] = wclamp(w[0] + ((err * pp.x0) >> 14));
     w[1] = wclamp(w[1] + ((err * pp.x1) >> 14));
     w[2] = wclamp(w[2] + ((err * 77) >> 14));
     w[3] = wclamp(w[3] + ((err * pp.x3) >> 14));
+    w[4] = wclamp(w[4] + ((err * pp.x4) >> 14));
   }
   static int32_t wclamp(int32_t w) {
     return w < -(1 << 24) ? -(1 << 24) : w > (1 << 24) ? (1 << 24) : w;
   }
   void adapt(uint32_t i, uint64_t key, int bit) {
     EstPool::Cell& c = pool_->cells[i];
+    c.last = (uint8_t)bit;
     if (bit) {
       c.pos++;
       c.fpos++;
@@ -498,12 +510,13 @@ class RecodeModel {
 
   struct Undo {
     uint32_t idx;
-    uint16_t pos, neg, fpos, fneg;
+    uint16_t pos, neg;
+    uint8_t fpos, fneg, last;
     uint32_t prev_gen;
   };
 
   EstPool* pool_ = nullptr;
-  int32_t wmix_[K_NCLS * 4];
+  int32_t wmix_[K_NCLS * 5];
   uint32_t start_gen_ = 0, epoch_ = 0;
   std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;

@@ -42,8 +42,11 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
 
     @pl.when(c == 0)
     def _():
-        est_ref[:, :] = jnp.ones_like(est_ref[:, :])
-        # mixer weights per key class: [w_est, w_cab, w_bias, pad]
+        # est rows: [pos, neg, fpos, fneg, last(2=none), pad...]
+        cole = jax.lax.broadcasted_iota(jnp.int32, est_ref.shape, 1)
+        est_ref[:, :] = jnp.where(cole < 4, 1, jnp.where(cole == 4, 2, 0))
+        # mixer weights per key class: [w_est, w_cab, w_bias, w_fast,
+        # w_hist, pad...]
         colw = jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 1)
         w_ref[:, :] = jnp.where(colw < 2, 24576, 0)
         state_ref[0] = 0   # low
@@ -77,6 +80,7 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         e1 = equad[0, 1]
         f0 = equad[0, 2]
         f1 = equad[0, 3]
+        lb = equad[0, 4]
         total = e0 + e1
         # logistic mixing + dual-rate counter (model.h mix_prob/update_mix/
         # adapt mirror, model v4): stretch/squash live in tbl_ref columns
@@ -86,12 +90,14 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         lrow = limits_ref[pl.ds(slot, 1), :]
         cls = lrow[0, 1]
         wrow = w_ref[pl.ds(cls, 1), :]
-        w0, w1, w2, w3 = wrow[0, 0], wrow[0, 1], wrow[0, 2], wrow[0, 3]
+        w0, w1, w2 = wrow[0, 0], wrow[0, 1], wrow[0, 2]
+        w3, w4 = wrow[0, 3], wrow[0, 4]
         x0 = tbl_ref[pl.ds(pe >> 4, 1), :][0, 0]
         x1 = jnp.where(pcab > 0, tbl_ref[pl.ds(pcab >> 4, 1), :][0, 0], 0)
         x3 = tbl_ref[pl.ds(pf >> 4, 1), :][0, 0]
+        x4 = jnp.where(lb == 2, 0, jnp.where(lb == 1, 256, -256))
         dot = ((w0 >> 6) * x0 + (w1 >> 6) * x1 + (w2 >> 6) * 77
-               + (w3 >> 6) * x3) >> 10
+               + (w3 >> 6) * x3 + (w4 >> 6) * x4) >> 10
         dot = jnp.clip(dot, -2048, 2047)
         p1 = tbl_ref[pl.ds(dot + 2048, 1), :][0, 1]
         err = (bit << 16) - p1
@@ -99,12 +105,14 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         w1n = jnp.clip(w1 + ((err * x1) >> 14), -(1 << 24), 1 << 24)
         w2n = jnp.clip(w2 + ((err * 77) >> 14), -(1 << 24), 1 << 24)
         w3n = jnp.clip(w3 + ((err * x3) >> 14), -(1 << 24), 1 << 24)
+        w4n = jnp.clip(w4 + ((err * x4) >> 14), -(1 << 24), 1 << 24)
 
         @pl.when(v == 1)
         def _():
             w_ref[pl.ds(cls, 1), :] = jnp.stack(
-                [w0n, w1n, w2n, w3n]
-            ).reshape(1, 4)
+                [w0n, w1n, w2n, w3n, w4n, jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0)]
+            ).reshape(1, 8)
 
         inc1 = jnp.where(bit == 1, 1, 0)
         e0n = e0 + inc1
@@ -121,8 +129,9 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         @pl.when(v == 1)
         def _():
             est_ref[pl.ds(slot, 1), :] = jnp.stack(
-                [e0n, e1n, f0n, f1n]
-            ).reshape(1, 4)
+                [e0n, e1n, f0n, f1n, bit, jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0)]
+            ).reshape(1, 8)
 
         r1 = ((rng >> 16) & 0xFFFF) * p1
         low_a = low + r1
@@ -218,8 +227,8 @@ def _encode_raw(slots, bits, pcabs, limits, valid, cls, interpret=False):
             jax.ShapeDtypeStruct((S * NC, 8, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NS, 4), jnp.int32),
-            pltpu.VMEM((64, 4), jnp.int32),
+            pltpu.VMEM((NS, 8), jnp.int32),
+            pltpu.VMEM((64, 8), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ],
         interpret=interpret,

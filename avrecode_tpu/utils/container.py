@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 4  # v4: dual-rate counter mixer input (v3: logistic mixing)
+VERSION = 5  # v5: last-bit history mixer input (v4: dual-rate counter)
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 
