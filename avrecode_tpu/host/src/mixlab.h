@@ -5,9 +5,9 @@
 // math is fine here (the lab picks the design, production re-measures its
 // integerization).  Costs are idealized -log2(p) bits.
 //
-// Baseline V0 replicates the PRODUCTION model exactly (model v4: logistic
-// mixing + dual-rate counter) so new variants measure against what ships;
-// variant 9 replays the round-1 linear mix for historical comparison.
+// Baseline V0 replicates the PRODUCTION model exactly (model v5: logistic
+// mixing + dual-rate counter + last-bit history) so new variants measure
+// against what ships; variant 9 replays the round-1 linear mix.
 #pragma once
 
 #include <cmath>
@@ -66,17 +66,18 @@ class MixLab {
     uint32_t cls = (uint32_t)(key >> 40);
     int pos = pos_[i], neg = neg_[i], total = pos + neg;
 
-    // --- V0 baseline: exact PRODUCTION probability (model v4) ---
+    // --- V0 baseline: exact PRODUCTION probability (model v5) ---
     {
       init_int_tables();
       if (fpos_.empty()) {
         fpos_.assign(kKeys.total, 1);
         fneg_.assign(kKeys.total, 1);
       }
-      int32_t* w = &wb_[(size_t)cls * 4];
+      if (lastb_.empty()) lastb_.assign(kKeys.total, 2);
+      int32_t* w = &wb_[(size_t)cls * 5];
       if (!wbinit_[cls]) {
         wbinit_[cls] = 1;
-        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0; w[4] = 0;
       }
       int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
       pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
@@ -86,15 +87,17 @@ class MixLab {
       int32_t x0 = kStretch[pe >> 4];
       int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
       int32_t x3 = kStretch[pf >> 4];
+      int lb = lastb_[i];
+      int32_t x4 = lb == 2 ? 0 : lb ? 256 : -256;
       int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
-                     (w[3] >> 6) * x3) >> 10;
+                     (w[3] >> 6) * x3 + (w[4] >> 6) * x4) >> 10;
       dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
       int32_t p16 = kSquash[dot + 2048];
       double pb0 = p16 / 65536.0;
       bits_base += -std::log2(bit ? pb0 : 1.0 - pb0);
       int32_t err = (bit << 16) - p16;
-      int32_t xs[4] = {x0, x1, 77, x3};
-      for (int k = 0; k < 4; k++) {
+      int32_t xs[5] = {x0, x1, 77, x3, x4};
+      for (int k = 0; k < 5; k++) {
         int32_t wn = w[k] + ((err * xs[k]) >> 14);
         w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
       }
@@ -338,8 +341,9 @@ class MixLab {
   }
 
  private:
-  // production adaptation: slow + fast counters (model v4)
+  // production adaptation: slow + fast counters + history (model v5)
   void adapt_only(uint32_t i, uint32_t cls, int bit) {
+    if (!lastb_.empty()) lastb_[i] = (uint8_t)bit;
     if (bit) {
       pos_[i]++;
       fpos_[i]++;
@@ -415,7 +419,7 @@ class MixLab {
   std::vector<int> fpos_, fneg_;
   int32_t wi4_[59 * 4] = {};
   uint8_t w4init_[59] = {};
-  int32_t wb_[59 * 4] = {};
+  int32_t wb_[59 * 5] = {};
   uint8_t wbinit_[59] = {};
   std::vector<uint8_t> lastb_;
   int32_t wi5_[59 * 5] = {};
