@@ -53,7 +53,9 @@ class MixLab {
     std::fill(w4init_, w4init_ + K_NCLS, 0);
     std::fill(wbinit_, wbinit_ + K_NCLS, 0);
     lastb_.clear();
+    lastb2_.clear();
     std::fill(w5init_, w5init_ + K_NCLS, 0);
+    std::fill(w6init_, w6init_ + K_NCLS, 0);
     for (uint32_t c = 0; c < K_NCLS; c++) {
       wi_[(size_t)c * 3 + 0] = 24576;  // 0.375
       wi_[(size_t)c * 3 + 1] = 24576;
@@ -122,6 +124,49 @@ class MixLab {
 
     // --- candidate ---
     double pm = pb;
+    if (variant == 11) {
+      // v5 + SECOND-last bit as a 6th input (2-bit history)
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      if (lastb_.empty()) lastb_.assign(kKeys.total, 2);
+      if (lastb2_.empty()) lastb2_.assign(kKeys.total, 2);
+      int32_t* w = &wi6_[(size_t)cls * 6];
+      if (!w6init_[cls]) {
+        w6init_[cls] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0; w[4] = 0; w[5] = 0;
+      }
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int lb = lastb_[i], lb2 = lastb2_[i];
+      int32_t x4 = lb == 2 ? 0 : lb ? 256 : -256;
+      int32_t x5 = lb2 == 2 ? 0 : lb2 ? 128 : -128;
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3 + (w[4] >> 6) * x4 +
+                     (w[5] >> 6) * x5) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      pm = p16 / 65536.0;
+      int32_t err = (bit << 16) - p16;
+      int32_t xs[6] = {x0, x1, 77, x3, x4, x5};
+      for (int k = 0; k < 6; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      lastb2_[i] = lastb_[i];
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
     if (variant == 10) {
       // v4 + per-slot last-bit history as a 5th input (PAQ-style run bit)
       init_int_tables();
@@ -421,9 +466,11 @@ class MixLab {
   uint8_t w4init_[59] = {};
   int32_t wb_[59 * 5] = {};
   uint8_t wbinit_[59] = {};
-  std::vector<uint8_t> lastb_;
+  std::vector<uint8_t> lastb_, lastb2_;
   int32_t wi5_[59 * 5] = {};
   uint8_t w5init_[59] = {};
+  int32_t wi6_[59 * 6] = {};
+  uint8_t w6init_[59] = {};
 };
 
 }  // namespace avtpu
