@@ -20,7 +20,11 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "libavtpu.so")
+    # AVTPU_LIB selects an alternate build (e.g. libavtpu_tsan.so for the
+    # threaded-path race tests); default is the production .so next to us.
+    path = os.environ.get(
+        "AVTPU_LIB", os.path.join(os.path.dirname(__file__), "libavtpu.so")
+    )
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)

@@ -114,7 +114,8 @@ inline const KeySpace kKeys{};
 
 // exact (pos << 16) / total for all reachable (pos, total) pairs
 struct DivTab {
-  uint16_t t[97 * 97];
+  uint16_t t[97 * 97] = {};  // zero-init: cells with pos > total are never
+                             // consulted but DivStretchTab reads all of them
   DivTab() {
     for (int total = 1; total <= 96; total++)
       for (int pos = 0; pos <= total; pos++) {

@@ -42,7 +42,7 @@ def _mix_tables():
     return (jnp.asarray(STRETCH12, jnp.int32), jnp.asarray(SQUASH, jnp.int32))
 
 
-N_CLS = 59  # model.h::K_NCLS == models.trace.N_CLS
+from ..models.trace import N_CLS  # model.h::K_NCLS (single source of truth)
 HALVE_FAST = 0x18  # model v4 fast-counter halving (model.h::kHalveFast)
 HIST_MAG = 256  # model v5 last-bit history magnitude (model.h::kHistMag)
 

@@ -25,6 +25,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..models.trace import N_CLS
+
 TOP = 1 << 24
 SIGN = -0x80000000
 CHUNK = 1024  # bins per grid step (VMEM: in+out windows double-buffered)
@@ -228,7 +230,9 @@ def _encode_raw(slots, bits, pcabs, limits, valid, cls, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((NS, 8), jnp.int32),
-            pltpu.VMEM((64, 8), jnp.int32),
+            # per-class mixer weight rows; must hold N_CLS rows (rounded to
+            # the 8-row VMEM tile)
+            pltpu.VMEM((max(64, -(-N_CLS // 8) * 8), 8), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ],
         interpret=interpret,

@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codec import _scan_blocks, serialize_container
-from ..models.trace import TraceModel
+from ..models.trace import N_CLS, TraceModel
 from ..ops.estimator_jax import encode_slices, stream_bytes
 from ..utils.container import KIND_SLICE, SCOPE_SLICE
 
@@ -84,6 +84,7 @@ def pack_traces(traces, pad_multiple=8):
         valid[i, :k] = 1
         limits[i, : len(t.limits)] = t.limits
         cls[i, : len(t.cls)] = t.cls
+    assert cls.max(initial=0) < N_CLS, "key-class id out of mixer weight range"
     return slots, bits, pcabs, limits, valid, cls
 
 
