@@ -19,7 +19,7 @@ import copy
 
 from .h264.coders import CompressCoder, DecompressCoder
 from .h264.mbparse import ParseDesync, PicState
-from .h264.params import UnsupportedStream, parse_pps, parse_sps
+from .h264.params import UnsupportedStream, mb_height, parse_pps, parse_sps
 from .h264.slicehdr import parse_slice_header
 from .h264.stream import StreamWalker
 from .h264.mbparse import SliceParser
@@ -135,7 +135,7 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill,
         advance = rec.header.first_mb_in_slice == 0 or w.cur_pic is None
         if advance:
             cand_prev = w.cur_pic
-            cand_cur = PicState(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units)
+            cand_cur = PicState(rec.sps.pic_width_in_mbs, mb_height(rec.sps))
         else:
             cand_prev = w.prev_pic
             cand_cur = w.cur_pic
@@ -328,7 +328,7 @@ def decompress(blob):
             raise ValueError("slice block without model stream")
         if hdr.first_mb_in_slice == 0 or cur_pic is None:
             prev_pic = cur_pic
-            cur_pic = PicState(sps.pic_width_in_mbs, sps.pic_height_in_map_units)
+            cur_pic = PicState(sps.pic_width_in_mbs, mb_height(sps))
         slice_id += 1
         idc = None if hdr.slice_type == 2 else hdr.cabac_init_idc
         coder = DecompressCoder(hdr.slice_qp, idc, smodel)

@@ -21,8 +21,12 @@ trick, recode.cpp:852-936, 1444-1446, generalized):
   * at compress time every "deterministic" bin is asserted against the real
     decoded bin — a mismatch raises ParseDesync -> literal fallback.
 
-Scope (round 1): progressive frames, 4:2:0 8-bit, I/P/B slices, High profile
-transform-8x8.  I_PCM and interlace raise UnsupportedStream -> fallback.
+Scope: progressive + MBAFF frames (round 3), 4:2:0/4:2:2 8-bit, I/P/B
+slices, High profile transform-8x8.  MBAFF neighbor derivation mirrors the
+hooked decoder's semantics (fill_decode_neighbors left-pair split + y remap,
+skip/field-flag register conventions) — the same behavior the reference
+inherits from its ffmpeg patch (SURVEY.md C18, recode.cpp:149-235).  I_PCM
+and PAFF field pictures raise UnsupportedStream -> literal fallback.
 """
 
 import numpy as np
@@ -145,6 +149,9 @@ class PicState:
         self.mvd = np.zeros((2, h, w, 16, 2), np.int32)
         self.refidx = np.full((2, h, w, 4), -1, np.int8)
         self.intra_nxn = np.zeros((h, w), np.uint8)  # is I_NxN (for mb_type ctx)
+        # MBAFF: per-MB field-coding flag (both MBs of a pair share a value);
+        # rows interleave pairs: y = 2*pair_row + bottom
+        self.field = np.zeros((h, w), np.uint8)
 
 
 class SliceParser:
@@ -162,7 +169,15 @@ class SliceParser:
         # regardless (clause 6.4.8 availability).
         self.isolate = isolate
         self.W = sps.pic_width_in_mbs
-        self.H = sps.pic_height_in_map_units
+        self.H = sps.pic_height_in_map_units * (1 if sps.frame_mbs_only_flag else 2)
+        self.mbaff = bool(getattr(header, "mbaff", False))
+        # MBAFF state: cur_field = current pair's field flag (decoded,
+        # predicted, or provisional); eff_field mirrors ffmpeg's
+        # sl->mb_field_decoding_flag "most recent value" convention used for
+        # ctx derivation before the current pair's flag is decoded
+        self.cur_field = 0
+        self.eff_field = 0
+        self.field_known = False
         self.stype = header.slice_type
         # 4:2:2: 2x4 chroma 4x4-block grid, 8-coeff chroma DC
         self.ch422 = sps.chroma_format_idc == 2
@@ -185,10 +200,84 @@ class SliceParser:
         return self.pic.slice_id[y, x] == self.sid
 
     def _left(self):
+        if self.mbaff:
+            return self._left_xy[0]
         return (self.mbx - 1, self.mby)
 
     def _up(self):
+        if self.mbaff:
+            return self._top_xy
         return (self.mbx, self.mby - 1)
+
+    # -- MBAFF neighbor derivation ----------------------------------------
+    # Mirrors ffmpeg's fill_decode_neighbors (h264_mvpred.h): the left MB
+    # pair splits into (LTOP, LBOT) used for current 4x4 rows 0-1 / 2-3, with
+    # a per-row y remap (left_block_options); the top MB depends on the
+    # current/above parities.  This is the behavior of the hooked decoder the
+    # reference rides (SURVEY.md C18, recode.cpp:149-235).
+    def _field_at(self, x, y):
+        if x < 0 or y < 0 or x >= self.W or y >= self.H:
+            return 0
+        return int(self.pic.field[y, x])
+
+    def _mbaff_neighbors(self):
+        x, y = self.mbx, self.mby
+        f = self.cur_field
+        bottom = y & 1
+        if not f:
+            top = (x, y - 1)
+        else:
+            top = (x, y - 2)
+            if not bottom and not self._field_at(x, y - 2):
+                top = (x, y - 1)
+        lx = x - 1
+        ltop, lbot = (lx, y), (lx, y)
+        lmap = (0, 1, 2, 3)
+        if lx >= 0 and self._field_at(lx, y) != f:
+            if bottom:
+                if f:  # field MB, frame left pair
+                    ltop, lbot, lmap = (lx, y - 1), (lx, y), (0, 2, 0, 2)
+                else:  # frame MB, field left pair
+                    ltop = lbot = (lx, y - 1)
+                    lmap = (2, 2, 3, 3)
+            else:
+                if f:
+                    ltop, lbot, lmap = (lx, y), (lx, y + 1), (0, 2, 0, 2)
+                else:
+                    ltop = lbot = (lx, y)
+                    lmap = (0, 0, 1, 1)
+        self._top_xy = top
+        self._left_xy = (ltop, lbot)
+        self._left_ymap = lmap
+
+    def _blk_nb(self, blk, dx, dy):
+        """4x4 luma neighbor (left/up single step), MBAFF-aware."""
+        if not self.mbaff:
+            return blk4_neighbor(self.mbx, self.mby, blk, dx, dy)
+        x4 = int(BLK4_X[blk]) + dx
+        y4 = int(BLK4_Y[blk]) + dy
+        if 0 <= x4 <= 3 and 0 <= y4 <= 3:
+            return (self.mbx, self.mby), int(RASTER_TO_BLK4[y4 * 4 + x4])
+        if x4 < 0:
+            nmb = self._left_xy[y4 >> 1]
+            return nmb, int(RASTER_TO_BLK4[self._left_ymap[y4] * 4 + 3])
+        # y4 < 0 (parser never steps right/down across MBs)
+        return self._top_xy, int(RASTER_TO_BLK4[3 * 4 + x4])
+
+    def _chroma_nb(self, blk, dx, dy):
+        """Chroma 4x4 neighbor on the 2 x grid_h block grid, MBAFF-aware."""
+        if not self.mbaff:
+            return chroma_blk_neighbor(self.mbx, self.mby, blk, dx, dy, self.ch_grid_h)
+        gh = self.ch_grid_h
+        xc, yc = (blk & 1) + dx, (blk >> 1) + dy
+        if 0 <= xc <= 1 and 0 <= yc < gh:
+            return (self.mbx, self.mby), yc * 2 + xc
+        if xc < 0:
+            r = yc * 4 // gh  # luma-equivalent row
+            nmb = self._left_xy[r >> 1]
+            return nmb, (self._left_ymap[r] * gh // 4) * 2 + 1
+        # yc < 0
+        return self._top_xy, (gh - 1) * 2 + xc
 
     # -- coder shims -----------------------------------------------------
     def _bin(self, ctx, mkey=None):
@@ -203,13 +292,60 @@ class SliceParser:
     # -- element parsers -------------------------------------------------
     def parse_mb_skip(self):
         base = 11 if self.stype == SLICE_P else 24
-        a, b = self._left(), self._up()
+        if self.mbaff:
+            # ffmpeg decode_cabac_mb_skip: neighbors derived from the pair-top
+            # address using the not-yet-overwritten field flag (eff_field)
+            x, y = self.mbx, self.mby
+            py = y & ~1
+            a = (x - 1, py)
+            if (y & 1) and self._avail(a) and self.eff_field == self._field_at(*a):
+                a = (x - 1, py + 1)
+            if self.eff_field:
+                b = (x, py - 1)
+                if not (y & 1) and self._avail(b) and self._field_at(*b):
+                    b = (x, py - 2)
+            else:
+                b = (x, y - 1)
+        else:
+            a, b = self._left(), self._up()
         inc = 0
         if self._avail(a) and not self.pic.skip[a[1], a[0]]:
             inc += 1
         if self._avail(b) and not self.pic.skip[b[1], b[0]]:
             inc += 1
         return self._bin(base + inc, ("skip", self.stype, inc))
+
+    # -- MBAFF mb_field_decoding_flag --------------------------------------
+    def parse_field_flag(self):
+        """Decode/encode mb_field_decoding_flag (ctx 70-72, 9.3.3.1.1.2):
+        left term = previous pair's flag (ffmpeg's stale-register trick, only
+        when mb_x > 0), above term = above pair's flag gated on slice
+        membership."""
+        x, y = self.mbx, self.mby
+        inc = self.eff_field if x > 0 else 0
+        ay = (y & ~1) - 2
+        if (
+            ay >= 0
+            and self.pic.slice_id[ay, x] == self.sid
+            and self.pic.field[ay, x]
+        ):
+            inc += 1
+        return self._bin(70 + inc, ("fieldf", inc))
+
+    def _predict_field(self):
+        """Inference for a both-skipped pair (7.4.4 / ffmpeg
+        predict_field_decoding_flag): left pair in same slice, else above
+        pair, else 0.  Called at the bottom MB of the pair."""
+        x, y = self.mbx, self.mby
+        ty = y & ~1
+        for nx, ny in ((x - 1, ty), (x, ty - 1)):
+            if (
+                0 <= nx < self.W
+                and 0 <= ny < self.H
+                and self.pic.slice_id[ny, nx] == self.sid
+            ):
+                return int(self.pic.field[ny, nx])
+        return 0
 
     def parse_mb_type_i_suffix(self, base, intra_slice):
         """Shared I16x16/PCM suffix after the I_NxN bin (Table 9-36).
@@ -358,9 +494,15 @@ class SliceParser:
         for i8 in range(4):
             x8, y8 = i8 & 1, i8 >> 1
             if x8 == 0:
-                cond_a = 1
                 if avail_a:
-                    cond_a = 0 if (p.cbp_luma[a[1], a[0]] >> (y8 * 2 + 1)) & 1 else 1
+                    if self.mbaff:
+                        # row y8's left 8x8 lives in left_xy[y8] at the
+                        # remapped row (ffmpeg's composite left_cbp)
+                        la = self._left_xy[y8]
+                        lb = (self._left_ymap[2 * y8] >> 1) * 2 + 1
+                        cond_a = 0 if (p.cbp_luma[la[1], la[0]] >> lb) & 1 else 1
+                    else:
+                        cond_a = 0 if (p.cbp_luma[a[1], a[0]] >> (y8 * 2 + 1)) & 1 else 1
                 else:
                     cond_a = 0
             else:
@@ -402,15 +544,31 @@ class SliceParser:
         return (v + 1) >> 1 if v & 1 else -(v >> 1)
 
     # -- motion ----------------------------------------------------------
+    def _nref_eff(self, lst):
+        """Active ref count for ref_idx presence: field MBs address per-field
+        lists with twice the entries (7.4.3 / ffmpeg ref_count << MB_MBAFF),
+        so ref_idx is coded even when the slice header count is 1."""
+        n = self.nref0 if lst == 0 else self.nref1
+        return n << 1 if (self.mbaff and self.cur_field) else n
+
     def parse_ref_idx(self, lst, blk):
         """blk = top-left 4x4 blk idx of the partition."""
         p = self.pic
         inc = 0
         for dx, dy, weight in ((-1, 0, 1), (0, -1, 2)):
-            (nmb, nblk) = blk4_neighbor(self.mbx, self.mby, blk, dx, dy)
+            (nmb, nblk) = self._blk_nb(blk, dx, dy)
             if self._avail(nmb):
                 quad = (int(BLK4_Y[nblk]) >> 1) * 2 + (int(BLK4_X[nblk]) >> 1)
-                r = p.refidx[lst, nmb[1], nmb[0], quad]
+                r = int(p.refidx[lst, nmb[1], nmb[0], quad])
+                if self.mbaff and r > 0:
+                    # parity rescale (field refs are per-field): a field
+                    # neighbor's ref halves for a frame MB, a frame
+                    # neighbor's doubles for a field MB (9.3.3.1.1.6)
+                    nf = self._field_at(nmb[0], nmb[1])
+                    if self.cur_field and not nf:
+                        r <<= 1
+                    elif not self.cur_field and nf:
+                        r >>= 1
                 if r > 0:
                     inc += weight
         v = 0
@@ -426,9 +584,19 @@ class SliceParser:
         base = 40 if comp == 0 else 47
         s = 0
         for dx, dy in ((-1, 0), (0, -1)):
-            (nmb, nblk) = blk4_neighbor(self.mbx, self.mby, blk, dx, dy)
+            (nmb, nblk) = self._blk_nb(blk, dx, dy)
             if self._avail(nmb):
-                s += int(p.mvd[lst, nmb[1], nmb[0], nblk, comp])
+                v = int(p.mvd[lst, nmb[1], nmb[0], nblk, comp])
+                if comp == 1 and self.mbaff:
+                    # vertical |mvd| parity rescale (9.3.3.1.1.7): frame
+                    # neighbor of a field MB halves, field neighbor of a
+                    # frame MB doubles (both sides clamp-equivalently)
+                    nf = self._field_at(nmb[0], nmb[1])
+                    if self.cur_field and not nf:
+                        v >>= 1
+                    elif not self.cur_field and nf:
+                        v <<= 1
+                s += v
         inc = 0 if s < 3 else (1 if s <= 32 else 2)
         mkey = ("mvd", comp, inc)
         if not self._bin(base + inc, mkey):
@@ -471,28 +639,26 @@ class SliceParser:
         inc = 0
         for di, (dx, dy) in enumerate(((-1, 0), (0, -1))):
             if cat == CAT_LUMA_DC:
-                nmb = (self.mbx + dx, self.mby + dy)
+                nmb = self._left() if dx else self._up()
                 if not self._avail(nmb):
                     cond = 1 if is_intra else 0
                 else:
                     cond = int(p.cbf_luma_dc[nmb[1], nmb[0]])
             elif cat in (CAT_LUMA_AC, CAT_LUMA_4x4):
-                nmb, nblk = blk4_neighbor(self.mbx, self.mby, blk, dx, dy)
+                nmb, nblk = self._blk_nb(blk, dx, dy)
                 if not self._avail(nmb):
                     cond = 1 if is_intra else 0
                 else:
                     cond = int(p.cbf_luma[nmb[1], nmb[0], nblk])
             elif cat == CAT_CHROMA_DC:
-                nmb = (self.mbx + dx, self.mby + dy)
+                nmb = self._left() if dx else self._up()
                 if not self._avail(nmb):
                     cond = 1 if is_intra else 0
                 else:
                     cond = int(p.cbf_chroma_dc[nmb[1], nmb[0], blk])
             else:  # CAT_CHROMA_AC: blk = comp*8 + sub (2x2 or 2x4 grid)
                 comp, sub = blk >> 3, blk & 7
-                nmb, nsub = chroma_blk_neighbor(
-                    self.mbx, self.mby, sub, dx, dy, self.ch_grid_h
-                )
+                nmb, nsub = self._chroma_nb(sub, dx, dy)
                 if not self._avail(nmb):
                     cond = 1 if is_intra else 0
                 else:
@@ -510,23 +676,28 @@ class SliceParser:
         max_coeff = _MAX_COEFF[cat]
         if cat == CAT_CHROMA_DC and self.ch422:
             max_coeff = 8
+        fld0 = self.cur_field if self.mbaff else 0
         if has_cbf:
             inc = self._cbf_neighbor(cat, blk, is_intra)
             cbf = self._bin(
-                85 + 4 * cat + inc, ("cbf", cat, inc, min(nnz_prior, 7), int(is_intra))
+                85 + 4 * cat + inc,
+                ("cbf", cat + 16 * fld0, inc, min(nnz_prior, 7), int(is_intra)),
             )
             self._last_cbf = cbf
             if not cbf:
                 return 0
         else:
             self._last_cbf = 1
-        # --- significance map ---
+        # --- significance map (field MBs use the field ctx rows, 9.3.3.1.3)
+        fld = self.cur_field if self.mbaff else 0
         if cat == CAT_LUMA_8x8:
-            sig_ctx = [402 + SIG_COEFF_FLAG_OFFSET_8X8[0][i] for i in range(63)]
-            last_ctx = [417 + LAST_COEFF_FLAG_OFFSET_8X8[i] for i in range(63)]
+            sig8_base = 436 if fld else 402
+            last8_base = 451 if fld else 417
+            sig_ctx = [sig8_base + SIG_COEFF_FLAG_OFFSET_8X8[fld][i] for i in range(63)]
+            last_ctx = [last8_base + LAST_COEFF_FLAG_OFFSET_8X8[i] for i in range(63)]
         else:
-            sig_base = SIG_COEFF_FLAG_OFFSET[0][cat]
-            last_base = LAST_COEFF_FLAG_OFFSET[0][cat]
+            sig_base = SIG_COEFF_FLAG_OFFSET[fld][cat]
+            last_base = LAST_COEFF_FLAG_OFFSET[fld][cat]
             if cat == CAT_CHROMA_DC:
                 numc = 2 if self.ch422 else 1  # spec: Min(i / NumC8x8, 2)
                 sig_ctx = [sig_base + min(i // numc, 2) for i in range(max_coeff - 1)]
@@ -553,11 +724,13 @@ class SliceParser:
                 sig.append(1)  # implicit last position significant
                 n_sig += 1
             nnz = n_sig
-            c.put_nnz(nnz, cat, max_coeff, nnz_prior, blk)
-            self._replay_sig(cat, sig, nnz, sig_ctx, last_ctx, emit=True, pcabs=pcabs, intra=int(is_intra))
+            c.put_nnz(nnz, cat + 16 * fld, max_coeff, nnz_prior, blk)
+            self._replay_sig(cat, sig, nnz, sig_ctx, last_ctx, emit=True,
+                             pcabs=pcabs, intra=int(is_intra) + 2 * fld)
         else:
-            nnz = c.get_nnz(cat, max_coeff, nnz_prior, blk)
-            sig = self._replay_sig(cat, None, nnz, sig_ctx, last_ctx, emit=False, intra=int(is_intra))
+            nnz = c.get_nnz(cat + 16 * fld, max_coeff, nnz_prior, blk)
+            sig = self._replay_sig(cat, None, nnz, sig_ctx, last_ctx, emit=False,
+                                   intra=int(is_intra) + 2 * fld)
 
         # --- levels (backward from last significant) ---
         positions = [i for i, s in enumerate(sig) if s]
@@ -660,21 +833,40 @@ class SliceParser:
 
     # -- macroblock layer ------------------------------------------------
     def parse_macroblock(self):
+        """One MB: skip flag (+ MBAFF field flag interleaving handled by the
+        caller for skipped pairs), then the macroblock layer."""
+        skip = 0
+        if self.stype != SLICE_I:
+            skip = self.parse_mb_skip()
+        if skip:
+            self._store_skip_mb()
+            return True
+        if self.mbaff and not self.field_known:
+            self.cur_field = self.eff_field = self.parse_field_flag()
+            self.field_known = True
+            if self.mby & 1:  # top MB was skipped: retro-set its stored flag
+                self.pic.field[self.mby - 1, self.mbx] = self.cur_field
+        self.parse_macroblock_layer()
+        return False
+
+    def _store_skip_mb(self):
         p = self.pic
         x, y = self.mbx, self.mby
         stype = self.stype
-        self._sub_types = None
+        p.slice_id[y, x] = self.sid
+        p.mbclass[y, x] = MB_P_SKIP if stype == SLICE_P else MB_B_SKIP
+        p.skip[y, x] = 1
+        p.field[y, x] = self.cur_field
+        p.refidx[:, y, x, :] = 0 if stype == SLICE_P else -1
+        self.prev_qp_delta_nz = 0
 
-        skip = 0
-        if stype != SLICE_I:
-            skip = self.parse_mb_skip()
-        if skip:
-            p.slice_id[y, x] = self.sid
-            p.mbclass[y, x] = MB_P_SKIP if stype == SLICE_P else MB_B_SKIP
-            p.skip[y, x] = 1
-            p.refidx[:, y, x, :] = 0 if stype == SLICE_P else -1
-            self.prev_qp_delta_nz = 0
-            return
+    def parse_macroblock_layer(self):
+        p = self.pic
+        x, y = self.mbx, self.mby
+        self._sub_types = None
+        p.field[y, x] = self.cur_field
+        if self.mbaff:
+            self._mbaff_neighbors()
 
         mbclass, info = self.parse_mb_type()
         p.slice_id[y, x] = self.sid
@@ -771,7 +963,7 @@ class SliceParser:
                 parts = [(0, 2, 4, modes[0]), (blk_right, 2, 4, modes[1])]
 
         refs = {0: {}, 1: {}}
-        for lst, nref in ((0, self.nref0), (1, self.nref1)):
+        for lst, nref in ((0, self._nref_eff(0)), (1, self._nref_eff(1))):
             for blk, w4, h4, mode in parts:
                 if mode == PRED_BI or mode - 1 == lst:
                     r = self.parse_ref_idx(lst, blk) if nref > 1 else 0
@@ -794,7 +986,7 @@ class SliceParser:
         # sub_mb_pred (7.3.5.2): all ref_idx_l0, then all mvd_l0
         for i8 in range(4):
             blk = int(RASTER_TO_BLK4[(i8 >> 1) * 2 * 4 + (i8 & 1) * 2])
-            if self.nref0 > 1:
+            if self._nref_eff(0) > 1:
                 r = self.parse_ref_idx(0, blk)
             else:
                 r = 0
@@ -803,7 +995,7 @@ class SliceParser:
             self._parse_sub_mvds(0, i8, sub[i8], is_b=False)
 
     def _parse_b8x8(self, sub):
-        for lst, nref in ((0, self.nref0), (1, self.nref1)):
+        for lst, nref in ((0, self._nref_eff(0)), (1, self._nref_eff(1))):
             for i8 in range(4):
                 t = sub[i8]
                 if t == 0:
@@ -851,7 +1043,7 @@ class SliceParser:
             # prior, recode.cpp:865-895) — bucketed average
             tot, n = 0, 0
             for dx, dy in ((-1, 0), (0, -1)):
-                nmb, nblk = blk4_neighbor(x, y, blk, dx, dy)
+                nmb, nblk = self._blk_nb(blk, dx, dy)
                 if 0 <= nmb[0] < self.W and 0 <= nmb[1] < self.H:
                     nsid = p.slice_id[nmb[1], nmb[0]]
                     if (nsid == self.sid) if self.isolate else (nsid >= 0):
@@ -902,7 +1094,7 @@ class SliceParser:
         def prior_chroma_dc(comp):
             tot, n = 0, 0
             for dx, dy in ((-1, 0), (0, -1)):
-                nx, ny = x + dx, y + dy
+                nx, ny = self._left() if dx else self._up()
                 if 0 <= nx < self.W and 0 <= ny < self.H:
                     nsid = p.slice_id[ny, nx]
                     if (nsid == self.sid) if self.isolate else (nsid >= 0):
@@ -917,7 +1109,7 @@ class SliceParser:
             comp, sub = idx >> 3, idx & 7
             tot, n = 0, 0
             for dx, dy in ((-1, 0), (0, -1)):
-                nmb, nsub = chroma_blk_neighbor(x, y, sub, dx, dy, self.ch_grid_h)
+                nmb, nsub = self._chroma_nb(sub, dx, dy)
                 if 0 <= nmb[0] < self.W and 0 <= nmb[1] < self.H:
                     nsid = p.slice_id[nmb[1], nmb[0]]
                     if (nsid == self.sid) if self.isolate else (nsid >= 0):
@@ -953,6 +1145,8 @@ class SliceParser:
         """Parse the whole slice.  compress: mb_count=None (discovered);
         decompress: mb_count from the container (makes end_of_slice
         deterministic).  Returns number of MBs parsed."""
+        if self.mbaff:
+            return self._parse_slice_data_mbaff(mb_count)
         addr = self.hdr.first_mb_in_slice
         n = 0
         total = self.W * self.H
@@ -970,5 +1164,49 @@ class SliceParser:
             if eos:
                 break
             addr += 1
+        self.mb_count = n
+        return n
+
+    def _parse_slice_data_mbaff(self, mb_count=None):
+        """MBAFF slice loop (7.3.4): addresses walk MB pairs; the field flag
+        sits between the skip flag(s) and the first non-skipped MB layer;
+        end_of_slice_flag appears only after bottom MBs."""
+        pair = self.hdr.first_mb_in_slice
+        n = 0
+        total_pairs = self.W * (self.H >> 1)
+        while True:
+            if pair >= total_pairs:
+                raise ParseDesync("mb pair address beyond picture")
+            px, py = pair % self.W, pair // self.W
+            self.field_known = False
+            if px == 0 and pair != self.hdr.first_mb_in_slice:
+                # pair-row wrap: the provisional flag register is re-seeded
+                # with the 7.4.4 inference (left pair unavailable -> above
+                # pair), mirroring ffmpeg's predict_field_decoding_flag call
+                # in the row-advance path
+                self.mbx, self.mby = px, 2 * py + 1
+                self.eff_field = self._predict_field()
+            self.cur_field = self.eff_field  # provisional (stale register)
+            top_skipped = False
+            for bottom in (0, 1):
+                self.mbx, self.mby = px, 2 * py + bottom
+                skipped = self.parse_macroblock()
+                if bottom == 0:
+                    top_skipped = skipped
+                elif skipped and top_skipped and not self.field_known:
+                    # both skipped: 7.4.4 inference, applied retroactively
+                    self.cur_field = self.eff_field = self._predict_field()
+                    self.field_known = True
+                    self.pic.field[self.mby - 1, self.mbx] = self.cur_field
+                    self.pic.field[self.mby, self.mbx] = self.cur_field
+                n += 1
+            if mb_count is None:
+                eos = self.c.cabac_terminate_eos()
+            else:
+                eos = 1 if n == mb_count else 0
+                self.c.cabac_terminate_eos_put(eos)
+            if eos:
+                break
+            pair += 1
         self.mb_count = n
         return n

@@ -60,6 +60,12 @@ class PPS:
     transform_8x8_mode_flag: int = 0
 
 
+def mb_height(sps):
+    """Picture height in MB rows: map units are MB-pair rows for MBAFF
+    (clause 7.4.2.1.1 FrameHeightInMbs)."""
+    return sps.pic_height_in_map_units * (1 if sps.frame_mbs_only_flag else 2)
+
+
 def _skip_scaling_list(r, size):
     last_scale, next_scale = 8, 8
     for _ in range(size):

@@ -29,6 +29,7 @@ class SliceHeader:
     num_ref_idx_l0_active: int = 1
     num_ref_idx_l1_active: int = 1
     direct_spatial_mv_pred_flag: int = 0
+    mbaff: bool = False  # MB-adaptive frame/field frame picture
     cabac_start_byte: int = 0  # offset into unescaped RBSP where CABAC begins
 
 
@@ -54,8 +55,8 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
         raise UnsupportedStream("CAVLC slice (entropy_coding_mode_flag=0)")
     if sps.separate_colour_plane_flag:
         raise UnsupportedStream("separate colour planes")
-    if not sps.frame_mbs_only_flag:
-        raise UnsupportedStream("interlace/MBAFF")
+    if not sps.frame_mbs_only_flag and not sps.mb_adaptive_frame_field_flag:
+        raise UnsupportedStream("PAFF field coding")
     if sps.bit_depth_luma != 8 or sps.bit_depth_chroma != 8:
         raise UnsupportedStream("bit depth > 8")
     if sps.chroma_format_idc not in (1, 2):
@@ -64,7 +65,10 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
         raise UnsupportedStream("SP/SI slices")
 
     h.frame_num = r.u(sps.log2_max_frame_num)
-    # frame_mbs_only: no field_pic_flag
+    if not sps.frame_mbs_only_flag:
+        if r.flag():  # field_pic_flag: individual field pictures (PAFF)
+            raise UnsupportedStream("PAFF field picture")
+        h.mbaff = True  # MBAFF frame (mb_adaptive checked above)
     if h.idr:
         r.ue()  # idr_pic_id
     if sps.pic_order_cnt_type == 0:

@@ -11,7 +11,7 @@ from ..utils.bitio import unescape_rbsp
 from ..utils.mp4 import demux
 from .coders import CompressCoder
 from .mbparse import PicState, SliceParser, ParseDesync
-from .params import UnsupportedStream, parse_pps, parse_sps
+from .params import UnsupportedStream, mb_height, parse_pps, parse_sps
 from .slicehdr import parse_slice_header
 
 
@@ -134,7 +134,7 @@ class StreamWalker:
         picture boundaries (first_mb_in_slice == 0)."""
         if rec.header.first_mb_in_slice == 0 or self.cur_pic is None:
             self.prev_pic = self.cur_pic
-            self.cur_pic = PicState(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units)
+            self.cur_pic = PicState(rec.sps.pic_width_in_mbs, mb_height(rec.sps))
         self.slice_id += 1
         return self.cur_pic, self.prev_pic
 

@@ -222,7 +222,7 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
       cand_prev = cur.get();
     } else {
       scratch = *cur;  // deep copy
@@ -376,7 +376,7 @@ static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
       cand_prev = cur.get();
     } else {
       scratch = *cur;
@@ -578,7 +578,7 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
       cand_prev = cur.get();
     } else {
       scratch = *cur;
@@ -703,7 +703,7 @@ static void process_gop_x(const uint8_t* data,
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
       cand_prev = cur.get();
     } else {
       scratch = *cur;
@@ -908,7 +908,7 @@ static void decode_slice_block(const DBlock& b, int scope, uint32_t sub_bins,
   if (hdr.first_mb_in_slice == 0 || !st->cur) {
     st->prev = std::move(st->cur);
     st->cur = std::make_unique<PicState>();
-    st->cur->init(sps.pic_width_in_mbs, sps.pic_height_in_map_units);
+    st->cur->init(sps.pic_width_in_mbs, mb_height(sps));
   }
   st->slice_id++;
   int idc = hdr.slice_type == SLICE_I ? -1 : hdr.cabac_init_idc;
@@ -1064,7 +1064,7 @@ static int refscore_run(const uint8_t* data, size_t size, double* out) {
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
       cand_prev = cur.get();
     } else {
       scratch = *cur;
@@ -1075,7 +1075,7 @@ static int refscore_run(const uint8_t* data, size_t size, double* out) {
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
     int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
     if (advance)  // reference frame_spec hook fires at slice start
-      sc.frame_start(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      sc.frame_start(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
     sc.begin_slice();
     try {
       Coder c;
@@ -1147,7 +1147,7 @@ static int mixlab_run(const uint8_t* data, size_t size, const double* params,
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, rec.sps.pic_height_in_map_units);
+      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
       cand_prev = cur.get();
     } else {
       scratch = *cur;

@@ -50,9 +50,15 @@ struct PPS {
 
 enum { SLICE_P = 0, SLICE_B = 1, SLICE_I = 2, SLICE_SP = 3, SLICE_SI = 4 };
 
+// picture height in MB rows: map units are MB-pair rows for MBAFF (7.4.2.1.1)
+inline int mb_height(const SPS& s) {
+  return s.pic_height_in_map_units * (s.frame_mbs_only_flag ? 1 : 2);
+}
+
 struct SliceHeader {
   int first_mb_in_slice = 0, slice_type = 0, pps_id = 0, frame_num = 0;
   bool idr = false;
+  bool mbaff = false;  // MB-adaptive frame/field frame picture
   int cabac_init_idc = 0, slice_qp = 26;
   int num_ref_idx_l0_active = 1, num_ref_idx_l1_active = 1;
   int direct_spatial_mv_pred_flag = 0;
@@ -168,7 +174,8 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
   const SPS& sps = sit->second;
   if (!pps.entropy_coding_mode_flag) throw Unsupported("CAVLC slice");
   if (sps.separate_colour_plane_flag) throw Unsupported("separate planes");
-  if (!sps.frame_mbs_only_flag) throw Unsupported("interlace/MBAFF");
+  if (!sps.frame_mbs_only_flag && !sps.mb_adaptive_frame_field_flag)
+    throw Unsupported("PAFF field coding");
   if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
     throw Unsupported("bit depth > 8");
   if (sps.chroma_format_idc != 1 && sps.chroma_format_idc != 2)
@@ -177,6 +184,10 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
     throw Unsupported("SP/SI slices");
 
   h.frame_num = r.u(sps.log2_max_frame_num);
+  if (!sps.frame_mbs_only_flag) {
+    if (r.flag()) throw Unsupported("PAFF field picture");  // field_pic_flag
+    h.mbaff = true;
+  }
   if (h.idr) r.ue();
   if (sps.pic_order_cnt_type == 0) {
     r.u(sps.log2_max_pic_order_cnt_lsb);

@@ -37,6 +37,7 @@ enum KeyCls : uint32_t {
   K_CBPL, K_CBPC0, K_CBPC1, K_QPD0, K_QPD1, K_QPD2,
   K_REF, K_MVD, K_MVDP, K_MVDE, K_MVDB, K_MVDS,
   K_CBF, K_SIG, K_LVL1, K_LVLG, K_LVLE, K_LVLB, K_SGN, K_NNZ,
+  K_FIELDF,  // MBAFF mb_field_decoding_flag (appended: ids stay stable)
   K_NCLS,
 };
 
@@ -81,14 +82,15 @@ struct KeySpace {
     set(K_MVDE, 2, 8);
     set(K_MVDB, 2, 8);
     set(K_MVDS, 2);
-    set(K_CBF, 16, 4, 8, 2);
-    set(K_SIG, 32, 64, 8, 8);   // (cat + 16*intra, scan pos, found, need)
+    set(K_CBF, 32, 4, 8, 2);    // (cat + 16*field, inc, prior, intra)
+    set(K_SIG, 64, 64, 8, 8);   // (cat + 16*intra + 32*field, pos, found, need)
     set(K_LVL1, 16, 8, 2, 8);
     set(K_LVLG, 32, 16, 8, 8);  // (cat + 16*intra, gt1 ctx, coeff, nzb)
     set(K_LVLE, 16, 8);
     set(K_LVLB, 16, 8);
     set(K_SGN, 16);
-    set(K_NNZ, 16, 8, 64, 16);  // (cat, bit idx, prefix, prior bucket)
+    set(K_NNZ, 32, 8, 64, 16);  // (cat + 16*field, bit idx, prefix, prior)
+    set(K_FIELDF, 4);
     uint32_t off = 0;
     for (uint32_t i = 0; i < K_NCLS; i++) {
       base[i] = off;

@@ -80,6 +80,8 @@ struct PicState {
   // zero/copy cost) at 1 byte per entry
   std::vector<uint8_t> mvd;                    // [2*h*w*16*2]
   std::vector<int8_t> refidx;                  // [2*h*w*4]
+  // MBAFF: per-MB field flag (pairs share a value; rows interleave pairs)
+  std::vector<uint8_t> field;
 
   void init(int W, int H) {
     w = W;
@@ -102,6 +104,7 @@ struct PicState {
     nnz_chroma_ac.assign(n * 16, 0);
     mvd.assign(n * 2 * 16 * 2, 0);
     refidx.assign(n * 2 * 4, -1);
+    field.assign(n, 0);
   }
 };
 
@@ -225,7 +228,8 @@ class SliceParser {
               bool isolate)
       : sps_(sps), pps_(pps), hdr_(hdr), pic_(pic), prev_(prev), c_(c),
         sid_(sid), isolate_(isolate), W_(sps.pic_width_in_mbs),
-        H_(sps.pic_height_in_map_units) {
+        H_(mb_height(sps)) {
+    mbaff_ = hdr.mbaff;
     stype_ = hdr.slice_type;
     nref0_ = hdr.num_ref_idx_l0_active;
     nref1_ = hdr.num_ref_idx_l1_active;
@@ -236,6 +240,7 @@ class SliceParser {
 
   // compress: mb_count < 0 (discovered); decompress: from container
   int parse_slice_data(int mb_count) {
+    if (mbaff_) return parse_slice_data_mbaff(mb_count);
     int addr = hdr_.first_mb_in_slice;
     int n = 0;
     int total = W_ * H_;
@@ -254,6 +259,54 @@ class SliceParser {
       }
       if (eos) break;
       addr++;
+    }
+    return n;
+  }
+
+  // MBAFF slice loop (7.3.4): addresses walk MB pairs; the field flag sits
+  // between the skip flag(s) and the first non-skipped MB layer;
+  // end_of_slice_flag appears only after bottom MBs (mbparse.py mirror)
+  int parse_slice_data_mbaff(int mb_count) {
+    int pair = hdr_.first_mb_in_slice;
+    int n = 0;
+    int total_pairs = W_ * (H_ >> 1);
+    for (;;) {
+      if (pair >= total_pairs) throw Desync("mb pair address beyond picture");
+      int px = pair % W_, py = pair / W_;
+      field_known_ = false;
+      if (px == 0 && pair != hdr_.first_mb_in_slice) {
+        // pair-row wrap: reseed the provisional register with the 7.4.4
+        // inference (predict_field_decoding_flag in the row-advance path)
+        mbx_ = px;
+        mby_ = 2 * py + 1;
+        eff_field_ = predict_field();
+      }
+      cur_field_ = eff_field_;  // provisional (stale register)
+      bool top_skipped = false;
+      for (int bottom = 0; bottom < 2; bottom++) {
+        mbx_ = px;
+        mby_ = 2 * py + bottom;
+        bool skipped = parse_macroblock();
+        if (bottom == 0) {
+          top_skipped = skipped;
+        } else if (skipped && top_skipped && !field_known_) {
+          // both skipped: 7.4.4 inference, applied retroactively
+          cur_field_ = eff_field_ = predict_field();
+          field_known_ = true;
+          pic_->field[mb(mbx_, mby_ - 1)] = (uint8_t)cur_field_;
+          pic_->field[mb(mbx_, mby_)] = (uint8_t)cur_field_;
+        }
+        n++;
+      }
+      int eos;
+      if (mb_count < 0) {
+        eos = c_->raw_terminate();
+      } else {
+        eos = n == mb_count ? 1 : 0;
+        c_->put_terminate(eos);
+      }
+      if (eos) break;
+      pair++;
     }
     return n;
   }
@@ -290,13 +343,131 @@ class SliceParser {
     *nblk = y * 2 + x;
   }
 
+  // -- MBAFF neighbor derivation (mbparse.py::_mbaff_neighbors; the hooked
+  // decoder's fill_decode_neighbors semantics: left pair splits into
+  // (LTOP, LBOT) for current 4x4 rows 0-1 / 2-3 with a per-row y remap) --
+  int field_at(int x, int y) const {
+    if (x < 0 || y < 0 || x >= W_ || y >= H_) return 0;
+    return pic_->field[mb(x, y)];
+  }
+  void mbaff_neighbors() {
+    int x = mbx_, y = mby_, f = cur_field_, bottom = y & 1;
+    if (!f) {
+      top_xy_[0] = x; top_xy_[1] = y - 1;
+    } else {
+      top_xy_[0] = x; top_xy_[1] = y - 2;
+      if (!bottom && !field_at(x, y - 2)) top_xy_[1] = y - 1;
+    }
+    int lx = x - 1;
+    left_xy_[0][0] = left_xy_[1][0] = lx;
+    left_xy_[0][1] = left_xy_[1][1] = y;
+    left_ymap_[0] = 0; left_ymap_[1] = 1; left_ymap_[2] = 2; left_ymap_[3] = 3;
+    auto set_map = [&](int a, int b, int c, int d) {
+      left_ymap_[0] = a; left_ymap_[1] = b; left_ymap_[2] = c; left_ymap_[3] = d;
+    };
+    if (lx >= 0 && field_at(lx, y) != f) {
+      if (bottom) {
+        if (f) { left_xy_[0][1] = y - 1; set_map(0, 2, 0, 2); }
+        else   { left_xy_[0][1] = left_xy_[1][1] = y - 1; set_map(2, 2, 3, 3); }
+      } else {
+        if (f) { left_xy_[1][1] = y + 1; set_map(0, 2, 0, 2); }
+        else   { set_map(0, 0, 1, 1); }
+      }
+    }
+  }
+  // MB-level left/up neighbors for ctx derivation
+  void mb_left(int* x, int* y) const {
+    if (mbaff_) { *x = left_xy_[0][0]; *y = left_xy_[0][1]; }
+    else { *x = mbx_ - 1; *y = mby_; }
+  }
+  void mb_up(int* x, int* y) const {
+    if (mbaff_) { *x = top_xy_[0]; *y = top_xy_[1]; }
+    else { *x = mbx_; *y = mby_ - 1; }
+  }
+  // 4x4 luma neighbor (left/up single step), MBAFF-aware
+  void blk_nb(int blk, int dx, int dy, int* nmbx, int* nmby, int* nblk) const {
+    if (!mbaff_) return blk4_neighbor(blk, dx, dy, nmbx, nmby, nblk);
+    int x4 = G.blk4_x[blk] + dx, y4 = G.blk4_y[blk] + dy;
+    if (x4 >= 0 && x4 <= 3 && y4 >= 0 && y4 <= 3) {
+      *nmbx = mbx_; *nmby = mby_;
+      *nblk = G.raster_to_blk4[y4 * 4 + x4];
+      return;
+    }
+    if (x4 < 0) {
+      *nmbx = left_xy_[y4 >> 1][0]; *nmby = left_xy_[y4 >> 1][1];
+      *nblk = G.raster_to_blk4[left_ymap_[y4] * 4 + 3];
+      return;
+    }
+    *nmbx = top_xy_[0]; *nmby = top_xy_[1];  // y4 < 0
+    *nblk = G.raster_to_blk4[3 * 4 + x4];
+  }
+  void chroma_nb(int blk, int dx, int dy, int* nmbx, int* nmby, int* nblk) const {
+    if (!mbaff_) return chroma_neighbor(blk, dx, dy, nmbx, nmby, nblk);
+    int gh = ch_grid_h_;
+    int xc = (blk & 1) + dx, yc = (blk >> 1) + dy;
+    if (xc >= 0 && xc <= 1 && yc >= 0 && yc < gh) {
+      *nmbx = mbx_; *nmby = mby_;
+      *nblk = yc * 2 + xc;
+      return;
+    }
+    if (xc < 0) {
+      int r = yc * 4 / gh;  // luma-equivalent row
+      *nmbx = left_xy_[r >> 1][0]; *nmby = left_xy_[r >> 1][1];
+      *nblk = (left_ymap_[r] * gh / 4) * 2 + 1;
+      return;
+    }
+    *nmbx = top_xy_[0]; *nmby = top_xy_[1];  // yc < 0
+    *nblk = (gh - 1) * 2 + xc;
+  }
+
   // -- element parsers (mbparse.py mirrors) ----------------------------
   int parse_mb_skip() {
     int base = stype_ == SLICE_P ? 11 : 24;
+    int ax, ay, bx, by;
+    if (mbaff_) {
+      // hooked decoder's decode_cabac_mb_skip: neighbors from the pair-top
+      // address using the not-yet-overwritten flag register (eff_field_)
+      int x = mbx_, y = mby_, py = y & ~1;
+      ax = x - 1; ay = py;
+      if ((y & 1) && avail(ax, ay) && eff_field_ == field_at(ax, ay)) ay = py + 1;
+      if (eff_field_) {
+        bx = x; by = py - 1;
+        if (!(y & 1) && avail(bx, by) && field_at(bx, by)) by = py - 2;
+      } else {
+        bx = x; by = y - 1;
+      }
+    } else {
+      ax = mbx_ - 1; ay = mby_;
+      bx = mbx_; by = mby_ - 1;
+    }
     int inc = 0;
-    if (avail(mbx_ - 1, mby_) && !pic_->skip[mb(mbx_ - 1, mby_)]) inc++;
-    if (avail(mbx_, mby_ - 1) && !pic_->skip[mb(mbx_, mby_ - 1)]) inc++;
+    if (avail(ax, ay) && !pic_->skip[mb(ax, ay)]) inc++;
+    if (avail(bx, by) && !pic_->skip[mb(bx, by)]) inc++;
     return bin(base + inc, mkey(K_SKIP, stype_, inc));
+  }
+
+  // MBAFF mb_field_decoding_flag (ctx 70-72, 9.3.3.1.1.2): left term is the
+  // previous pair's flag register (mb_x > 0 only), above term the above
+  // pair's stored flag gated on slice membership
+  int parse_field_flag() {
+    int inc = mbx_ > 0 ? eff_field_ : 0;
+    int ay = (mby_ & ~1) - 2;
+    if (ay >= 0 && pic_->slice_id[mb(mbx_, ay)] == sid_ &&
+        pic_->field[mb(mbx_, ay)])
+      inc++;
+    return bin(70 + inc, mkey(K_FIELDF, inc));
+  }
+
+  // 7.4.4 inference for a both-skipped pair / row-wrap register reseed
+  int predict_field() const {
+    int x = mbx_, ty = mby_ & ~1;
+    const int nx[2] = {x - 1, x}, ny[2] = {ty, ty - 1};
+    for (int k = 0; k < 2; k++) {
+      if (nx[k] >= 0 && ny[k] >= 0 && nx[k] < W_ && ny[k] < H_ &&
+          pic_->slice_id[mb(nx[k], ny[k])] == sid_)
+        return pic_->field[mb(nx[k], ny[k])];
+    }
+    return 0;
   }
 
   struct I16Info { int cbf_luma, cbp_chroma, pred; };
@@ -324,9 +495,12 @@ class SliceParser {
   MbClass parse_mb_type(I16Info* i16, int* p_kind, int* b_type) {
     PicState* p = pic_;
     if (stype_ == SLICE_I) {
+      int lxx, lyy, uxx, uyy;
+      mb_left(&lxx, &lyy);
+      mb_up(&uxx, &uyy);
       int inc = 0;
-      if (avail(mbx_ - 1, mby_) && p->mbclass[mb(mbx_ - 1, mby_)] != MB_I_NXN) inc++;
-      if (avail(mbx_, mby_ - 1) && p->mbclass[mb(mbx_, mby_ - 1)] != MB_I_NXN) inc++;
+      if (avail(lxx, lyy) && p->mbclass[mb(lxx, lyy)] != MB_I_NXN) inc++;
+      if (avail(uxx, uyy) && p->mbclass[mb(uxx, uyy)] != MB_I_NXN) inc++;
       if (!bin(3 + inc, mkey(K_IMBTYPE, inc))) return MB_I_NXN;
       *i16 = parse_mb_type_i_suffix(3, true);
       return MB_I16;
@@ -334,7 +508,8 @@ class SliceParser {
     if (stype_ == SLICE_P) {
       int inc2 = 0;
       for (int k = 0; k < 2; k++) {
-        int nx = k == 0 ? mbx_ - 1 : mbx_, ny = k == 0 ? mby_ : mby_ - 1;
+        int nx, ny;
+        if (k == 0) mb_left(&nx, &ny); else mb_up(&nx, &ny);
         if (avail(nx, ny)) {
           uint8_t cls = p->mbclass[mb(nx, ny)];
           if (cls == MB_I_NXN || cls == MB_I16) inc2 += k == 0 ? 1 : 2;
@@ -355,7 +530,8 @@ class SliceParser {
     // B slice
     int inc = 0;
     for (int k = 0; k < 2; k++) {
-      int nx = k == 0 ? mbx_ - 1 : mbx_, ny = k == 0 ? mby_ : mby_ - 1;
+      int nx, ny;
+      if (k == 0) mb_left(&nx, &ny); else mb_up(&nx, &ny);
       if (avail(nx, ny)) {
         uint8_t cls = pic_->mbclass[mb(nx, ny)];
         if (cls != MB_B_SKIP && cls != MB_B_DIRECT) inc++;
@@ -401,9 +577,12 @@ class SliceParser {
   }
 
   int parse_transform_8x8() {
+    int lxx, lyy, uxx, uyy;
+    mb_left(&lxx, &lyy);
+    mb_up(&uxx, &uyy);
     int inc = 0;
-    if (avail(mbx_ - 1, mby_) && pic_->t8x8[mb(mbx_ - 1, mby_)]) inc++;
-    if (avail(mbx_, mby_ - 1) && pic_->t8x8[mb(mbx_, mby_ - 1)]) inc++;
+    if (avail(lxx, lyy) && pic_->t8x8[mb(lxx, lyy)]) inc++;
+    if (avail(uxx, uyy) && pic_->t8x8[mb(uxx, uyy)]) inc++;
     return bin(399 + inc, mkey(K_T8X8, inc));
   }
 
@@ -416,7 +595,8 @@ class SliceParser {
   int parse_chroma_pred_mode() {
     int inc = 0;
     for (int k = 0; k < 2; k++) {
-      int nx = k == 0 ? mbx_ - 1 : mbx_, ny = k == 0 ? mby_ : mby_ - 1;
+      int nx, ny;
+      if (k == 0) mb_left(&nx, &ny); else mb_up(&nx, &ny);
       if (avail(nx, ny)) {
         uint8_t cls = pic_->mbclass[mb(nx, ny)];
         if ((cls == MB_I_NXN || cls == MB_I16) && pic_->chroma_mode[mb(nx, ny)])
@@ -430,28 +610,43 @@ class SliceParser {
 
   void parse_cbp(int* cbp_luma, int* cbp_chroma, int intra) {
     PicState* p = pic_;
-    bool aa = avail(mbx_ - 1, mby_), ab = avail(mbx_, mby_ - 1);
+    int lxx, lyy, uxx, uyy;
+    mb_left(&lxx, &lyy);
+    mb_up(&uxx, &uyy);
+    bool aa = avail(lxx, lyy), ab = avail(uxx, uyy);
     int cbp = 0;
     for (int i8 = 0; i8 < 4; i8++) {
       int x8 = i8 & 1, y8 = i8 >> 1;
       int cond_a, cond_b;
-      if (x8 == 0)
-        cond_a = aa ? (((p->cbp_luma[mb(mbx_ - 1, mby_)] >> (y8 * 2 + 1)) & 1) ? 0 : 1) : 0;
-      else
+      if (x8 == 0) {
+        if (aa) {
+          if (mbaff_) {
+            // row y8's left 8x8 lives in left_xy[y8] at the remapped row
+            size_t la = mb(left_xy_[y8][0], left_xy_[y8][1]);
+            int lb = (left_ymap_[2 * y8] >> 1) * 2 + 1;
+            cond_a = ((p->cbp_luma[la] >> lb) & 1) ? 0 : 1;
+          } else {
+            cond_a = ((p->cbp_luma[mb(lxx, lyy)] >> (y8 * 2 + 1)) & 1) ? 0 : 1;
+          }
+        } else {
+          cond_a = 0;
+        }
+      } else {
         cond_a = ((cbp >> (y8 * 2)) & 1) ? 0 : 1;
+      }
       if (y8 == 0)
-        cond_b = ab ? (((p->cbp_luma[mb(mbx_, mby_ - 1)] >> (2 + x8)) & 1) ? 0 : 1) : 0;
+        cond_b = ab ? (((p->cbp_luma[mb(uxx, uyy)] >> (2 + x8)) & 1) ? 0 : 1) : 0;
       else
         cond_b = ((cbp >> x8) & 1) ? 0 : 1;
       if (bin(73 + cond_a + 2 * cond_b, mkey(K_CBPL, i8, cond_a + 2 * cond_b, intra)))
         cbp |= 1 << i8;
     }
-    int cond_a = (aa && p->cbp_chroma[mb(mbx_ - 1, mby_)] != 0) ? 1 : 0;
-    int cond_b = (ab && p->cbp_chroma[mb(mbx_, mby_ - 1)] != 0) ? 1 : 0;
+    int cond_a = (aa && p->cbp_chroma[mb(lxx, lyy)] != 0) ? 1 : 0;
+    int cond_b = (ab && p->cbp_chroma[mb(uxx, uyy)] != 0) ? 1 : 0;
     int cbp_c = 0;
     if (bin(77 + cond_a + 2 * cond_b, mkey(K_CBPC0, cond_a + 2 * cond_b))) {
-      cond_a = (aa && p->cbp_chroma[mb(mbx_ - 1, mby_)] == 2) ? 1 : 0;
-      cond_b = (ab && p->cbp_chroma[mb(mbx_, mby_ - 1)] == 2) ? 1 : 0;
+      cond_a = (aa && p->cbp_chroma[mb(lxx, lyy)] == 2) ? 1 : 0;
+      cond_b = (ab && p->cbp_chroma[mb(uxx, uyy)] == 2) ? 1 : 0;
       cbp_c = 1 + bin(81 + cond_a + 2 * cond_b, mkey(K_CBPC1, cond_a + 2 * cond_b));
     }
     *cbp_luma = cbp;
@@ -473,16 +668,29 @@ class SliceParser {
     prev_qp_delta_nz_ = 1;
   }
 
+  // active ref count for ref_idx presence: field MBs address per-field
+  // lists with twice the entries (7.4.3 / ref_count << MB_MBAFF)
+  int nref_eff(int lst) const {
+    int n = lst == 0 ? nref0_ : nref1_;
+    return (mbaff_ && cur_field_) ? n << 1 : n;
+  }
+
   int parse_ref_idx(int lst, int blk) {
     int inc = 0;
     static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
     for (int k = 0; k < 2; k++) {
       int nmbx, nmby, nblk;
-      blk4_neighbor(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
+      blk_nb(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
       if (avail(nmbx, nmby)) {
         int quad = (G.blk4_y[nblk] >> 1) * 2 + (G.blk4_x[nblk] >> 1);
-        if (pic_->refidx[((size_t)lst * H_ * W_ + mb(nmbx, nmby)) * 4 + quad] > 0)
-          inc += k == 0 ? 1 : 2;
+        int r = pic_->refidx[((size_t)lst * H_ * W_ + mb(nmbx, nmby)) * 4 + quad];
+        if (mbaff_ && r > 0) {
+          // parity rescale (9.3.3.1.1.6): field refs are per-field
+          int nf = field_at(nmbx, nmby);
+          if (cur_field_ && !nf) r <<= 1;
+          else if (!cur_field_ && nf) r >>= 1;
+        }
+        if (r > 0) inc += k == 0 ? 1 : 2;
       }
     }
     int v = 0;
@@ -501,9 +709,18 @@ class SliceParser {
     static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
     for (int k = 0; k < 2; k++) {
       int nmbx, nmby, nblk;
-      blk4_neighbor(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
-      if (avail(nmbx, nmby))
-        s += pic_->mvd[(((size_t)lst * H_ * W_ + mb(nmbx, nmby)) * 16 + nblk) * 2 + comp];
+      blk_nb(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
+      if (avail(nmbx, nmby)) {
+        int v = pic_->mvd[(((size_t)lst * H_ * W_ + mb(nmbx, nmby)) * 16 + nblk) * 2 + comp];
+        if (comp == 1 && mbaff_) {
+          // vertical |mvd| parity rescale (9.3.3.1.1.7); the 66 storage
+          // clamp below keeps this classification-exact under halving
+          int nf = field_at(nmbx, nmby);
+          if (cur_field_ && !nf) v >>= 1;
+          else if (!cur_field_ && nf) v <<= 1;
+        }
+        s += v;
+      }
     }
     int inc = s < 3 ? 0 : (s <= 32 ? 1 : 2);
     if (!bin(base + inc, mkey(K_MVD, comp, inc))) return 0;
@@ -530,8 +747,10 @@ class SliceParser {
         int b = G.raster_to_blk4[yy * 4 + xx];
         size_t base = (((size_t)lst * H_ * W_ + mb(mbx_, mby_)) * 16 + b) * 2;
         int ax = vx < 0 ? -vx : vx, ay = vy < 0 ? -vy : vy;
-        pic_->mvd[base] = (uint8_t)(ax < 33 ? ax : 33);
-        pic_->mvd[base + 1] = (uint8_t)(ay < 33 ? ay : 33);
+        // clamp 66: preserves the {<3, <=32, >32} sum classification exactly
+        // even after the MBAFF halving rescale (66 >> 1 == 33 > 32)
+        pic_->mvd[base] = (uint8_t)(ax < 66 ? ax : 66);
+        pic_->mvd[base + 1] = (uint8_t)(ay < 66 ? ay : 66);
       }
   }
   void parse_mvd_part(int lst, int blk, int w4, int h4) {
@@ -555,7 +774,8 @@ class SliceParser {
     for (int di = 0; di < 2; di++) {
       int cond;
       if (cat == CAT_LUMA_DC || cat == CAT_CHROMA_DC) {
-        int nx = mbx_ + dxs[di], ny = mby_ + dys[di];
+        int nx, ny;
+        if (dxs[di]) mb_left(&nx, &ny); else mb_up(&nx, &ny);
         if (!avail(nx, ny))
           cond = is_intra ? 1 : 0;
         else if (cat == CAT_LUMA_DC)
@@ -565,14 +785,14 @@ class SliceParser {
       } else if (cat == CAT_CHROMA_AC) {
         int comp = blk >> 3, sub = blk & 7;
         int nmbx, nmby, nsub;
-        chroma_neighbor(sub, dxs[di], dys[di], &nmbx, &nmby, &nsub);
+        chroma_nb(sub, dxs[di], dys[di], &nmbx, &nmby, &nsub);
         if (!avail(nmbx, nmby))
           cond = is_intra ? 1 : 0;
         else
           cond = p->cbf_chroma_ac[mb(nmbx, nmby) * 16 + comp * 8 + nsub];
       } else {
         int nmbx, nmby, nblk;
-        blk4_neighbor(blk, dxs[di], dys[di], &nmbx, &nmby, &nblk);
+        blk_nb(blk, dxs[di], dys[di], &nmbx, &nmby, &nblk);
         if (!avail(nmbx, nmby))
           cond = is_intra ? 1 : 0;
         else
@@ -694,11 +914,12 @@ class SliceParser {
                            int nnz_prior) {
     int is_intra = is_intra_b ? 1 : 0;
     Coder* c = c_;
+    int fld = mbaff_ ? cur_field_ : 0;  // field MBs use the field ctx rows
     int max_coeff = kMaxCoeff[cat];
     if (cat == CAT_CHROMA_DC && ch422_) max_coeff = 8;
     if (has_cbf) {
       int inc = cbf_neighbor_inc(cat, blk, is_intra_b);
-      int cbf = bin(85 + 4 * cat + inc, mkey(K_CBF, cat, inc,
+      int cbf = bin(85 + 4 * cat + inc, mkey(K_CBF, cat + 16 * fld, inc,
                                              std::min(nnz_prior, 7), is_intra));
       last_cbf_ = cbf;
       if (!cbf) return 0;
@@ -707,13 +928,15 @@ class SliceParser {
     }
     int sig_ctx[64], last_ctx[64];
     if (cat == CAT_LUMA_8x8) {
+      int sig8_base = fld ? 436 : 402;
+      int last8_base = fld ? 451 : 417;
       for (int i = 0; i < 63; i++) {
-        sig_ctx[i] = 402 + kSig8x8[i];  // frame row of [2][63]
-        last_ctx[i] = 417 + kLast8x8[i];
+        sig_ctx[i] = sig8_base + kSig8x8[fld * 63 + i];  // [2][63] rows
+        last_ctx[i] = last8_base + kLast8x8[i];
       }
     } else {
-      int sig_base = kSigCoeffOffset[cat];   // frame row of [2][14]
-      int last_base = kLastCoeffOffset[cat];
+      int sig_base = kSigCoeffOffset[fld * 14 + cat];   // [2][14] rows
+      int last_base = kLastCoeffOffset[fld * 14 + cat];
       int numc = ch422_ ? 2 : 1;  // spec: Min(i / NumC8x8, 2)
       for (int i = 0; i < max_coeff - 1; i++) {
         int inc2 = cat == CAT_CHROMA_DC ? std::min(i / numc, 2) : i;
@@ -756,14 +979,14 @@ class SliceParser {
                           is_dc, c422, sig, nnz);
       }
       if (__builtin_expect(c->mix != nullptr, 0))
-        c->mix->on_nnz(nnz, cat, max_coeff, nnz_prior);
-      if (c->model) c->model->put_nnz(nnz, cat, max_coeff, nnz_prior);
+        c->mix->on_nnz(nnz, cat + 16 * fld, max_coeff, nnz_prior);
+      if (c->model) c->model->put_nnz(nnz, cat + 16 * fld, max_coeff, nnz_prior);
       replay_sig(cat, sig, nnz, sig_ctx, last_ctx, max_coeff, pcabs, nullptr,
-                 is_intra ? 1 : 0);
+                 is_intra + 2 * fld);
     } else {
-      nnz = c->model->get_nnz(cat, max_coeff, nnz_prior);
+      nnz = c->model->get_nnz(cat + 16 * fld, max_coeff, nnz_prior);
       replay_sig(cat, nullptr, nnz, sig_ctx, last_ctx, max_coeff, nullptr, sig,
-                 is_intra ? 1 : 0);
+                 is_intra + 2 * fld);
     }
 
     // levels, backward from last significant
@@ -856,7 +1079,7 @@ class SliceParser {
       }
     }
     for (int lst = 0; lst < 2; lst++) {
-      int nref = lst == 0 ? nref0_ : nref1_;
+      int nref = nref_eff(lst);
       for (int i = 0; i < npart; i++) {
         Pred m = parts[i].mode;
         if (m == PRED_BI || (int)m - 1 == lst) {
@@ -876,7 +1099,7 @@ class SliceParser {
   void parse_p8x8() {
     for (int i8 = 0; i8 < 4; i8++) {
       int blk = G.raster_to_blk4[(i8 >> 1) * 2 * 4 + (i8 & 1) * 2];
-      int r = nref0_ > 1 ? parse_ref_idx(0, blk) : 0;
+      int r = nref_eff(0) > 1 ? parse_ref_idx(0, blk) : 0;
       store_ref(0, blk, 2, 2, r);
     }
     for (int i8 = 0; i8 < 4; i8++) parse_sub_mvds(0, i8, sub_types_[i8], false);
@@ -884,7 +1107,7 @@ class SliceParser {
 
   void parse_b8x8() {
     for (int lst = 0; lst < 2; lst++) {
-      int nref = lst == 0 ? nref0_ : nref1_;
+      int nref = nref_eff(lst);
       for (int i8 = 0; i8 < 4; i8++) {
         int t = sub_types_[i8];
         if (t == 0) continue;
@@ -953,7 +1176,7 @@ class SliceParser {
     static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
     for (int k = 0; k < 2; k++) {
       int nmbx, nmby, nblk;
-      blk4_neighbor(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
+      blk_nb(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
       if (nmbx >= 0 && nmby >= 0 && nmbx < W_ && nmby < H_) {
         int32_t nsid = pic_->slice_id[mb(nmbx, nmby)];
         bool ok = isolate_ ? nsid == sid_ : nsid >= 0;
@@ -1014,9 +1237,9 @@ class SliceParser {
     }
     auto prior_chroma_dc = [&](int comp) {
       int tot = 0, n = 0;
-      static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
       for (int k = 0; k < 2; k++) {
-        int nx = mbx_ + dxs[k], ny = mby_ + dys[k];
+        int nx, ny;
+        if (k == 0) mb_left(&nx, &ny); else mb_up(&nx, &ny);
         if (nx >= 0 && ny >= 0 && nx < W_ && ny < H_) {
           int32_t nsid = pic_->slice_id[mb(nx, ny)];
           if (isolate_ ? nsid == sid_ : nsid >= 0) {
@@ -1037,7 +1260,7 @@ class SliceParser {
       static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
       for (int k = 0; k < 2; k++) {
         int nmbx, nmby, nsub;
-        chroma_neighbor(sub, dxs[k], dys[k], &nmbx, &nmby, &nsub);
+        chroma_nb(sub, dxs[k], dys[k], &nmbx, &nmby, &nsub);
         if (nmbx >= 0 && nmby >= 0 && nmbx < W_ && nmby < H_) {
           int32_t nsid = pic_->slice_id[mb(nmbx, nmby)];
           if (isolate_ ? nsid == sid_ : nsid >= 0) {
@@ -1073,24 +1296,44 @@ class SliceParser {
   }
 
   // -- macroblock ------------------------------------------------------
-  void parse_macroblock() {
-    PicState* p = pic_;
-    size_t m = mb(mbx_, mby_);
-    sub_types_valid_ = false;
-
+  // returns true when the MB was skipped
+  bool parse_macroblock() {
     int skip = 0;
     if (stype_ != SLICE_I) skip = parse_mb_skip();
     if (skip) {
-      p->slice_id[m] = sid_;
-      p->mbclass[m] = stype_ == SLICE_P ? MB_P_SKIP : MB_B_SKIP;
-      p->skip[m] = 1;
-      for (int lst = 0; lst < 2; lst++)
-        for (int q = 0; q < 4; q++)
-          p->refidx[((size_t)lst * H_ * W_ + m) * 4 + q] =
-              stype_ == SLICE_P ? 0 : -1;
-      prev_qp_delta_nz_ = 0;
-      return;
+      store_skip_mb();
+      return true;
     }
+    if (mbaff_ && !field_known_) {
+      cur_field_ = eff_field_ = parse_field_flag();
+      field_known_ = true;
+      if (mby_ & 1)  // top MB was skipped: retro-set its stored flag
+        pic_->field[mb(mbx_, mby_ - 1)] = (uint8_t)cur_field_;
+    }
+    parse_macroblock_layer();
+    return false;
+  }
+
+  void store_skip_mb() {
+    PicState* p = pic_;
+    size_t m = mb(mbx_, mby_);
+    p->slice_id[m] = sid_;
+    p->mbclass[m] = stype_ == SLICE_P ? MB_P_SKIP : MB_B_SKIP;
+    p->skip[m] = 1;
+    p->field[m] = (uint8_t)cur_field_;
+    for (int lst = 0; lst < 2; lst++)
+      for (int q = 0; q < 4; q++)
+        p->refidx[((size_t)lst * H_ * W_ + m) * 4 + q] =
+            stype_ == SLICE_P ? 0 : -1;
+    prev_qp_delta_nz_ = 0;
+  }
+
+  void parse_macroblock_layer() {
+    PicState* p = pic_;
+    size_t m = mb(mbx_, mby_);
+    sub_types_valid_ = false;
+    p->field[m] = (uint8_t)cur_field_;
+    if (mbaff_) mbaff_neighbors();
 
     I16Info i16{};
     int p_kind = -1, b_type = -1;
@@ -1145,6 +1388,15 @@ class SliceParser {
   bool isolate_;
   int W_, H_, stype_, nref0_, nref1_;
   int mbx_ = 0, mby_ = 0;
+  // MBAFF state (mbparse.py mirrors): cur_field_ = current pair's flag
+  // (decoded/predicted/provisional); eff_field_ = ffmpeg's stale-register
+  // convention used for ctx derivation before the flag is decoded
+  bool mbaff_ = false;
+  int cur_field_ = 0, eff_field_ = 0;
+  bool field_known_ = false;
+  int top_xy_[2] = {0, -1};
+  int left_xy_[2][2] = {{-1, 0}, {-1, 0}};
+  int left_ymap_[4] = {0, 1, 2, 3};
   bool ch422_ = false;
   int ch_grid_h_ = 2, n_chroma_ac_ = 4;
   int prev_qp_delta_nz_ = 0;

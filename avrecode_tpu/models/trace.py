@@ -37,6 +37,7 @@ CLS_IDS = {
         "cpred0", "cpred1", "cpred2", "cbpl", "cbpc0", "cbpc1", "qpd0",
         "qpd1", "qpd2", "ref", "mvd", "mvdp", "mvde", "mvdb", "mvds",
         "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz",
+        "fieldf",  # MBAFF mb_field_decoding_flag (appended: ids are stable)
     ])
 }
 N_CLS = len(CLS_IDS)

@@ -19,6 +19,10 @@
 
 static unsigned rng_state;
 static int g_noise = 5; /* AVT_NOISE env overrides (PCM/interlace test content) */
+static int g_comb = 0;  /* AVT_COMB: interlaced capture simulation — odd lines
+                         * sampled half a frame later, producing combing that
+                         * drives x264's MBAFF pairs to field coding (incl. in
+                         * I slices) */
 static unsigned xrand(void) {
   rng_state ^= rng_state << 13;
   rng_state ^= rng_state >> 17;
@@ -31,10 +35,11 @@ static unsigned xrand(void) {
 static void fill_frame(AVFrame *f, int t, int w, int h, int ch_h) {
   for (int y = 0; y < h; y++) {
     uint8_t *row = f->data[0] + y * f->linesize[0];
+    double tt = g_comb && (y & 1) ? t + 0.5 : t; /* bottom field later */
     for (int x = 0; x < w; x++) {
-      int v = ((x + t * 3) * 255 / w + (y * 128 / h)) & 0xFF;
-      double dx = x - (w / 2 + w / 3 * sin(t * 0.1));
-      double dy = y - (h / 2 + h / 3 * cos(t * 0.13));
+      int v = ((x + (int)(tt * 3)) * 255 / w + (y * 128 / h)) & 0xFF;
+      double dx = x - (w / 2 + w / 3 * sin(tt * 0.1));
+      double dy = y - (h / 2 + h / 3 * cos(tt * 0.13));
       double d = sqrt(dx * dx + dy * dy);
       v = (v + (int)(127 * exp(-d / 40.0))) & 0xFF;
       v += (int)(xrand() % g_noise) - g_noise / 2; /* noise -> residuals */
@@ -64,6 +69,7 @@ int main(int argc, char **argv) {
   int crf = atoi(argv[8]);
   rng_state = (unsigned)atoi(argv[9]) | 1;
   if (getenv("AVT_NOISE")) g_noise = atoi(getenv("AVT_NOISE"));
+  if (getenv("AVT_COMB")) g_comb = atoi(getenv("AVT_COMB"));
   int slices = argc > 10 ? atoi(argv[10]) : 1;
   const char *extra = argc > 11 ? argv[11] : "";
   int is422 = argc > 12 && argv[12][1] == '2' && argv[12][2] == '2';
