@@ -25,6 +25,7 @@ from .h264.stream import StreamWalker
 from .h264.mbparse import SliceParser
 from .models.h264_model import RecodeModel
 from .utils.bitio import escape_rbsp
+from .utils.mp4 import nal_payload
 from .utils.container import (
     ContainerError,
     KIND_END,
@@ -142,7 +143,7 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill,
 
         # canonical-escaping check: decompress rebuilds the NAL with
         # escape_rbsp, so the original must round-trip through it
-        nal_bytes = data[rec.offset : rec.offset + rec.size]
+        nal_bytes = bytes(nal_payload(data, rec))
         if nal_bytes[0:1] + escape_rbsp(rec.rbsp[1:]) != nal_bytes:
             continue  # non-canonical escaping: leave in literal stream
 
@@ -172,7 +173,15 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill,
         if rec.offset > pos:
             blocks.append((KIND_LITERAL, data[pos : rec.offset]))
         head = rec.rbsp[: rec.cabac_offset]
-        head = bytes([data[rec.offset]]) + head[1:]  # real NAL header byte
+        head = nal_bytes[0:1] + head[1:]  # real NAL header byte
+        # non-contiguous NAL (MPEG-TS): record per-segment lengths and the
+        # in-span gap bytes so decompress can re-scatter the rebuilt NAL
+        gaps = []
+        if rec.segs:
+            for si in range(len(rec.segs) - 1):
+                o, ln = rec.segs[si]
+                no, _ = rec.segs[si + 1]
+                gaps.append((ln, bytes(data[o + ln : no])))
         if per_slice:
             sstream = model
         elif per_gop and not model._gop_emitted:
@@ -183,8 +192,8 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill,
             sstream = b""  # continuation marker: same GOP model
         else:
             sstream = None
-        blocks.append((KIND_SLICE, rec.size, head, n_mbs, drop, tail, sstream))
-        pos = rec.offset + rec.size
+        blocks.append((KIND_SLICE, rec.size, head, n_mbs, drop, tail, sstream, gaps))
+        pos = rec.span_end or (rec.offset + rec.size)
 
     if pos < len(data):
         blocks.append((KIND_LITERAL, data[pos:]))
@@ -216,13 +225,18 @@ def serialize_container(scope, sps_list, pps_list, blocks, stream_model,
             out.u8(KIND_LITERAL)
             out.blob(blk[1])
         else:
-            _, nal_size, head, mb_count, drop, tail, sstream = blk
+            _, nal_size, head, mb_count, drop, tail, sstream = blk[:7]
+            gaps = blk[7] if len(blk) > 7 else []
             out.u8(KIND_SLICE)
             out.varint(nal_size)
             out.blob(head)
             out.varint(mb_count)
             out.varint(drop)
             out.blob(tail)
+            out.varint(len(gaps))  # v6: TS segmentation (0 = contiguous)
+            for seg_len, gap in gaps:
+                out.varint(seg_len)
+                out.blob(gap)
             if per_slice:
                 out.blob(finisher(sstream))
     out.u8(KIND_END)
@@ -295,8 +309,10 @@ def decompress(blob):
             mb_count = r.varint()
             drop = r.varint()
             tail = r.blob()
+            gaps = [(r.varint(), r.blob()) for _ in range(r.varint())]
             sstream = r.blob() if per_slice else None
-            blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, sstream))
+            blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail,
+                           sstream, gaps))
     model = None if per_slice else RecodeModel(
         "decode", r.blob(), substream_bins=substream_bins)
 
@@ -307,7 +323,7 @@ def decompress(blob):
         if blk[0] == KIND_LITERAL:
             out += blk[1]
             continue
-        _, nal_size, head, mb_count, drop, tail, sstream = blk
+        _, nal_size, head, mb_count, drop, tail, sstream, gaps = blk
         nal_type = head[0] & 0x1F
         nal_ref_idc = (head[0] >> 5) & 3
         hdr, sps, pps = parse_slice_header(
@@ -345,7 +361,15 @@ def decompress(blob):
         nal = head[0:1] + escape_rbsp(rbsp)
         if len(nal) != nal_size:
             raise ContainerError("reconstructed NAL size mismatch")
-        out += nal
+        if gaps:  # TS: re-scatter the NAL into its original segments
+            p2 = 0
+            for seg_len, gap in gaps:
+                out += nal[p2 : p2 + seg_len]
+                out += gap
+                p2 += seg_len
+            out += nal[p2:]
+        else:
+            out += nal
     return bytes(out)
 
 

@@ -8,7 +8,7 @@ FrameBuffer frames[2] ping-pong (recode.cpp:630-631, 831-850).
 from dataclasses import dataclass
 
 from ..utils.bitio import unescape_rbsp
-from ..utils.mp4 import demux
+from ..utils.mp4 import demux, nal_payload, nal_span_end
 from .coders import CompressCoder
 from .mbparse import PicState, SliceParser, ParseDesync
 from .params import UnsupportedStream, mb_height, parse_pps, parse_sps
@@ -19,12 +19,14 @@ from .slicehdr import parse_slice_header
 class SliceRecord:
     nal_index: int
     offset: int  # absolute file offset of NAL start
-    size: int
+    size: int  # total NAL byte length (sum of segments for TS)
     header: object
     sps: object
     pps: object
     rbsp: bytes  # unescaped NAL payload (incl. nal header byte)
     cabac_offset: int  # offset of CABAC data within rbsp
+    segs: list = None  # (file_off, len) pieces for non-contiguous NALs (TS)
+    span_end: int = 0  # file offset one past the NAL's last byte
 
 
 class StreamWalker:
@@ -82,7 +84,7 @@ class StreamWalker:
         if self.stream is None:
             return
         for i, nal in enumerate(self.stream.nals):
-            raw = self.data[nal.offset : nal.offset + nal.size]
+            raw = nal_payload(self.data, nal)
             if nal.nal_type == 7:
                 try:
                     s = parse_sps(raw)
@@ -127,6 +129,8 @@ class StreamWalker:
                 pps=pps,
                 rbsp=b"\x00" + rbsp,  # keep 1-byte header placeholder offset
                 cabac_offset=1 + hdr.cabac_start_byte,
+                segs=nal.segs,
+                span_end=nal_span_end(nal),
             )
 
     def picture_for(self, rec):

@@ -262,12 +262,14 @@ def extract(data, scope="slice", threads=1, want_slots=True):
         mb_count = r.varint()
         drop = r.varint()
         tail = r.blob()
+        gaps = [(r.varint(), r.blob()) for _ in range(r.varint())]
         if not r.u8():  # gop continuation: no trace carried
-            blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, b""))
+            blocks.append(
+                (KIND_SLICE, nal_size, head, mb_count, drop, tail, b"", gaps))
             continue
         t = traces[ti]
         ti += 1
-        blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, t))
+        blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail, t, gaps))
     return sps, pps, blocks, traces
 
 

@@ -21,13 +21,37 @@ namespace avtpu {
 
 struct SliceRec {
   size_t nal_index;
-  uint64_t offset, size;
+  uint64_t offset, size;  // size = total NAL length (sum of TS segments)
+  uint64_t span_end;      // one past the NAL's last byte (spans TS gaps)
+  std::vector<std::pair<uint64_t, uint64_t>> segs;  // TS pieces (empty=contig)
   SliceHeader hdr;
   SPS sps;
   PPS pps;
   Bytes rbsp;           // [0]=placeholder + unescaped payload after hdr byte
   size_t cabac_offset;  // into rbsp
 };
+
+// canonical-escaping check across possibly-segmented NAL bytes: the escape
+// of the unescaped payload must reproduce the original bytes exactly
+static bool canonical_nal(const uint8_t* data, const SliceRec& rec,
+                          const Bytes& esc) {
+  if (esc.size() + 1 != rec.size) return false;
+  if (rec.segs.empty())
+    return memcmp(esc.data(), data + rec.offset + 1, esc.size()) == 0;
+  size_t vi = 0, skip = 1;  // skip the NAL header byte
+  for (auto& [o, l] : rec.segs) {
+    uint64_t off = o, len = l;
+    if (skip) {
+      uint64_t s2 = std::min<uint64_t>(skip, len);
+      off += s2;
+      len -= s2;
+      skip -= s2;
+    }
+    if (len && memcmp(esc.data() + vi, data + off, len) != 0) return false;
+    vi += len;
+  }
+  return vi == esc.size();
+}
 
 struct BlockRec {
   int kind;
@@ -41,7 +65,27 @@ struct BlockRec {
   Bytes sstream;       // per-slice scope
   bool has_sstream = false;            // gop scope: stream slot present
   void* gop_stream_model = nullptr;    // gop scope: model finished later
+  // v6 TS segmentation: (segment length, following gap bytes) pairs
+  std::vector<std::pair<uint64_t, Bytes>> gaps;
 };
+
+// fill BlockRec.gaps from a segmented slice record
+static void fill_gaps(const uint8_t* data, const SliceRec& rec, BlockRec* b) {
+  for (size_t i = 0; i + 1 < rec.segs.size(); i++) {
+    auto [o, l] = rec.segs[i];
+    uint64_t no = rec.segs[i + 1].first;
+    b->gaps.push_back({l, Bytes(data + o + l, data + no)});
+  }
+}
+
+template <typename W>
+static void write_gaps(W& out, const std::vector<std::pair<uint64_t, Bytes>>& gaps) {
+  out.varint(gaps.size());
+  for (auto& [seg_len, gap] : gaps) {
+    out.varint(seg_len);
+    out.blob(gap);
+  }
+}
 
 class Walker {
  public:
@@ -74,7 +118,14 @@ class Walker {
     if (!stream_) return;
     for (size_t i = 0; i < stream_->nals.size(); i++) {
       const NalSpan& nal = stream_->nals[i];
-      const uint8_t* raw = data_ + nal.offset;
+      Bytes seg_buf;
+      const uint8_t* raw;
+      if (nal.segs.empty()) {
+        raw = data_ + nal.offset;
+      } else {
+        seg_buf = nal_payload(data_, nal);
+        raw = seg_buf.data();
+      }
       if (nal.nal_type == 7) {
         try {
           Bytes b(raw, raw + nal.size);
@@ -120,6 +171,8 @@ class Walker {
       rec.nal_index = i;
       rec.offset = nal.offset;
       rec.size = nal.size;
+      rec.segs = nal.segs;
+      rec.span_end = nal_span_end(nal);
       f(rec);
     }
   }
@@ -213,9 +266,7 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     // canonical escaping check
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
-      if (esc.size() + 1 != rec.size ||
-          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
-        return;
+      if (!canonical_nal(data, rec, esc)) return;
     }
 
     // scratch state: copy of the candidate current picture
@@ -288,6 +339,7 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     b.mb_count = mb_count;
     b.drop = drop;
     b.tail = tail;
+    fill_gaps(data, rec, &b);
     if (per_slice) {
       b.sstream = slice_model->finish();
     } else if (per_gop) {
@@ -298,7 +350,7 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
       b.has_sstream = true;
     }
     blocks.push_back(std::move(b));
-    pos = rec.offset + rec.size;
+    pos = rec.span_end;
   });
 
   if (pos < size) blocks.push_back({KIND_LITERAL, pos, size - pos});
@@ -324,6 +376,7 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
       out.varint(b.mb_count);
       out.varint(b.drop);
       out.blob(b.tail);
+      write_gaps(out, b.gaps);
       if (per_slice) {
         out.blob(b.sstream);
       } else if (per_gop) {
@@ -369,9 +422,7 @@ static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
     bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
-      if (esc.size() + 1 != rec.size ||
-          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
-        continue;
+      if (!canonical_nal(data, rec, esc)) continue;
     }
     PicState scratch;
     const PicState* cand_prev;
@@ -413,6 +464,7 @@ static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
     b.mb_count = mb_count;
     b.drop = drop;
     b.tail = tail;
+    fill_gaps(data, rec, &b);
     job->ok[k] = 1;
     if (first_ok < 0) first_ok = (int)k;
   }
@@ -504,8 +556,9 @@ static Bytes compress_gops_range(const uint8_t* data, size_t size,
       out.varint(b.mb_count);
       out.varint(b.drop);
       out.blob(b.tail);
+      write_gaps(out, b.gaps);
       out.blob(b.sstream);  // empty for continuations
-      pos = rec.offset + rec.size;
+      pos = rec.span_end;
     }
   }
   uint64_t bound = hi == total ? size : sl[jobs[hi].begin].offset;
@@ -571,9 +624,7 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
     bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
-      if (esc.size() + 1 != rec.size ||
-          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
-        return;
+      if (!canonical_nal(data, rec, esc)) return;
     }
     PicState scratch;
     const PicState* cand_prev;
@@ -627,6 +678,7 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
     xb.b.mb_count = mb_count;
     xb.b.drop = drop;
     xb.b.tail = tail;
+    fill_gaps(data, rec, &xb.b);
     if (!per_gop) {
       xb.rec = recorder;
     } else if (!gop_emitted) {
@@ -634,7 +686,7 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
       xb.rec = recorder;  // first ok slice of the GOP carries the trace
     }
     blocks.push_back(std::move(xb));
-    pos = rec.offset + rec.size;
+    pos = rec.span_end;
   });
   if (pos < size) {
     XBlock lb;
@@ -662,6 +714,7 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
     out.varint(xb.b.mb_count);
     out.varint(xb.b.drop);
     out.blob(xb.b.tail);
+    write_gaps(out, xb.b.gaps);
     out.u8(xb.rec ? 1 : 0);  // trace carried? (gop continuations: 0)
     if (xb.rec) res.traces.push_back(xb.rec);
   }
@@ -696,9 +749,7 @@ static void process_gop_x(const uint8_t* data,
     bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
-      if (esc.size() + 1 != rec.size ||
-          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
-        continue;
+      if (!canonical_nal(data, rec, esc)) continue;
     }
     PicState scratch;
     const PicState* cand_prev;
@@ -741,6 +792,7 @@ static void process_gop_x(const uint8_t* data,
     b.mb_count = mb_count;
     b.drop = drop;
     b.tail = tail;
+    fill_gaps(data, rec, &b);
     job->ok[k] = 1;
     if (job->first_ok < 0) job->first_ok = (int)k;
   }
@@ -794,7 +846,7 @@ static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
       if (!job.ok[i - job.begin]) continue;
       if (sl[i].offset > pos) n_blocks++;
       n_blocks++;
-      pos = sl[i].offset + sl[i].size;
+      pos = sl[i].span_end;
     }
   if (pos < size) n_blocks++;
   out.varint(n_blocks);
@@ -815,10 +867,11 @@ static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
       out.varint(b.mb_count);
       out.varint(b.drop);
       out.blob(b.tail);
+      write_gaps(out, b.gaps);
       bool carries = (int)k == job.first_ok;
       out.u8(carries ? 1 : 0);
       if (carries) res.traces.push_back(job.rec);
-      pos = rec.offset + rec.size;
+      pos = rec.span_end;
     }
   }
   if (pos < size) {
@@ -866,6 +919,7 @@ struct DBlock {
   uint64_t nal_size = 0;
   Bytes head, tail, sstream;
   int mb_count = 0, drop = 0;
+  std::vector<std::pair<uint64_t, Bytes>> gaps;  // v6 TS segmentation
 };
 
 // Decode one recoded slice block -> reconstructed NAL bytes (appended to
@@ -924,8 +978,22 @@ static void decode_slice_block(const DBlock& b, int scope, uint32_t sub_bins,
   rbsp.insert(rbsp.end(), full.begin(), full.end());
   Bytes esc = escape_rbsp(rbsp.data(), rbsp.size());
   if (esc.size() + 1 != b.nal_size) throw ParseError("NAL size mismatch");
-  out->push_back(b.head[0]);
-  out->insert(out->end(), esc.begin(), esc.end());
+  Bytes nal;
+  nal.reserve(b.nal_size);
+  nal.push_back(b.head[0]);
+  nal.insert(nal.end(), esc.begin(), esc.end());
+  if (b.gaps.empty()) {
+    out->insert(out->end(), nal.begin(), nal.end());
+    return;
+  }
+  // TS: re-scatter the NAL into its original segments around the gap bytes
+  size_t p2 = 0;
+  for (auto& [seg_len, gap] : b.gaps) {
+    out->insert(out->end(), nal.begin() + p2, nal.begin() + p2 + seg_len);
+    out->insert(out->end(), gap.begin(), gap.end());
+    p2 += seg_len;
+  }
+  out->insert(out->end(), nal.begin() + p2, nal.end());
 }
 
 Bytes decompress(const uint8_t* data, size_t size, int threads) {
@@ -967,6 +1035,11 @@ Bytes decompress(const uint8_t* data, size_t size, int threads) {
       b.mb_count = (int)r.varint();
       b.drop = (int)r.varint();
       b.tail = r.blob();
+      uint64_t n_gaps = r.varint();
+      for (uint64_t g = 0; g < n_gaps; g++) {
+        uint64_t seg_len = r.varint();
+        b.gaps.push_back({seg_len, r.blob()});
+      }
       if (per_slice) b.sstream = r.blob();
     } else {
       throw ParseError("bad block kind");
@@ -1056,9 +1129,7 @@ static int refscore_run(const uint8_t* data, size_t size, double* out) {
   w.slices([&](const SliceRec& rec) {
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
-      if (esc.size() + 1 != rec.size ||
-          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
-        return;
+      if (!canonical_nal(data, rec, esc)) return;
     }
     bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
     PicState scratch;
@@ -1133,9 +1204,7 @@ static int mixlab_run(const uint8_t* data, size_t size, const double* params,
   w.slices([&](const SliceRec& rec) {
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
-      if (esc.size() + 1 != rec.size ||
-          memcmp(esc.data(), data + rec.offset + 1, esc.size()) != 0)
-        return;
+      if (!canonical_nal(data, rec, esc)) return;
     }
     if (!started || (rec.hdr.idr && rec.hdr.first_mb_in_slice == 0)) {
       started = true;

@@ -1,4 +1,6 @@
 // ISO-BMFF / Annex-B demux — C++ mirror of utils/mp4.py.
+#include <algorithm>
+
 #include "h264.h"
 
 namespace avtpu {
@@ -154,6 +156,216 @@ static std::optional<H264Stream> demux_mp4(const uint8_t* d, size_t n) {
   return result;
 }
 
+// ------------------------------------------------------------- matroska --
+// Mirror of utils/mkv.py: EBML walk -> AVC track (CodecPrivate avcC) ->
+// (Simple)Block frames -> length-prefixed NALs (contiguous in the file).
+namespace mkv {
+
+struct Vint {
+  int64_t v;
+  uint64_t next;
+  bool ok;
+};
+
+static Vint vint(const uint8_t* d, uint64_t pos, uint64_t end, bool keep) {
+  if (pos >= end) return {0, 0, false};
+  uint8_t b0 = d[pos];
+  if (b0 == 0) return {0, 0, false};
+  int length = 1;
+  uint8_t mask = 0x80;
+  while (!(b0 & mask)) {
+    length++;
+    mask >>= 1;
+  }
+  if (pos + length > end) return {0, 0, false};
+  uint64_t v = keep ? b0 : (uint8_t)(b0 & (mask - 1));
+  bool unknown = (b0 & (mask - 1)) == (uint8_t)(mask - 1);
+  for (int i = 1; i < length; i++) {
+    v = (v << 8) | d[pos + i];
+    unknown = unknown && d[pos + i] == 0xFF;
+  }
+  int64_t out = (int64_t)v;
+  if (!keep && unknown) out = -1;  // unknown size
+  return {out, pos + (uint64_t)length, true};
+}
+
+// iterate elements of [start, end); f(id, body_s, body_e) -> keep going?
+template <typename F>
+static void elements(const uint8_t* d, uint64_t start, uint64_t end, F f) {
+  uint64_t pos = start;
+  while (pos < end) {
+    Vint id = vint(d, pos, end, true);
+    if (!id.ok) return;
+    Vint sz = vint(d, id.next, end, false);
+    if (!sz.ok) return;
+    uint64_t body = sz.next;
+    if (sz.v < 0) {  // unknown size: extends to parent end
+      f((uint64_t)id.v, body, end);
+      return;
+    }
+    if (body + (uint64_t)sz.v > end) return;
+    if (!f((uint64_t)id.v, body, body + (uint64_t)sz.v)) return;
+    pos = body + (uint64_t)sz.v;
+  }
+}
+
+enum : uint64_t {
+  SEGMENT = 0x18538067,
+  TRACKS = 0x1654AE6B,
+  TRACK_ENTRY = 0xAE,
+  TRACK_NUMBER = 0xD7,
+  CODEC_ID = 0x86,
+  CODEC_PRIVATE = 0x63A2,
+  CLUSTER = 0x1F43B675,
+  SIMPLE_BLOCK = 0xA3,
+  BLOCK_GROUP = 0xA0,
+  BLOCK = 0xA1,
+};
+
+static uint64_t uint_at(const uint8_t* d, uint64_t s, uint64_t e) {
+  uint64_t v = 0;
+  for (uint64_t i = s; i < e; i++) v = (v << 8) | d[i];
+  return v;
+}
+
+}  // namespace mkv
+
+static std::optional<H264Stream> demux_mkv(const uint8_t* d, size_t n) {
+  using namespace mkv;
+  uint64_t seg_s = 0, seg_e = 0;
+  elements(d, 0, n, [&](uint64_t id, uint64_t s, uint64_t e) {
+    if (id == SEGMENT && !seg_e) {
+      seg_s = s;
+      seg_e = e;
+      return false;
+    }
+    return true;
+  });
+  if (!seg_e) return std::nullopt;
+  int64_t want = -1;
+  int length_size = 4;
+  std::vector<Bytes> sps, pps;
+  elements(d, seg_s, seg_e, [&](uint64_t id, uint64_t s, uint64_t e) {
+    if (id != TRACKS) return true;
+    elements(d, s, e, [&](uint64_t tid, uint64_t ts, uint64_t te) {
+      if (tid != TRACK_ENTRY) return true;
+      int64_t num = -1;
+      bool avc = false;
+      const uint8_t* priv = nullptr;
+      uint64_t priv_len = 0;
+      elements(d, ts, te, [&](uint64_t fid, uint64_t fs, uint64_t fe) {
+        if (fid == TRACK_NUMBER) num = (int64_t)uint_at(d, fs, fe);
+        if (fid == CODEC_ID)
+          avc = fe - fs >= 15 && memcmp(d + fs, "V_MPEG4/ISO/AVC", 15) == 0;
+        if (fid == CODEC_PRIVATE) {
+          priv = d + fs;
+          priv_len = fe - fs;
+        }
+        return true;
+      });
+      if (avc && num >= 0 && priv) {
+        parse_avcc_field(priv, priv_len, &length_size, &sps, &pps);
+        want = num;
+        return false;
+      }
+      return true;
+    });
+    return want < 0;
+  });
+  if (want < 0) return std::nullopt;
+  H264Stream stream;
+  stream.sps_list = sps;
+  stream.pps_list = pps;
+  auto scan_frame = [&](uint64_t fs, uint64_t fe) {
+    uint64_t pos = fs;
+    while (pos + (uint64_t)length_size <= fe) {
+      uint64_t ln = uint_at(d, pos, pos + length_size);
+      pos += length_size;
+      if (ln == 0 || pos + ln > fe) break;
+      uint8_t hdr = d[pos];
+      stream.nals.push_back({pos, ln, hdr & 0x1F, (hdr >> 5) & 3});
+      pos += ln;
+    }
+  };
+  auto scan_block = [&](uint64_t s, uint64_t e) {
+    Vint track = vint(d, s, e, false);
+    if (!track.ok || track.v != want) return;
+    uint64_t p = track.next;
+    if (p + 3 > e) return;
+    uint8_t flags = d[p + 2];
+    p += 3;
+    int lacing = (flags >> 1) & 3;
+    if (lacing == 0) {
+      scan_frame(p, e);
+      return;
+    }
+    if (p >= e) return;
+    int n_frames = d[p] + 1;
+    p += 1;
+    std::vector<int64_t> sizes;
+    if (lacing == 2) {  // fixed
+      uint64_t total = e - p;
+      if (total % n_frames) return;
+      sizes.assign(n_frames - 1, (int64_t)(total / n_frames));
+    } else if (lacing == 1) {  // Xiph
+      for (int i = 0; i < n_frames - 1; i++) {
+        int64_t v = 0;
+        while (p < e) {
+          v += d[p];
+          if (d[p] != 255) {
+            p++;
+            break;
+          }
+          p++;
+        }
+        sizes.push_back(v);
+      }
+    } else {  // EBML: first absolute, rest signed deltas
+      Vint first = vint(d, p, e, false);
+      if (!first.ok) return;
+      sizes.push_back(first.v);
+      p = first.next;
+      for (int i = 0; i < n_frames - 2; i++) {
+        if (p >= e) return;
+        uint8_t b0 = d[p];
+        int length = 1;
+        uint8_t mask = 0x80;
+        while (!(b0 & mask)) {
+          length++;
+          mask >>= 1;
+        }
+        Vint v = vint(d, p, e, false);
+        if (!v.ok) return;
+        int64_t bias = ((int64_t)1 << (7 * length - 1)) - 1;
+        sizes.push_back(sizes.back() + v.v - bias);
+        p = v.next;
+      }
+    }
+    for (int64_t sz : sizes) {
+      if (sz < 0 || p + (uint64_t)sz > e) return;
+      scan_frame(p, p + sz);
+      p += sz;
+    }
+    scan_frame(p, e);  // last frame: remainder
+  };
+  elements(d, seg_s, seg_e, [&](uint64_t id, uint64_t cs, uint64_t ce) {
+    if (id != CLUSTER) return true;
+    elements(d, cs, ce, [&](uint64_t bid, uint64_t bs, uint64_t be) {
+      if (bid == SIMPLE_BLOCK) {
+        scan_block(bs, be);
+      } else if (bid == BLOCK_GROUP) {
+        elements(d, bs, be, [&](uint64_t gid, uint64_t gs, uint64_t ge) {
+          if (gid == BLOCK) scan_block(gs, ge);
+          return true;
+        });
+      }
+      return true;
+    });
+    return true;
+  });
+  return stream;
+}
+
 static std::optional<H264Stream> demux_annexb(const uint8_t* d, size_t n) {
   std::vector<uint64_t> starts;
   for (size_t i = 0; i + 3 <= n;) {
@@ -192,6 +404,137 @@ static std::optional<H264Stream> demux_annexb(const uint8_t* d, size_t n) {
   return stream;
 }
 
+// -------------------------------------------------------------- mpeg-ts --
+// Mirror of utils/ts.py: PAT -> PMT -> H.264 PID, PES payload segments, then
+// an Annex-B scan over the virtual ES stream; NALs split across packets
+// carry their (offset, length) segment lists.
+static std::optional<H264Stream> demux_ts(const uint8_t* d, size_t n) {
+  constexpr size_t PKT = 188;
+  if (n < PKT || d[0] != 0x47) return std::nullopt;
+  for (size_t k = 1; k < std::min<size_t>(8, n / PKT); k++)
+    if (d[k * PKT] != 0x47) return std::nullopt;
+
+  std::vector<int> pmt_pids;
+  int video_pid = -1;
+  std::vector<std::pair<uint64_t, uint64_t>> es;  // video ES segments
+  for (size_t p = 0; p + PKT <= n; p += PKT) {
+    if (d[p] != 0x47) break;
+    int pid = ((d[p + 1] & 0x1F) << 8) | d[p + 2];
+    bool pusi = d[p + 1] & 0x40;
+    int afc = (d[p + 3] >> 4) & 3;
+    size_t pos = p + 4;
+    if (afc & 2) {
+      if (pos >= p + PKT) continue;
+      pos += 1 + d[pos];
+    }
+    if (!(afc & 1) || pos >= p + PKT) continue;
+    size_t lim = p + PKT;
+    if (pid == 0 && pusi) {  // PAT
+      size_t t = pos + 1 + d[pos];
+      if (t + 12 > lim || d[t] != 0) continue;
+      size_t sect_len = ((d[t + 1] & 0xF) << 8) | d[t + 2];
+      size_t ent = t + 8, end = t + 3 + sect_len - 4;
+      while (ent + 4 <= end && ent + 4 <= lim) {
+        int prog = (d[ent] << 8) | d[ent + 1];
+        int mpid = ((d[ent + 2] & 0x1F) << 8) | d[ent + 3];
+        if (prog != 0) pmt_pids.push_back(mpid);
+        ent += 4;
+      }
+    } else if (pusi && video_pid < 0 &&
+               std::find(pmt_pids.begin(), pmt_pids.end(), pid) !=
+                   pmt_pids.end()) {  // PMT
+      size_t t = pos + 1 + d[pos];
+      if (t + 12 > lim || d[t] != 2) continue;
+      size_t sect_len = ((d[t + 1] & 0xF) << 8) | d[t + 2];
+      size_t pinfo = ((d[t + 10] & 0xF) << 8) | d[t + 11];
+      size_t ent = t + 12 + pinfo, end = t + 3 + sect_len - 4;
+      while (ent + 5 <= end && ent + 5 <= lim) {
+        int stype = d[ent];
+        int epid = ((d[ent + 1] & 0x1F) << 8) | d[ent + 2];
+        size_t eslen = ((d[ent + 3] & 0xF) << 8) | d[ent + 4];
+        if (stype == 0x1B && video_pid < 0) video_pid = epid;
+        ent += 5 + eslen;
+      }
+    } else if (video_pid >= 0 && pid == video_pid) {
+      if (pusi) {
+        if (pos + 9 <= lim && d[pos] == 0 && d[pos + 1] == 0 &&
+            d[pos + 2] == 1)
+          pos = pos + 9 + d[pos + 8];
+      }
+      if (pos < lim) es.push_back({pos, lim - pos});
+    }
+  }
+  if (es.empty()) return std::nullopt;
+  // merge file-adjacent segments
+  std::vector<std::pair<uint64_t, uint64_t>> merged{es[0]};
+  for (size_t i = 1; i < es.size(); i++) {
+    if (merged.back().first + merged.back().second == es[i].first)
+      merged.back().second += es[i].second;
+    else
+      merged.push_back(es[i]);
+  }
+  es = std::move(merged);
+  Bytes buf;
+  std::vector<uint64_t> cum{0};
+  for (auto& [o, l] : es) {
+    buf.insert(buf.end(), d + o, d + o + l);
+    cum.push_back(cum.back() + l);
+  }
+  auto v2segs = [&](uint64_t vs, uint64_t ve) {
+    std::vector<std::pair<uint64_t, uint64_t>> segs;
+    size_t i = (size_t)(std::upper_bound(cum.begin(), cum.end(), vs) -
+                        cum.begin()) - 1;
+    while (vs < ve) {
+      uint64_t take = std::min(ve - vs, cum[i + 1] - vs);
+      segs.push_back({es[i].first + (vs - cum[i]), take});
+      vs += take;
+      i++;
+    }
+    return segs;
+  };
+  // Annex-B scan over the virtual stream
+  std::vector<uint64_t> starts;
+  uint64_t vn = buf.size();
+  for (uint64_t i = 0; i + 3 <= vn;) {
+    if (buf[i] == 0 && buf[i + 1] == 0) {
+      if (buf[i + 2] == 1) {
+        starts.push_back(i + 3);
+        i += 3;
+        continue;
+      }
+      if (i + 4 <= vn && buf[i + 2] == 0 && buf[i + 3] == 1) {
+        starts.push_back(i + 4);
+        i += 4;
+        continue;
+      }
+    }
+    i++;
+  }
+  if (starts.empty()) return std::nullopt;
+  H264Stream stream;
+  for (size_t k = 0; k < starts.size(); k++) {
+    uint64_t s = starts[k];
+    uint64_t e;
+    if (k + 1 == starts.size()) {
+      e = vn;
+    } else {
+      e = starts[k + 1] - 3;
+      if (e >= s + 1 && buf[e - 1] == 0) e--;
+    }
+    // strip ES zero stuffing (a conformant NAL never ends in 0x00)
+    while (e > s + 1 && buf[e - 1] == 0) e--;
+    if (e <= s) continue;
+    uint8_t hdr = buf[s];
+    auto segs = v2segs(s, e);
+    NalSpan span{segs[0].first, e - s, hdr & 0x1F, (hdr >> 5) & 3, {}};
+    if (segs.size() > 1) span.segs = std::move(segs);
+    stream.nals.push_back(std::move(span));
+    if ((hdr & 0x1F) == 7) stream.sps_list.emplace_back(buf.begin() + s, buf.begin() + e);
+    if ((hdr & 0x1F) == 8) stream.pps_list.emplace_back(buf.begin() + s, buf.begin() + e);
+  }
+  return stream;
+}
+
 std::optional<H264Stream> demux(const uint8_t* data, size_t size) {
   if (size > 12) {
     const char* k = (const char*)data + 4;
@@ -202,6 +545,15 @@ std::optional<H264Stream> demux(const uint8_t* data, size_t size) {
       auto s = demux_mp4(data, size);
       if (s) return s;
     }
+  }
+  if (size > 8 && data[0] == 0x1A && data[1] == 0x45 && data[2] == 0xDF &&
+      data[3] == 0xA3) {
+    auto s = demux_mkv(data, size);
+    if (s) return s;
+  }
+  if (size >= 188 * 4 && data[0] == 0x47) {
+    auto s = demux_ts(data, size);
+    if (s) return s;
   }
   return demux_annexb(data, size);
 }

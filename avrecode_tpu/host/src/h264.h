@@ -12,10 +12,26 @@ namespace avtpu {
 
 struct NalSpan {
   uint64_t offset;
-  uint64_t size;
+  uint64_t size;  // total NAL byte length (sum of segments for MPEG-TS)
   int nal_type;
   int nal_ref_idc;
+  // non-contiguous NALs (MPEG-TS): (file_offset, length) pieces whose
+  // lengths sum to `size`; empty = contiguous at [offset, offset+size)
+  std::vector<std::pair<uint64_t, uint64_t>> segs;
 };
+
+inline Bytes nal_payload(const uint8_t* data, const NalSpan& n) {
+  if (n.segs.empty()) return Bytes(data + n.offset, data + n.offset + n.size);
+  Bytes out;
+  out.reserve(n.size);
+  for (auto& [o, l] : n.segs) out.insert(out.end(), data + o, data + o + l);
+  return out;
+}
+
+inline uint64_t nal_span_end(const NalSpan& n) {
+  if (n.segs.empty()) return n.offset + n.size;
+  return n.segs.back().first + n.segs.back().second;
+}
 
 struct H264Stream {
   std::vector<Bytes> sps_list, pps_list;

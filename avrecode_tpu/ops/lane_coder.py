@@ -548,10 +548,12 @@ def split_lanes_recs(traces, B):
     return p1u16, bitw, lens, spans
 
 
-def lane_streams_device_compact(p1u16, bitw, lens, interpret=False,
-                                bits_per_byte=4):
-    """lane_streams_device on pre-packed compact arrays (see
-    split_lanes_recs); groups the lane axis like lane_streams_device."""
+def lane_dispatch_compact(p1u16, bitw, lens, interpret=False,
+                          bits_per_byte=4):
+    """Dispatch phase of lane_streams_device_compact: launch every lane
+    group asynchronously and return the pending handles WITHOUT reading any
+    result back — callers overlap host work (extraction/packing of the next
+    file) with device compute, then drain with lane_collect."""
     L, Bp = p1u16.shape
     assert Bp <= 1 << 15
     M = -(-Bp // bits_per_byte // 8) * 8 + 8
@@ -578,6 +580,11 @@ def lane_streams_device_compact(p1u16, bitw, lens, interpret=False,
             )
         )
         lo = hi
+    return pending
+
+
+def lane_collect(pending):
+    """Collect phase: read back dispatched lane groups -> stream bytes."""
     streams = []
     for n, glens, (out, nbytes, overflow, raw) in pending:
         if bool(overflow):
@@ -590,6 +597,15 @@ def lane_streams_device_compact(p1u16, bitw, lens, interpret=False,
         nb = np.asarray(nbytes[:n])
         streams.extend(bytes(out[l, : nb[l]]) for l in range(n))
     return streams
+
+
+def lane_streams_device_compact(p1u16, bitw, lens, interpret=False,
+                                bits_per_byte=4):
+    """lane_streams_device on pre-packed compact arrays (see
+    split_lanes_recs); groups the lane axis like lane_streams_device."""
+    return lane_collect(
+        lane_dispatch_compact(p1u16, bitw, lens, interpret, bits_per_byte)
+    )
 
 
 def encode_traces_lanes(traces, B, use_pallas=None, interpret=False,

@@ -190,6 +190,85 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None,
     return serialize_container(scope_id, sps, pps, blocks, None, finisher=finisher)
 
 
+def device_compress_corpus(inputs, scope="gop", substream_bins=4096,
+                           use_pallas=None, stats=None):
+    """Batch-directory device compression (BASELINE config 4): compress many
+    files through ONE overlapped device pipeline instead of per-file
+    device_compress calls.
+
+    Per file the host extracts + packs, then DISPATCHES its lane groups
+    asynchronously and immediately moves on to extracting the next file —
+    host parse (CPU threads) overlaps device compute/transfer, and the
+    per-file dispatch/readback round trips (the dominant cost on a ~1 s
+    latency tunnel) collapse into one pipelined stream drained at the end.
+    Output containers are byte-identical to
+    device_compress(f, scope=..., substream_bins=...) per file.
+
+    inputs: list of paths or bytes.  Returns list of container bytes.
+    stats (optional dict) receives {'dispatches': N, 'bins': M}."""
+    from ..host import native
+    from ..models.h264_model import _make_envelope
+    from ..ops.lane_coder import (lane_collect, lane_dispatch_compact,
+                                  split_lanes_recs)
+
+    datas = [
+        open(x, "rb").read() if isinstance(x, str) else bytes(x)
+        for x in inputs
+    ]
+    scope_id = SCOPE_SLICE if scope == "slice" else 2  # SCOPE_GOP
+    use_p = use_pallas if use_pallas is not None else (
+        jax.default_backend() == "tpu")
+    metas = []
+    pendings = []
+    n_dispatch = 0
+    n_bins = 0
+    for data in datas:
+        sps, pps, blocks, traces, _ = extract_traces(
+            data, scope=scope, want_slots=False)
+        if traces and use_p and all(hasattr(t, "recs32") for t in traces):
+            p1u16, bitw, lens, spans = split_lanes_recs(traces, substream_bins)
+            pend = lane_dispatch_compact(p1u16, bitw, lens)
+            n_dispatch += len(pend)
+            n_bins += sum(len(t) for t in traces)
+            metas.append(("pend", data, sps, pps, blocks, traces, spans,
+                          len(pendings)))
+            pendings.append(pend)
+        else:
+            metas.append(("host", data, sps, pps, blocks, traces, None, None))
+    # drain all device work (groups were dispatched in file order)
+    streams_per_file = [lane_collect(p) for p in pendings]
+    outs = []
+    for kind, data, sps, pps, blocks, traces, spans, pi in metas:
+        if kind == "host":
+            if traces:
+                from ..ops.lane_coder import encode_traces_lanes
+
+                envs = encode_traces_lanes(traces, substream_bins,
+                                           use_pallas=use_p)
+            else:
+                from ..codec import compress
+
+                outs.append(compress(data, scope=scope,
+                                     substream_bins=substream_bins))
+                continue
+        else:
+            streams = streams_per_file[pi]
+            envs = [_make_envelope(streams[lo:hi]) for lo, hi in spans]
+        finmap = {id(t): envs[i] for i, t in enumerate(traces)}
+
+        def finisher(t, finmap=finmap):
+            return t if isinstance(t, bytes) else finmap[id(t)]
+
+        outs.append(serialize_container(
+            scope_id, sps, pps, blocks, None, finisher=finisher,
+            substream_bins=substream_bins,
+        ))
+    if stats is not None:
+        stats["dispatches"] = n_dispatch
+        stats["bins"] = n_bins
+    return outs
+
+
 def multichip_step(mesh, slots, bits, pcabs, limits, valid, cls=None):
     """One sharded device step with a cross-chip billing collective —
     the SPMD program the driver dry-runs on an N-device mesh."""

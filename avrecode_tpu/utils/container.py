@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 5  # v5: last-bit history mixer input (v4: dual-rate counter)
+VERSION = 6  # v6: segmented slice blocks (MPEG-TS); v5: history mixer input
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 

@@ -24,6 +24,9 @@ class NalSpan:
     size: int
     nal_type: int
     nal_ref_idc: int
+    # non-contiguous NALs (MPEG-TS): list of (file_offset, length) pieces
+    # whose lengths sum to `size`; None = contiguous at [offset, offset+size)
+    segs: list = None
 
 
 @dataclass
@@ -34,6 +37,21 @@ class H264Stream:
 
 
 SLICE_TYPES = (1, 2, 5)  # non-IDR, partition A (unsupported->fallback), IDR
+
+
+def nal_payload(data, span):
+    """NAL bytes (header byte included), concatenating TS segments."""
+    if span.segs is None:
+        return data[span.offset : span.offset + span.size]
+    return b"".join(bytes(data[o : o + l]) for o, l in span.segs)
+
+
+def nal_span_end(span):
+    """File offset one past the NAL's last byte (spans its gaps for TS)."""
+    if span.segs is None:
+        return span.offset + span.size
+    o, l = span.segs[-1]
+    return o + l
 
 
 def _boxes(data, start, end):
@@ -244,10 +262,34 @@ def demux_annexb(data):
     return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
 
 
+def demux_mkv_file(data):
+    from .mkv import demux_mkv
+
+    def mk_avcc(private):
+        return _parse_avcc(private)
+
+    r = demux_mkv(data, NalSpan, mk_avcc)
+    if r is None:
+        return None
+    sps, pps, nals = r
+    return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
+
+
 def demux(data):
     """Auto-detect container type."""
     if len(data) > 12 and data[4:8] in (b"ftyp", b"moov", b"mdat", b"wide", b"free"):
         stream = demux_mp4(data)
         if stream:
             return stream
+    if len(data) > 8 and data[:4] == b"\x1aE\xdf\xa3":  # EBML -> Matroska
+        stream = demux_mkv_file(data)
+        if stream:
+            return stream
+    if len(data) >= 188 * 4 and data[0] == 0x47:  # MPEG-TS sync
+        from .ts import demux_ts
+
+        r = demux_ts(data, NalSpan)
+        if r:
+            sps, pps, nals = r
+            return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
     return demux_annexb(data)

@@ -88,33 +88,43 @@ def device_corpus(paths):
     # are minutes; steady-state timing is the honest number)
     import numpy as np
 
-    from avrecode_tpu.ops.lane_coder import lane_streams_device
+    from avrecode_tpu.ops.lane_coder import (GROUP_LB, LANES,
+                                             lane_streams_device_compact)
 
-    for b in (2048, 16384):
-        lane_streams_device(np.full((1, b), 0x8000, np.int32),
-                            np.array([b], np.int32))
+    # warm the two B=4096 dispatch shapes (full group + 1-block tail):
+    # remote compiles are minutes; steady-state timing is the honest number
+    for g in (GROUP_LB * LANES, LANES):
+        lane_streams_device_compact(
+            np.full((g, 4096), 0x8000, np.uint16),
+            np.zeros((g, 4096 // 32), np.int32),
+            np.full(g, 4096, np.int32),
+        )
+
+    # batched corpus pipeline (BASELINE config 4): per-file extraction
+    # overlaps the previous files' async device dispatches; dispatch/readback
+    # round trips collapse into one drained stream (device_compress_corpus)
+    from avrecode_tpu.parallel.pipeline import device_compress_corpus
 
     files = []
     total_in = total_out = 0
-    total_ct = 0.0
     total_bins = 0
     failures = 0
-    for p in paths:
+    corpus_stats = {}
+    t0 = time.time()
+    comps = device_compress_corpus(paths, scope="gop", substream_bins=4096,
+                                   stats=corpus_stats)
+    total_ct = time.time() - t0
+    for p, comp in zip(paths, comps):
         data = open(p, "rb").read()
-        t0 = time.time()
-        comp = device_compress(data, scope="gop", substream_bins=SUBSTREAM_BINS)
-        ct = time.time() - t0
         ok = native.decompress(comp, 0) == data
         failures += 0 if ok else 1
         total_in += len(data)
         total_out += len(comp)
-        total_ct += ct
         files.append(
             {
                 "file": os.path.basename(p),
                 "mb": round(len(data) / 1e6, 3),
                 "ratio_pct": round(100 * len(comp) / len(data), 2),
-                "compress_mb_s": round(len(data) / 1e6 / max(ct, 1e-9), 3),
                 "roundtrip": "OK" if ok else "FAIL",
             }
         )
@@ -136,11 +146,13 @@ def device_corpus(paths):
     return {
         "backend": backend,
         "kernel": "pallas-lane" if backend == "tpu" else "xla-scan-lane",
-        "substream_bins": SUBSTREAM_BINS,
+        "substream_bins": 4096,
         "files": files,
         "compress_mb_s": round(total_in / 1e6 / max(total_ct, 1e-9), 3),
         "ratio_pct": round(100.0 * total_out / max(total_in, 1), 2),
         "roundtrip_failures": failures,
+        "dispatches": corpus_stats.get("dispatches"),
+        "corpus_bins": corpus_stats.get("bins"),
         "stage_split_480p": {
             "host_extract_s": round(t_parse, 3),
             "device_entropy_s": round(t_dev, 3),

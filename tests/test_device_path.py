@@ -132,3 +132,25 @@ def test_device_pipeline_gop_scope_matches_host():
         dev0 = pipeline.device_compress(data, scope=scope, substream_bins=0)
         assert dev0 == compress(data, scope=scope), scope
         assert decompress(dev0) == data
+
+
+def test_device_compress_corpus_matches_per_file():
+    # batch-directory pipeline (BASELINE config 4): containers byte-identical
+    # to per-file device_compress, roundtrip bit-exact
+    from avrecode_tpu.codec import decompress
+    from avrecode_tpu.parallel.pipeline import (device_compress,
+                                                device_compress_corpus)
+
+    path = os.path.join(DATA, "rt_gop.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "192", "160", "12", "30", "4", "1", "26", "9", "1"],
+            check=True, capture_output=True,
+        )
+    datas = [open(path, "rb").read(), b"not a video"]
+    stats = {}
+    outs = device_compress_corpus(datas, scope="gop", substream_bins=4096,
+                                  stats=stats)
+    for data, comp in zip(datas, outs):
+        assert comp == device_compress(data, scope="gop", substream_bins=4096)
+        assert decompress(comp) == data

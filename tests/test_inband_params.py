@@ -33,6 +33,8 @@ def _n_slice_blocks(comp):
             r.varint()
             r.varint()
             r.blob()
+            for _ in range(r.varint()):  # v6 TS segmentation entries
+                r.varint(), r.blob()
             r.blob()  # gop stream slot
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")

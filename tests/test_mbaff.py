@@ -48,6 +48,8 @@ def _slice_block_count(blob):
         if kind == KIND_SLICE:
             n += 1
             r.varint(), r.blob(), r.varint(), r.varint(), r.blob()
+            for _ in range(r.varint()):  # v6 TS segmentation entries
+                r.varint(), r.blob()
         else:
             r.blob()
     return n
