@@ -54,6 +54,18 @@ def decompress(blob):
         from .host import native
 
         if native.available():
+            if OPTS["hosts"] > 1:
+                # multi-host decode: each "host" decompresses its GOP-group
+                # range of the container, outputs concatenate (the decode
+                # mirror of compress_sharded)
+                from .parallel.multihost import (decompress_sharded,
+                                                 stitch_decompressed)
+
+                return stitch_decompressed(
+                    decompress_sharded(blob, i, OPTS["hosts"],
+                                       threads=OPTS["threads"])
+                    for i in range(OPTS["hosts"])
+                )
             return native.decompress(blob, OPTS["threads"])
     return py_decompress(blob)
 

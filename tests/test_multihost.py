@@ -98,6 +98,38 @@ print(f"proc {proc_id} STITCH-OK bytes={len(st)}")
 """
 
 
+DSTITCH_WORKER = r"""
+import os, sys
+import numpy as np
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; clip = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=proc_id)
+sys.path.insert(0, os.environ["AVT_ROOT"])
+from jax.experimental import multihost_utils
+from avrecode_tpu.host import native
+from avrecode_tpu.parallel import multihost
+
+data = open(clip, "rb").read()
+blob = native.compress(data, scope="gop")
+# each process decodes ONLY its GOP-group range of the container
+frag = multihost.decompress_sharded(blob, proc_id, 2, threads=1)
+lens = multihost_utils.process_allgather(np.array([len(frag)], np.int32))
+m = int(lens.max())
+buf = np.zeros(m, np.uint8)
+buf[: len(frag)] = np.frombuffer(frag, np.uint8)
+allb = multihost_utils.process_allgather(buf)
+frags = [bytes(allb[i][: int(lens[i][0])]) for i in range(2)]
+out = multihost.stitch_decompressed(frags)
+assert len(frags[0]) > 0 and len(frags[1]) > 0, "both shards must decode work"
+assert out == data, "sharded decompress != original"
+print(f"proc {proc_id} DSTITCH-OK bytes={len(out)}")
+"""
+
+
 def _run_pair(worker, extra_args=()):
     port = 0
     with socket.socket() as s:
@@ -151,6 +183,28 @@ def test_two_process_stitched_container():
         assert "STITCH-OK" in out
 
 
+def test_two_process_sharded_decompress():
+    """Decode-direction mirror of the stitched-container test: two
+    jax.distributed processes each decompress their GOP-group range of the
+    container; concatenation reproduces the original bit-exactly."""
+    from avrecode_tpu.host import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    clip = os.path.join(ROOT, "data", "mid.mp4")
+    if not os.path.exists(clip):
+        gen = os.path.join(ROOT, "tools", "genvideo")
+        subprocess.run(
+            [gen, clip, "640", "480", "120", "30", "24", "1", "26", "7", "1"],
+            check=True,
+            capture_output=True,
+        )
+    procs, outs = _run_pair(DSTITCH_WORKER, (clip,))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "DSTITCH-OK" in out
+
+
 def test_two_process_distributed():
     port = 0
     with socket.socket() as s:
@@ -182,3 +236,31 @@ def test_two_process_distributed():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert "OK" in out
+
+
+def test_sharded_decompress_single_process():
+    """decompress_sharded without jax.distributed: any process count's
+    concatenated fragments must equal the full decode, including empty
+    shards (more processes than GOPs) and the non-gop-scope fallback."""
+    from avrecode_tpu.host import native
+    from avrecode_tpu.parallel import multihost
+
+    if not native.available():
+        pytest.skip("native library not built")
+    clip = os.path.join(ROOT, "data", "mid.mp4")
+    if not os.path.exists(clip):
+        gen = os.path.join(ROOT, "tools", "genvideo")
+        subprocess.run(
+            [gen, clip, "640", "480", "120", "30", "24", "1", "26", "7", "1"],
+            check=True, capture_output=True,
+        )
+    data = open(clip, "rb").read()
+    blob = native.compress(data, scope="gop")
+    for nproc in (1, 2, 3, 7):
+        frags = [
+            multihost.decompress_sharded(blob, i, nproc) for i in range(nproc)
+        ]
+        assert multihost.stitch_decompressed(frags) == data
+    blob2 = native.compress(data, scope="stream")
+    frags = [multihost.decompress_sharded(blob2, i, 2) for i in range(2)]
+    assert multihost.stitch_decompressed(frags) == data
