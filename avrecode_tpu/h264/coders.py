@@ -71,8 +71,32 @@ class CompressCoder:
         return self._raw_terminate()
 
     def cabac_terminate_pcm(self):
-        # mb_type I escape bin (ctx 276); value 0 for everything but I_PCM
-        return self._raw_terminate()
+        # mb_type I escape bin (ctx 276): modeled so decompression knows
+        # whether the MB is I_PCM; the verify encoder's terminate(1) flush
+        # byte-aligns the stream exactly where pcm samples begin
+        b = self._raw_terminate()
+        if self.model is not None:
+            self.model.put_bit(("pcmf",), b)
+        return b
+
+    def pcm_samples(self, n):
+        """I_PCM payload: n raw sample bytes at the byte boundary after the
+        flushed terminate; both arithmetic engines re-initialize after them
+        (9.3.1.2 — context states persist)."""
+        assert self.verify, "pcm recoding requires the verify re-encoder"
+        start = len(self.enc.out)
+        raw = bytes(self.payload[start : start + n])
+        if len(raw) < n:
+            raise ParseDesync("pcm samples beyond payload")
+        if self.model is not None:
+            for byte in raw:
+                for i in range(8):
+                    self.model.put_bit(("pcm", i), (byte >> (7 - i)) & 1)
+        self.enc.out += raw
+        self.enc.reinit_arith()
+        self.dec = CabacDecoder(self.payload, bit_offset=(start + n) * 8)
+        self._bill_anchor = self.dec.bitpos
+        return raw
 
     def cabac_p1(self, ctx):
         return int(CABAC_P1[self.states[ctx]])
@@ -152,9 +176,20 @@ class DecompressCoder:
         self.enc.terminate(b)
 
     def cabac_terminate_pcm(self):
-        # decompress never reaches PCM (compress would have fallen back)
-        self.enc.terminate(0)
-        return 0
+        b = self.model.get_bit(("pcmf",))
+        self.enc.terminate(b)
+        return b
+
+    def pcm_samples(self, n):
+        out = bytearray()
+        for _ in range(n):
+            v = 0
+            for i in range(8):
+                v = (v << 1) | self.model.get_bit(("pcm", i))
+            out.append(v)
+        self.enc.out += bytes(out)
+        self.enc.reinit_arith()
+        return bytes(out)
 
     def cabac_p1(self, ctx):
         return int(CABAC_P1[self.states[ctx]])

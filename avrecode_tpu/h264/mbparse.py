@@ -26,7 +26,8 @@ slices, High profile transform-8x8.  MBAFF neighbor derivation mirrors the
 hooked decoder's semantics (fill_decode_neighbors left-pair split + y remap,
 skip/field-flag register conventions) — the same behavior the reference
 inherits from its ffmpeg patch (SURVEY.md C18, recode.cpp:149-235).  I_PCM
-and PAFF field pictures raise UnsupportedStream -> literal fallback.
+macroblocks recode (escape flush + raw samples + engine re-init); PAFF
+field pictures raise UnsupportedStream -> literal fallback.
 """
 
 import numpy as np
@@ -356,7 +357,7 @@ class SliceParser:
         """
         skew = 2 if intra_slice else 0
         if self.c.cabac_terminate_pcm():
-            raise UnsupportedStream("I_PCM macroblock")
+            return None  # I_PCM escape (Table 9-36 bin string "11")
         cbf_luma = self._bin(base + skew + 1, ("i16cbf",))
         cbp_chroma = 0
         if self._bin(base + skew + 2, ("i16cbc0",)):
@@ -380,17 +381,21 @@ class SliceParser:
                 inc += 1
             if not self._bin(3 + inc, ("imbtype", inc)):
                 return MB_I_NXN, None
-            return MB_I16, self.parse_mb_type_i_suffix(3, True)
+            info = self.parse_mb_type_i_suffix(3, True)
+            return (MB_I_PCM, None) if info is None else (MB_I16, info)
 
         if self.stype == SLICE_P:
             inc2 = 0
             for w, pos in ((1, self._left()), (2, self._up())):
-                if self._avail(pos) and p.mbclass[pos[1], pos[0]] in (MB_I_NXN, MB_I16):
+                if self._avail(pos) and p.mbclass[pos[1], pos[0]] in (
+                    MB_I_NXN, MB_I16, MB_I_PCM,
+                ):
                     inc2 += w
             if self._bin(14, ("pmbtype0", inc2)):
                 if not self._bin(17, ("pmbtype_intra",)):
                     return MB_I_NXN, None
-                return MB_I16, self.parse_mb_type_i_suffix(17, False)
+                info = self.parse_mb_type_i_suffix(17, False)
+                return (MB_I_PCM, None) if info is None else (MB_I16, info)
             if not self._bin(15, ("pmbtype1",)):
                 # '00x': 16x16 or 8x8
                 if self._bin(16, ("pmbtype2a",)):
@@ -423,7 +428,8 @@ class SliceParser:
         if v == 13:
             if not self._bin(32, ("bmbtype_intra",)):
                 return MB_I_NXN, None
-            return MB_I16, self.parse_mb_type_i_suffix(32, False)
+            info = self.parse_mb_type_i_suffix(32, False)
+            return (MB_I_PCM, None) if info is None else (MB_I16, info)
         if v == 14:
             return MB_INTER, ("B", 11)
         if v == 15:
@@ -873,6 +879,10 @@ class SliceParser:
         p.mbclass[y, x] = mbclass
         p.skip[y, x] = 0
 
+        if mbclass == MB_I_PCM:
+            self._parse_pcm()
+            return
+
         t8x8 = 0
         is_intra = mbclass in (MB_I_NXN, MB_I16)
         cbp_luma = cbp_chroma = 0
@@ -913,6 +923,29 @@ class SliceParser:
             self._parse_residuals(mbclass, cbp_luma, cbp_chroma, t8x8, is_intra)
         else:
             self.prev_qp_delta_nz = 0
+
+    def _parse_pcm(self):
+        """I_PCM macroblock (7.3.5, 9.3.1.2): raw samples after the flushed
+        terminate, both CABAC engines re-initialize; neighbor semantics per
+        the spec's PCM rules (coded_block_flags 1, cbp 15/2, nnz saturated,
+        chroma pred mode 0, qp-delta chain reset)."""
+        p = self.pic
+        x, y = self.mbx, self.mby
+        n = 256 + 2 * (128 if self.ch422 else 64)  # 8-bit samples
+        self.c.pcm_samples(n)
+        p.cbp_luma[y, x] = 15
+        p.cbp_chroma[y, x] = 2
+        p.t8x8[y, x] = 0
+        p.chroma_mode[y, x] = 0
+        p.cbf_luma_dc[y, x] = 1
+        p.cbf_luma[y, x, :] = 1
+        p.cbf_chroma_dc[y, x, :] = 1
+        p.cbf_chroma_ac[y, x, :] = 1
+        p.nnz_luma[y, x, :] = 16
+        p.nnz_luma_dc[y, x] = 16
+        p.nnz_chroma_dc[y, x, :] = 8 if self.ch422 else 4
+        p.nnz_chroma_ac[y, x, :] = 15
+        self.prev_qp_delta_nz = 0
 
     def _t8x8_allowed(self, mbclass, info, sub_types):
         if mbclass == MB_B_DIRECT:

@@ -139,8 +139,18 @@ struct CabacByteQueue {
     int pad = (8 - (ep & 7)) & 7;
     if (pad) shift(pad);
     for (; ffrun_; ffrun_--) out_.push_back(0xFF);
-    out_.erase(out_.begin());
+    out_.erase(out_.begin() + dummy_pos_);
   }
+  // restart mid-stream after I_PCM samples (9.3.1.2): fresh registers, new
+  // dropped-first-bit dummy byte at the current tail
+  void reinit() {
+    low_ = 0;
+    queue_ = -9;
+    ffrun_ = 0;
+    dummy_pos_ = (long)out_.size();
+    out_.push_back(0);
+  }
+  long dummy_pos_ = 0;
 };
 
 class CabacEncoder {
@@ -186,6 +196,14 @@ class CabacEncoder {
 
   const Bytes& bytes() const { return q_.out_; }
   size_t size() const { return q_.out_.size(); }
+
+  // I_PCM: raw samples at the byte boundary after the flushed terminate,
+  // then the arithmetic engine restarts (context states persist)
+  void pcm_bytes(const uint8_t* p, size_t n) {
+    q_.out_.insert(q_.out_.end(), p, p + n);
+    range_ = 510;
+    q_.reinit();
+  }
 
  private:
   void flush() {
@@ -273,6 +291,22 @@ class CabacXcoder {
 
   size_t bitpos() const { return bitpos_; }
   const Bytes& bytes() const { return q_.out_; }
+
+  // I_PCM resume: the flushed verify stream length IS the byte offset of
+  // the pcm samples within the payload; copy them through and restart both
+  // the decoder window and the re-encoder queue after them
+  void pcm_resume(size_t n) {
+    size_t start = q_.out_.size();
+    q_.out_.insert(q_.out_.end(), data_ + start, data_ + start + n);
+    bitpos_ = (start + n) * 8;
+    inext_ = start + n;
+    iwin_ = 0;
+    iav_ = 0;
+    range_ = 510;
+    offset_ = take(9);
+    bitpos_ = (start + n) * 8 + 9;  // take() advanced it; keep exact count
+    q_.reinit();
+  }
 
  private:
   // 64-bit MSB-aligned input window: refills 8 bytes at a time (zeros past

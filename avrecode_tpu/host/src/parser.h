@@ -138,6 +138,44 @@ struct Coder {
 
   int cabac_p1(int ctx) const { return kCabacP1[states.s[ctx]]; }
 
+  // I_PCM: escape bin (modeled so decompress knows) + raw samples at the
+  // byte boundary after the flushed terminate; engines restart (9.3.1.2)
+  int pcm_flag() {
+    if (is_compress) {
+      int b = raw_terminate();
+      if (model) model->put_bit(mkey(K_PCMF), b, 0);
+      return b;
+    }
+    int b = model->get_bit(mkey(K_PCMF), 0);
+    enc.terminate(b);
+    return b;
+  }
+  void pcm_samples(int n) {
+    if (is_compress) {
+      size_t start = xc->bytes().size();
+      if (start + (size_t)n > payload_size)
+        throw Desync("pcm samples beyond payload");
+      if (model) {
+        for (int k = 0; k < n; k++) {
+          uint8_t byte = payload[start + k];
+          for (int i = 0; i < 8; i++)
+            model->put_bit(mkey(K_PCM, i), (byte >> (7 - i)) & 1, 0);
+        }
+      }
+      xc->pcm_resume((size_t)n);
+      bill_anchor = xc->bitpos();
+      return;
+    }
+    Bytes buf((size_t)n);
+    for (int k = 0; k < n; k++) {
+      int v = 0;
+      for (int i = 0; i < 8; i++)
+        v = (v << 1) | model->get_bit(mkey(K_PCM, i), 0);
+      buf[k] = (uint8_t)v;
+    }
+    enc.pcm_bytes(buf.data(), buf.size());
+  }
+
   // compress primitives
   int raw_bin(int ctx) {
     int b = xc->decision(states, ctx);
@@ -470,17 +508,15 @@ class SliceParser {
     return 0;
   }
 
-  struct I16Info { int cbf_luma, cbp_chroma, pred; };
+  struct I16Info { int cbf_luma, cbp_chroma, pred; bool pcm; };
 
   I16Info parse_mb_type_i_suffix(int base, bool intra_slice) {
     int skew = intra_slice ? 2 : 0;
-    int pcm;
-    if (c_->is_compress)
-      pcm = c_->raw_terminate();
-    else
-      pcm = (c_->put_terminate(0), 0);
-    if (pcm) throw Unsupported("I_PCM macroblock");
-    I16Info r;
+    I16Info r{};
+    if (c_->pcm_flag()) {
+      r.pcm = true;  // I_PCM escape (Table 9-36 bin string "11")
+      return r;
+    }
     r.cbf_luma = bin(base + skew + 1, mkey(K_I16CBF));
     r.cbp_chroma = 0;
     if (bin(base + skew + 2, mkey(K_I16CBC0)))
@@ -503,7 +539,7 @@ class SliceParser {
       if (avail(uxx, uyy) && p->mbclass[mb(uxx, uyy)] != MB_I_NXN) inc++;
       if (!bin(3 + inc, mkey(K_IMBTYPE, inc))) return MB_I_NXN;
       *i16 = parse_mb_type_i_suffix(3, true);
-      return MB_I16;
+      return i16->pcm ? MB_I_PCM : MB_I16;
     }
     if (stype_ == SLICE_P) {
       int inc2 = 0;
@@ -512,13 +548,14 @@ class SliceParser {
         if (k == 0) mb_left(&nx, &ny); else mb_up(&nx, &ny);
         if (avail(nx, ny)) {
           uint8_t cls = p->mbclass[mb(nx, ny)];
-          if (cls == MB_I_NXN || cls == MB_I16) inc2 += k == 0 ? 1 : 2;
+          if (cls == MB_I_NXN || cls == MB_I16 || cls == MB_I_PCM)
+            inc2 += k == 0 ? 1 : 2;
         }
       }
       if (bin(14, mkey(K_PMBTYPE0, inc2))) {
         if (!bin(17, mkey(K_PMBTYPE_INTRA))) return MB_I_NXN;
         *i16 = parse_mb_type_i_suffix(17, false);
-        return MB_I16;
+        return i16->pcm ? MB_I_PCM : MB_I16;
       }
       if (!bin(15, mkey(K_PMBTYPE1))) {
         *p_kind = bin(16, mkey(K_PMBTYPE2A)) ? 3 : 0;  // P8x8 : P16x16
@@ -550,7 +587,7 @@ class SliceParser {
     if (v == 13) {
       if (!bin(32, mkey(K_BMBTYPE_INTRA))) return MB_I_NXN;
       *i16 = parse_mb_type_i_suffix(32, false);
-      return MB_I16;
+      return i16->pcm ? MB_I_PCM : MB_I16;
     }
     if (v == 14) { *b_type = 11; return MB_INTER; }
     if (v == 15) { *b_type = 22; return MB_INTER; }
@@ -1149,6 +1186,31 @@ class SliceParser {
     }
   }
 
+  // I_PCM macroblock (7.3.5 / 9.3.1.2): raw samples, engines restart;
+  // neighbor semantics per the spec's PCM rules
+  void parse_pcm() {
+    PicState* p = pic_;
+    size_t m = mb(mbx_, mby_);
+    int n = 256 + 2 * (ch422_ ? 128 : 64);
+    c_->pcm_samples(n);
+    p->cbp_luma[m] = 15;
+    p->cbp_chroma[m] = 2;
+    p->t8x8[m] = 0;
+    p->chroma_mode[m] = 0;
+    p->cbf_luma_dc[m] = 1;
+    p->cbf_chroma_dc[m * 2] = p->cbf_chroma_dc[m * 2 + 1] = 1;
+    for (int i = 0; i < 16; i++) {
+      p->cbf_luma[m * 16 + i] = 1;
+      p->cbf_chroma_ac[m * 16 + i] = 1;
+      p->nnz_luma[m * 16 + i] = 16;
+      p->nnz_chroma_ac[m * 16 + i] = 15;
+    }
+    p->nnz_luma_dc[m] = 16;
+    p->nnz_chroma_dc[m * 2] = p->nnz_chroma_dc[m * 2 + 1] =
+        (uint8_t)(ch422_ ? 8 : 4);
+    prev_qp_delta_nz_ = 0;
+  }
+
   bool t8x8_allowed(MbClass cls, int p_kind, int b_type) const {
     if (cls == MB_B_DIRECT) return sps_.direct_8x8_inference_flag != 0;
     if (sub_types_valid_ && stype_ == SLICE_P) {
@@ -1341,6 +1403,11 @@ class SliceParser {
     p->slice_id[m] = sid_;
     p->mbclass[m] = cls;
     p->skip[m] = 0;
+
+    if (cls == MB_I_PCM) {
+      parse_pcm();
+      return;
+    }
 
     int t8x8 = 0;
     bool is_intra = cls == MB_I_NXN || cls == MB_I16;

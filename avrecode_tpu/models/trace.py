@@ -38,6 +38,7 @@ CLS_IDS = {
         "qpd1", "qpd2", "ref", "mvd", "mvdp", "mvde", "mvdb", "mvds",
         "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz",
         "fieldf",  # MBAFF mb_field_decoding_flag (appended: ids are stable)
+        "pcmf", "pcm",  # I_PCM escape bin + sample-byte bits
     ])
 }
 N_CLS = len(CLS_IDS)

@@ -243,5 +243,15 @@ class CabacEncoder:
         while self._bitcnt != 0:
             self._write_bit(0)
 
+    def reinit_arith(self):
+        """Re-initialize the arithmetic engine after I_PCM samples
+        (9.3.1.2: context variables persist, the engine restarts).  Only
+        legal at a byte boundary (the terminate-flush guarantees one)."""
+        assert self._bitcnt == 0, "pcm reinit requires byte alignment"
+        self.low = 0
+        self.range = 510
+        self.first_bit_flag = True
+        self.bits_outstanding = 0
+
     def bytes(self):
         return bytes(self.out)

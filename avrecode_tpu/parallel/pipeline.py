@@ -218,27 +218,45 @@ def device_compress_corpus(inputs, scope="gop", substream_bins=4096,
     scope_id = SCOPE_SLICE if scope == "slice" else 2  # SCOPE_GOP
     use_p = use_pallas if use_pallas is not None else (
         jax.default_backend() == "tpu")
-    metas = []
+    # biggest files first: their uploads (the tunnel-bandwidth bound) start
+    # streaming while the remaining files extract on the host CPU
+    order = sorted(range(len(datas)), key=lambda i: -len(datas[i]))
+    # one-deep extraction prefetch: the native extractor releases the GIL,
+    # so file i+1 parses while file i packs/dispatches
+    import concurrent.futures as _fut
+
+    metas_by_idx = [None] * len(datas)
     pendings = []
     n_dispatch = 0
     n_bins = 0
-    for data in datas:
-        sps, pps, blocks, traces, _ = extract_traces(
-            data, scope=scope, want_slots=False)
-        if traces and use_p and all(hasattr(t, "recs32") for t in traces):
-            p1u16, bitw, lens, spans = split_lanes_recs(traces, substream_bins)
-            pend = lane_dispatch_compact(p1u16, bitw, lens)
-            n_dispatch += len(pend)
-            n_bins += sum(len(t) for t in traces)
-            metas.append(("pend", data, sps, pps, blocks, traces, spans,
-                          len(pendings)))
-            pendings.append(pend)
-        else:
-            metas.append(("host", data, sps, pps, blocks, traces, None, None))
-    # drain all device work (groups were dispatched in file order)
+    with _fut.ThreadPoolExecutor(max_workers=1) as pool:
+        nxt = None
+        for k, idx in enumerate(order):
+            cur = nxt or pool.submit(
+                extract_traces, datas[idx], scope=scope, want_slots=False)
+            nxt = (
+                pool.submit(extract_traces, datas[order[k + 1]], scope=scope,
+                            want_slots=False)
+                if k + 1 < len(order) else None
+            )
+            data = datas[idx]
+            sps, pps, blocks, traces, _ = cur.result()
+            if traces and use_p and all(hasattr(t, "recs32") for t in traces):
+                p1u16, bitw, lens, spans = split_lanes_recs(
+                    traces, substream_bins)
+                pend = lane_dispatch_compact(p1u16, bitw, lens)
+                n_dispatch += len(pend)
+                n_bins += sum(len(t) for t in traces)
+                metas_by_idx[idx] = ("pend", data, sps, pps, blocks, traces,
+                                     spans, len(pendings))
+                pendings.append(pend)
+            else:
+                metas_by_idx[idx] = ("host", data, sps, pps, blocks, traces,
+                                     None, None)
+    # drain all device work (transfers/compute progressed in the background)
     streams_per_file = [lane_collect(p) for p in pendings]
     outs = []
-    for kind, data, sps, pps, blocks, traces, spans, pi in metas:
+    for kind, data, sps, pps, blocks, traces, spans, pi in metas_by_idx:
         if kind == "host":
             if traces:
                 from ..ops.lane_coder import encode_traces_lanes

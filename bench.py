@@ -40,6 +40,8 @@ CORPUS = [
 ]
 
 SUBSTREAM_BINS = "auto"  # two-tier adaptive (lane_coder.auto_substream_bins)
+CORPUS_B = 16384  # batched corpus: the grid fills from ALL files, so long
+# lanes win twice (fewer dispatch groups + 4x less envelope overhead)
 
 
 def log(*a):
@@ -95,9 +97,9 @@ def device_corpus(paths):
     # remote compiles are minutes; steady-state timing is the honest number
     for g in (GROUP_LB * LANES, LANES):
         lane_streams_device_compact(
-            np.full((g, 4096), 0x8000, np.uint16),
-            np.zeros((g, 4096 // 32), np.int32),
-            np.full(g, 4096, np.int32),
+            np.full((g, CORPUS_B), 0x8000, np.uint16),
+            np.zeros((g, CORPUS_B // 32), np.int32),
+            np.full(g, CORPUS_B, np.int32),
         )
 
     # batched corpus pipeline (BASELINE config 4): per-file extraction
@@ -111,7 +113,8 @@ def device_corpus(paths):
     failures = 0
     corpus_stats = {}
     t0 = time.time()
-    comps = device_compress_corpus(paths, scope="gop", substream_bins=4096,
+    comps = device_compress_corpus(paths, scope="gop",
+                                   substream_bins=CORPUS_B,
                                    stats=corpus_stats)
     total_ct = time.time() - t0
     for p, comp in zip(paths, comps):
@@ -139,14 +142,13 @@ def device_corpus(paths):
     from avrecode_tpu.ops.lane_coder import (auto_substream_bins,
                                              encode_traces_lanes)
 
-    encode_traces_lanes(traces, auto_substream_bins(n_bins),
-                        use_pallas=backend == "tpu")
+    encode_traces_lanes(traces, CORPUS_B, use_pallas=backend == "tpu")
     t_dev = time.time() - t0
     total_bins = n_bins
     return {
         "backend": backend,
         "kernel": "pallas-lane" if backend == "tpu" else "xla-scan-lane",
-        "substream_bins": 4096,
+        "substream_bins": CORPUS_B,
         "files": files,
         "compress_mb_s": round(total_in / 1e6 / max(total_ct, 1e-9), 3),
         "ratio_pct": round(100.0 * total_out / max(total_in, 1), 2),
