@@ -21,8 +21,8 @@ trick, recode.cpp:852-936, 1444-1446, generalized):
   * at compress time every "deterministic" bin is asserted against the real
     decoded bin — a mismatch raises ParseDesync -> literal fallback.
 
-Scope: progressive + MBAFF frames (round 3), 4:2:0/4:2:2 8-bit, I/P/B
-slices, High profile transform-8x8.  MBAFF neighbor derivation mirrors the
+Scope: progressive + MBAFF frames, 4:2:0/4:2:2/4:4:4, any bit depth,
+I/P/B slices, High profile transform-8x8, I_PCM (round 3).  MBAFF neighbor derivation mirrors the
 hooked decoder's semantics (fill_decode_neighbors left-pair split + y remap,
 skip/field-flag register conventions) — the same behavior the reference
 inherits from its ffmpeg patch (SURVEY.md C18, recode.cpp:149-235).  I_PCM
@@ -118,7 +118,21 @@ CAT_CHROMA_DC = 3
 CAT_CHROMA_AC = 4
 CAT_LUMA_8x8 = 5
 
-_MAX_COEFF = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15, 5: 64}
+_MAX_COEFF = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15, 5: 64,
+              6: 16, 7: 15, 8: 16, 9: 64, 10: 16, 11: 15, 12: 16, 13: 64}
+
+# coded_block_flag ctx base per ctxBlockCat (9.3.3.1.1.9 ctxIdxOffset
+# assignment): cats 0-4 at 85+4*cat; the 4:4:4 extensions live in the
+# 460-483 (Cb/Cr non-8x8) and 1012-1023 (8x8 luma/Cb/Cr) ranges
+CBF_CTX_BASE = (85, 89, 93, 97, 101, 1012, 460, 464, 468, 1016, 472, 476,
+                480, 1020)
+# cat -> colour plane (444 luma-style residual per plane); None = 420/422
+_CAT_PLANE = {0: 0, 1: 0, 2: 0, 5: 0, 6: 1, 7: 1, 8: 1, 9: 1,
+              10: 2, 11: 2, 12: 2, 13: 2}
+_CAT_DC = (CAT_LUMA_DC, 6, 10)
+_CAT_AC = (CAT_LUMA_AC, 7, 11)
+_CAT_44 = (CAT_LUMA_4x4, 8, 12)
+_CAT_88 = (CAT_LUMA_8x8, 9, 13)
 
 
 class PicState:
@@ -153,6 +167,10 @@ class PicState:
         # MBAFF: per-MB field-coding flag (both MBs of a pair share a value);
         # rows interleave pairs: y = 2*pair_row + bottom
         self.field = np.zeros((h, w), np.uint8)
+        # 4:4:4: Cb/Cr planes carry luma-style per-4x4 cbf/nnz maps
+        # (cbf_chroma_dc / nnz_chroma_dc double as the per-plane DC maps)
+        self.cbf_c44 = np.zeros((2, h, w, 16), np.uint8)
+        self.nnz_c44 = np.zeros((2, h, w, 16), np.uint8)
 
 
 class SliceParser:
@@ -182,6 +200,8 @@ class SliceParser:
         self.stype = header.slice_type
         # 4:2:2: 2x4 chroma 4x4-block grid, 8-coeff chroma DC
         self.ch422 = sps.chroma_format_idc == 2
+        # 4:4:4 (non-separate): Cb/Cr recode as luma-style planes (cats 6-13)
+        self.ch444 = sps.chroma_format_idc == 3
         self.ch_grid_h = 4 if self.ch422 else 2
         self.n_chroma_ac = 8 if self.ch422 else 4
         self.nref0 = header.num_ref_idx_l0_active
@@ -522,6 +542,8 @@ class SliceParser:
                 cond_b = 0 if (cbp >> x8) & 1 else 1
             if self._bin(73 + cond_a + 2 * cond_b, ("cbpl", i8, cond_a + 2 * cond_b, intra)):
                 cbp |= 1 << i8
+        if self.ch444:  # no chroma cbp bins; luma bits apply per plane
+            return cbp, 0
         # chroma: TU cMax=2
         cond_a = 1 if (avail_a and p.cbp_chroma[a[1], a[0]] != 0) else 0
         cond_b = 1 if (avail_b and p.cbp_chroma[b[1], b[0]] != 0) else 0
@@ -643,19 +665,29 @@ class SliceParser:
         """ctxIdxInc for coded_block_flag (9.3.3.1.1.9) via effective maps."""
         p = self.pic
         inc = 0
+        plane = _CAT_PLANE.get(cat) if cat not in (CAT_CHROMA_DC, CAT_CHROMA_AC) else None
         for di, (dx, dy) in enumerate(((-1, 0), (0, -1))):
-            if cat == CAT_LUMA_DC:
+            if cat in _CAT_DC:
                 nmb = self._left() if dx else self._up()
                 if not self._avail(nmb):
                     cond = 1 if is_intra else 0
-                else:
+                elif cat == CAT_LUMA_DC:
                     cond = int(p.cbf_luma_dc[nmb[1], nmb[0]])
-            elif cat in (CAT_LUMA_AC, CAT_LUMA_4x4):
+                else:  # 4:4:4 Cb/Cr DC: per-plane map
+                    cond = int(p.cbf_chroma_dc[nmb[1], nmb[0], plane - 1])
+            elif plane is not None:  # luma-style AC/4x4/8x8 (8x8 only in 444)
                 nmb, nblk = self._blk_nb(blk, dx, dy)
                 if not self._avail(nmb):
                     cond = 1 if is_intra else 0
-                else:
+                elif cat in _CAT_88 and not p.t8x8[nmb[1], nmb[0]]:
+                    # 4:4:4 8x8 cbf ctx: a neighbor not coded with the 8x8
+                    # transform contributes 0 (its 8x8 transform block is
+                    # unavailable) — oracle-validated against x264 output
+                    cond = 0
+                elif plane == 0:
                     cond = int(p.cbf_luma[nmb[1], nmb[0], nblk])
+                else:
+                    cond = int(p.cbf_c44[plane - 1, nmb[1], nmb[0], nblk])
             elif cat == CAT_CHROMA_DC:
                 nmb = self._left() if dx else self._up()
                 if not self._avail(nmb):
@@ -686,7 +718,7 @@ class SliceParser:
         if has_cbf:
             inc = self._cbf_neighbor(cat, blk, is_intra)
             cbf = self._bin(
-                85 + 4 * cat + inc,
+                CBF_CTX_BASE[cat] + inc,
                 ("cbf", cat + 16 * fld0, inc, min(nnz_prior, 7), int(is_intra)),
             )
             self._last_cbf = cbf
@@ -696,9 +728,9 @@ class SliceParser:
             self._last_cbf = 1
         # --- significance map (field MBs use the field ctx rows, 9.3.3.1.3)
         fld = self.cur_field if self.mbaff else 0
-        if cat == CAT_LUMA_8x8:
-            sig8_base = 436 if fld else 402
-            last8_base = 451 if fld else 417
+        if cat in _CAT_88:
+            sig8_base = SIG_COEFF_FLAG_OFFSET[fld][cat]
+            last8_base = LAST_COEFF_FLAG_OFFSET[fld][cat]
             sig_ctx = [sig8_base + SIG_COEFF_FLAG_OFFSET_8X8[fld][i] for i in range(63)]
             last_ctx = [last8_base + LAST_COEFF_FLAG_OFFSET_8X8[i] for i in range(63)]
         else:
@@ -892,11 +924,13 @@ class SliceParser:
             if self.pps.transform_8x8_mode_flag:
                 t8x8 = self.parse_transform_8x8()
             self.parse_intra_pred_modes(4 if t8x8 else 16)
-            p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
+            if not self.ch444:  # 4:4:4: chroma reuses the luma modes (7.3.5.1)
+                p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
         elif mbclass == MB_I16:
             i16_cbf_luma, cbp_chroma, _pred = info
             cbp_luma = 15 if i16_cbf_luma else 0
-            p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
+            if not self.ch444:
+                p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
         elif mbclass == MB_B_DIRECT:
             pass  # no mb_pred syntax
         else:
@@ -931,8 +965,11 @@ class SliceParser:
         chroma pred mode 0, qp-delta chain reset)."""
         p = self.pic
         x, y = self.mbx, self.mby
-        n = 256 + 2 * (128 if self.ch422 else 64)  # 8-bit samples
+        chs = 256 if self.ch444 else 128 if self.ch422 else 64
+        n = (256 * self.sps.bit_depth_luma + 2 * chs * self.sps.bit_depth_chroma) >> 3
         self.c.pcm_samples(n)
+        p.cbf_c44[:, y, x, :] = 1
+        p.nnz_c44[:, y, x, :] = 16
         p.cbp_luma[y, x] = 15
         p.cbp_chroma[y, x] = 2
         p.t8x8[y, x] = 0
@@ -1067,6 +1104,14 @@ class SliceParser:
             self._parse_mvd_part(lst, blk, w4, h4)
 
     def _parse_residuals(self, mbclass, cbp_luma, cbp_chroma, t8x8, is_intra):
+        if self.ch444:
+            # 4:4:4 (ChromaArrayType 3, 7.3.5.3): each colour plane recodes
+            # with the luma block structure under its own category row
+            # (Cb 6-9, Cr 10-13) and its own cbf/nnz maps
+            for plane in range(3):
+                self._parse_plane_residuals(plane, mbclass, cbp_luma, t8x8,
+                                            is_intra)
+            return
         p = self.pic
         x, y = self.mbx, self.mby
         prev = self.prev
@@ -1169,6 +1214,76 @@ class SliceParser:
                     )
                     p.cbf_chroma_ac[y, x, idx] = self._last_cbf
                     p.nnz_chroma_ac[y, x, idx] = nnz
+
+    def _plane_maps(self, plane):
+        """(cbf_dc set/get, cbf_blk, nnz_dc, nnz_blk) arrays for a plane."""
+        p = self.pic
+        if plane == 0:
+            return None, p.cbf_luma, None, p.nnz_luma
+        return None, p.cbf_c44[plane - 1], None, p.nnz_c44[plane - 1]
+
+    def _parse_plane_residuals(self, plane, mbclass, cbp_luma, t8x8, is_intra):
+        p = self.pic
+        x, y = self.mbx, self.mby
+        prev = self.prev
+        cdc, cac, c44, c88 = _CAT_DC[plane], _CAT_AC[plane], _CAT_44[plane], _CAT_88[plane]
+        _, cbf_blk, _, nnz_blk = self._plane_maps(plane)
+        prev_blk = None if prev is None else (
+            prev.nnz_luma if plane == 0 else prev.nnz_c44[plane - 1])
+
+        def prior(blk):
+            tot, n = 0, 0
+            for dx, dy in ((-1, 0), (0, -1)):
+                nmb, nblk = self._blk_nb(blk, dx, dy)
+                if 0 <= nmb[0] < self.W and 0 <= nmb[1] < self.H:
+                    nsid = p.slice_id[nmb[1], nmb[0]]
+                    if (nsid == self.sid) if self.isolate else (nsid >= 0):
+                        tot += int(nnz_blk[nmb[1], nmb[0], nblk])
+                        n += 1
+            if prev_blk is not None:
+                tot += int(prev_blk[y, x, blk])
+                n += 1
+            return tot // n if n else 0
+
+        if mbclass == MB_I16:
+            if plane == 0:
+                pr = int(prev.nnz_luma_dc[y, x]) if prev is not None else 0
+            else:
+                pr = int(prev.nnz_chroma_dc[y, x, plane - 1]) if prev is not None else 0
+            nnz = self.parse_residual_block(cdc, 0 if plane == 0 else plane - 1,
+                                            True, True, pr)
+            if plane == 0:
+                p.cbf_luma_dc[y, x] = self._last_cbf
+                p.nnz_luma_dc[y, x] = nnz
+            else:
+                p.cbf_chroma_dc[y, x, plane - 1] = self._last_cbf
+                p.nnz_chroma_dc[y, x, plane - 1] = nnz
+            if cbp_luma:
+                for blk in range(16):
+                    nnz = self.parse_residual_block(cac, blk, True, True, prior(blk))
+                    cbf_blk[y, x, blk] = self._last_cbf
+                    nnz_blk[y, x, blk] = nnz
+            return
+        for i8 in range(4):
+            if not (cbp_luma >> i8) & 1:
+                continue
+            if t8x8:
+                blk0 = int(RASTER_TO_BLK4[(i8 >> 1) * 8 + (i8 & 1) * 2])
+                # 4:4:4 8x8 blocks DO code coded_block_flag (7.3.5.3.3:
+                # maxNumCoeff != 64 || ChromaArrayType == 3)
+                nnz = self.parse_residual_block(c88, blk0, is_intra, True,
+                                                prior(blk0))
+                for j in range(4):
+                    blk = i8 * 4 + j
+                    cbf_blk[y, x, blk] = self._last_cbf
+                    nnz_blk[y, x, blk] = min(nnz, 255) >> 2
+            else:
+                for j in range(4):
+                    blk = i8 * 4 + j
+                    nnz = self.parse_residual_block(c44, blk, is_intra, True,
+                                                    prior(blk))
+                    cbf_blk[y, x, blk] = self._last_cbf
+                    nnz_blk[y, x, blk] = nnz
 
     # The cbf bit of the most recent parse_residual_block call (set there).
     _last_cbf = 0

@@ -57,9 +57,7 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
         raise UnsupportedStream("separate colour planes")
     if not sps.frame_mbs_only_flag and not sps.mb_adaptive_frame_field_flag:
         raise UnsupportedStream("PAFF field coding")
-    if sps.bit_depth_luma != 8 or sps.bit_depth_chroma != 8:
-        raise UnsupportedStream("bit depth > 8")
-    if sps.chroma_format_idc not in (1, 2):
+    if sps.chroma_format_idc not in (1, 2, 3):
         raise UnsupportedStream(f"chroma_format_idc {sps.chroma_format_idc}")
     if h.slice_type in (SLICE_SP, SLICE_SI):
         raise UnsupportedStream("SP/SI slices")

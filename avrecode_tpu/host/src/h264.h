@@ -192,9 +192,7 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
   if (sps.separate_colour_plane_flag) throw Unsupported("separate planes");
   if (!sps.frame_mbs_only_flag && !sps.mb_adaptive_frame_field_flag)
     throw Unsupported("PAFF field coding");
-  if (sps.bit_depth_luma != 8 || sps.bit_depth_chroma != 8)
-    throw Unsupported("bit depth > 8");
-  if (sps.chroma_format_idc != 1 && sps.chroma_format_idc != 2)
+  if (sps.chroma_format_idc < 1 || sps.chroma_format_idc > 3)
     throw Unsupported("chroma format");
   if (h.slice_type == SLICE_SP || h.slice_type == SLICE_SI)
     throw Unsupported("SP/SI slices");

@@ -21,7 +21,20 @@ enum Pred : uint8_t { PRED_NONE = 0, PRED_L0 = 1, PRED_L1 = 2, PRED_BI = 3, PRED
 
 // residual categories
 enum Cat { CAT_LUMA_DC = 0, CAT_LUMA_AC, CAT_LUMA_4x4, CAT_CHROMA_DC, CAT_CHROMA_AC, CAT_LUMA_8x8 };
-static const int kMaxCoeff[6] = {16, 15, 16, 4, 15, 64};
+static const int kMaxCoeff[14] = {16, 15, 16, 4, 15, 64,
+                                  16, 15, 16, 64, 16, 15, 16, 64};
+// coded_block_flag ctx base per ctxBlockCat (9.3.3.1.1.9): 4:4:4 Cb/Cr
+// extensions at 460-483 (non-8x8) and 1012-1023 (8x8 luma/Cb/Cr)
+static const int kCbfCtxBase[14] = {85,  89,  93,  97,  101, 1012, 460,
+                                    464, 468, 1016, 472, 476, 480, 1020};
+// cat -> colour plane for the 4:4:4 luma-style residual rows
+static const int kCatPlane[14] = {0, 0, 0, -1, -1, 0, 1, 1, 1, 1, 2, 2, 2, 2};
+static const int kCatDC[3] = {0, 6, 10};
+static const int kCatAC[3] = {1, 7, 11};
+static const int kCat44[3] = {2, 8, 12};
+static const int kCat88[3] = {5, 9, 13};
+static inline bool cat_is_88(int cat) { return cat == 5 || cat == 9 || cat == 13; }
+static inline bool cat_is_dc3(int cat) { return cat == 0 || cat == 6 || cat == 10; }
 
 // geometry (geometry.py): Z-order blk idx <-> 4x4 grid coords
 struct Geom {
@@ -82,6 +95,9 @@ struct PicState {
   std::vector<int8_t> refidx;                  // [2*h*w*4]
   // MBAFF: per-MB field flag (pairs share a value; rows interleave pairs)
   std::vector<uint8_t> field;
+  // 4:4:4: Cb/Cr planes carry luma-style per-4x4 cbf/nnz maps ([2][n*16];
+  // cbf_chroma_dc / nnz_chroma_dc double as the per-plane DC maps)
+  std::vector<uint8_t> cbf_c44, nnz_c44;
 
   void init(int W, int H) {
     w = W;
@@ -105,6 +121,8 @@ struct PicState {
     mvd.assign(n * 2 * 16 * 2, 0);
     refidx.assign(n * 2 * 4, -1);
     field.assign(n, 0);
+    cbf_c44.assign(2 * n * 16, 0);
+    nnz_c44.assign(2 * n * 16, 0);
   }
 };
 
@@ -272,6 +290,7 @@ class SliceParser {
     nref0_ = hdr.num_ref_idx_l0_active;
     nref1_ = hdr.num_ref_idx_l1_active;
     ch422_ = sps.chroma_format_idc == 2;
+    ch444_ = sps.chroma_format_idc == 3;
     ch_grid_h_ = ch422_ ? 4 : 2;
     n_chroma_ac_ = ch422_ ? 8 : 4;
   }
@@ -678,6 +697,11 @@ class SliceParser {
       if (bin(73 + cond_a + 2 * cond_b, mkey(K_CBPL, i8, cond_a + 2 * cond_b, intra)))
         cbp |= 1 << i8;
     }
+    if (ch444_) {  // no chroma cbp bins; luma bits apply per plane
+      *cbp_luma = cbp;
+      *cbp_chroma = 0;
+      return;
+    }
     int cond_a = (aa && p->cbp_chroma[mb(lxx, lyy)] != 0) ? 1 : 0;
     int cond_b = (ab && p->cbp_chroma[mb(uxx, uyy)] != 0) ? 1 : 0;
     int cbp_c = 0;
@@ -808,17 +832,21 @@ class SliceParser {
     const PicState* p = pic_;
     int inc = 0;
     static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+    int plane = (cat == CAT_CHROMA_DC || cat == CAT_CHROMA_AC)
+                    ? -1 : kCatPlane[cat];
     for (int di = 0; di < 2; di++) {
       int cond;
-      if (cat == CAT_LUMA_DC || cat == CAT_CHROMA_DC) {
+      if (cat_is_dc3(cat) || cat == CAT_CHROMA_DC) {
         int nx, ny;
         if (dxs[di]) mb_left(&nx, &ny); else mb_up(&nx, &ny);
         if (!avail(nx, ny))
           cond = is_intra ? 1 : 0;
         else if (cat == CAT_LUMA_DC)
           cond = p->cbf_luma_dc[mb(nx, ny)];
-        else
+        else if (cat == CAT_CHROMA_DC)
           cond = p->cbf_chroma_dc[mb(nx, ny) * 2 + blk];
+        else  // 4:4:4 Cb/Cr DC: per-plane map
+          cond = p->cbf_chroma_dc[mb(nx, ny) * 2 + plane - 1];
       } else if (cat == CAT_CHROMA_AC) {
         int comp = blk >> 3, sub = blk & 7;
         int nmbx, nmby, nsub;
@@ -832,8 +860,14 @@ class SliceParser {
         blk_nb(blk, dxs[di], dys[di], &nmbx, &nmby, &nblk);
         if (!avail(nmbx, nmby))
           cond = is_intra ? 1 : 0;
-        else
+        else if (cat_is_88(cat) && !p->t8x8[mb(nmbx, nmby)])
+          // 4:4:4 8x8 cbf ctx: a neighbor not coded with the 8x8 transform
+          // contributes 0 — oracle-validated against x264 output
+          cond = 0;
+        else if (plane == 0)
           cond = p->cbf_luma[mb(nmbx, nmby) * 16 + nblk];
+        else
+          cond = p->cbf_c44[((size_t)(plane - 1) * H_ * W_ + mb(nmbx, nmby)) * 16 + nblk];
       }
       inc += cond << di;
     }
@@ -956,17 +990,17 @@ class SliceParser {
     if (cat == CAT_CHROMA_DC && ch422_) max_coeff = 8;
     if (has_cbf) {
       int inc = cbf_neighbor_inc(cat, blk, is_intra_b);
-      int cbf = bin(85 + 4 * cat + inc, mkey(K_CBF, cat + 16 * fld, inc,
-                                             std::min(nnz_prior, 7), is_intra));
+      int cbf = bin(kCbfCtxBase[cat] + inc, mkey(K_CBF, cat + 16 * fld, inc,
+                                                 std::min(nnz_prior, 7), is_intra));
       last_cbf_ = cbf;
       if (!cbf) return 0;
     } else {
       last_cbf_ = 1;
     }
     int sig_ctx[64], last_ctx[64];
-    if (cat == CAT_LUMA_8x8) {
-      int sig8_base = fld ? 436 : 402;
-      int last8_base = fld ? 451 : 417;
+    if (cat_is_88(cat)) {
+      int sig8_base = kSigCoeffOffset[fld * 14 + cat];
+      int last8_base = kLastCoeffOffset[fld * 14 + cat];
       for (int i = 0; i < 63; i++) {
         sig_ctx[i] = sig8_base + kSig8x8[fld * 63 + i];  // [2][63] rows
         last_ctx[i] = last8_base + kLast8x8[i];
@@ -1191,8 +1225,14 @@ class SliceParser {
   void parse_pcm() {
     PicState* p = pic_;
     size_t m = mb(mbx_, mby_);
-    int n = 256 + 2 * (ch422_ ? 128 : 64);
+    int chs = ch444_ ? 256 : ch422_ ? 128 : 64;
+    int n = (256 * sps_.bit_depth_luma + 2 * chs * sps_.bit_depth_chroma) >> 3;
     c_->pcm_samples(n);
+    for (int pl = 0; pl < 2; pl++)
+      for (int i = 0; i < 16; i++) {
+        p->cbf_c44[((size_t)pl * H_ * W_ + m) * 16 + i] = 1;
+        p->nnz_c44[((size_t)pl * H_ * W_ + m) * 16 + i] = 16;
+      }
     p->cbp_luma[m] = 15;
     p->cbp_chroma[m] = 2;
     p->t8x8[m] = 0;
@@ -1255,8 +1295,106 @@ class SliceParser {
     return n ? tot / n : 0;
   }
 
+  int prior_plane(int plane, int blk) const {
+    // nnz prior over the plane's own 4x4 map (4:4:4 luma-style rows)
+    const uint8_t* nnz_blk =
+        plane == 0 ? pic_->nnz_luma.data()
+                   : pic_->nnz_c44.data() + (size_t)(plane - 1) * H_ * W_ * 16;
+    const uint8_t* prev_blk =
+        !prev_ ? nullptr
+               : (plane == 0
+                      ? prev_->nnz_luma.data()
+                      : prev_->nnz_c44.data() + (size_t)(plane - 1) * H_ * W_ * 16);
+    int tot = 0, n = 0;
+    static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+    for (int k = 0; k < 2; k++) {
+      int nmbx, nmby, nblk;
+      blk_nb(blk, dxs[k], dys[k], &nmbx, &nmby, &nblk);
+      if (nmbx >= 0 && nmby >= 0 && nmbx < W_ && nmby < H_) {
+        int32_t nsid = pic_->slice_id[mb(nmbx, nmby)];
+        if (isolate_ ? nsid == sid_ : nsid >= 0) {
+          tot += nnz_blk[mb(nmbx, nmby) * 16 + nblk];
+          n++;
+        }
+      }
+    }
+    if (prev_blk) {
+      tot += prev_blk[mb(mbx_, mby_) * 16 + blk];
+      n++;
+    }
+    return n ? tot / n : 0;
+  }
+
+  // 4:4:4 (ChromaArrayType 3, 7.3.5.3): each colour plane recodes with the
+  // luma block structure under its own category row and cbf/nnz maps
+  void parse_plane_residuals(int plane, MbClass cls, int cbp_luma, int t8x8,
+                             bool is_intra) {
+    PicState* p = pic_;
+    size_t m = mb(mbx_, mby_);
+    int cdc = kCatDC[plane], cac = kCatAC[plane], c44 = kCat44[plane],
+        c88 = kCat88[plane];
+    uint8_t* cbf_blk = plane == 0
+                           ? p->cbf_luma.data()
+                           : p->cbf_c44.data() + (size_t)(plane - 1) * H_ * W_ * 16;
+    uint8_t* nnz_blk = plane == 0
+                           ? p->nnz_luma.data()
+                           : p->nnz_c44.data() + (size_t)(plane - 1) * H_ * W_ * 16;
+    if (cls == MB_I16) {
+      int pr;
+      if (plane == 0)
+        pr = prev_ ? prev_->nnz_luma_dc[m] : 0;
+      else
+        pr = prev_ ? prev_->nnz_chroma_dc[m * 2 + plane - 1] : 0;
+      int nnz = parse_residual_block(cdc, plane == 0 ? 0 : plane - 1, true,
+                                     true, pr);
+      if (plane == 0) {
+        p->cbf_luma_dc[m] = (uint8_t)last_cbf_;
+        p->nnz_luma_dc[m] = (uint8_t)nnz;
+      } else {
+        p->cbf_chroma_dc[m * 2 + plane - 1] = (uint8_t)last_cbf_;
+        p->nnz_chroma_dc[m * 2 + plane - 1] = (uint8_t)nnz;
+      }
+      if (cbp_luma) {
+        for (int blk = 0; blk < 16; blk++) {
+          int nnz2 = parse_residual_block(cac, blk, true, true,
+                                          prior_plane(plane, blk));
+          cbf_blk[m * 16 + blk] = (uint8_t)last_cbf_;
+          nnz_blk[m * 16 + blk] = (uint8_t)nnz2;
+        }
+      }
+      return;
+    }
+    for (int i8 = 0; i8 < 4; i8++) {
+      if (!((cbp_luma >> i8) & 1)) continue;
+      if (t8x8) {
+        int blk0 = G.raster_to_blk4[(i8 >> 1) * 8 + (i8 & 1) * 2];
+        // 4:4:4 8x8 blocks DO code coded_block_flag (7.3.5.3.3)
+        int nnz = parse_residual_block(c88, blk0, is_intra, true,
+                                       prior_plane(plane, blk0));
+        for (int j = 0; j < 4; j++) {
+          int blk = i8 * 4 + j;
+          cbf_blk[m * 16 + blk] = (uint8_t)last_cbf_;
+          nnz_blk[m * 16 + blk] = (uint8_t)(std::min(nnz, 255) >> 2);
+        }
+      } else {
+        for (int j = 0; j < 4; j++) {
+          int blk = i8 * 4 + j;
+          int nnz = parse_residual_block(c44, blk, is_intra, true,
+                                         prior_plane(plane, blk));
+          cbf_blk[m * 16 + blk] = (uint8_t)last_cbf_;
+          nnz_blk[m * 16 + blk] = (uint8_t)nnz;
+        }
+      }
+    }
+  }
+
   void parse_residuals(MbClass cls, int cbp_luma, int cbp_chroma, int t8x8,
                        bool is_intra) {
+    if (ch444_) {
+      for (int plane = 0; plane < 3; plane++)
+        parse_plane_residuals(plane, cls, cbp_luma, t8x8, is_intra);
+      return;
+    }
     PicState* p = pic_;
     size_t m = mb(mbx_, mby_);
     if (cls == MB_I16) {
@@ -1416,11 +1554,13 @@ class SliceParser {
     if (cls == MB_I_NXN) {
       if (pps_.transform_8x8_mode_flag) t8x8 = parse_transform_8x8();
       parse_intra_pred_modes(t8x8 ? 4 : 16);
-      p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
+      if (!ch444_)  // 4:4:4: chroma reuses the luma modes (7.3.5.1)
+        p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
     } else if (cls == MB_I16) {
       cbp_chroma = i16.cbp_chroma;
       cbp_luma = i16.cbf_luma ? 15 : 0;
-      p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
+      if (!ch444_)
+        p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
     } else if (cls == MB_B_DIRECT) {
       // no mb_pred syntax
     } else {
@@ -1464,7 +1604,7 @@ class SliceParser {
   int top_xy_[2] = {0, -1};
   int left_xy_[2][2] = {{-1, 0}, {-1, 0}};
   int left_ymap_[4] = {0, 1, 2, 3};
-  bool ch422_ = false;
+  bool ch422_ = false, ch444_ = false;
   int ch_grid_h_ = 2, n_chroma_ac_ = 4;
   int prev_qp_delta_nz_ = 0;
   int last_cbf_ = 0;

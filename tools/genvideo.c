@@ -32,9 +32,10 @@ static unsigned xrand(void) {
 
 /* Deterministic moving-texture frame: blobs + gradient + noise, so motion
  * estimation, intra prediction, and residual coding all get exercised. */
-static void fill_frame(AVFrame *f, int t, int w, int h, int ch_h) {
+static void fill_frame(AVFrame *f, int t, int w, int h, int ch_h, int bd10) {
   for (int y = 0; y < h; y++) {
     uint8_t *row = f->data[0] + y * f->linesize[0];
+    uint16_t *row16 = (uint16_t *)row;
     double tt = g_comb && (y & 1) ? t + 0.5 : t; /* bottom field later */
     for (int x = 0; x < w; x++) {
       int v = ((x + (int)(tt * 3)) * 255 / w + (y * 128 / h)) & 0xFF;
@@ -43,15 +44,27 @@ static void fill_frame(AVFrame *f, int t, int w, int h, int ch_h) {
       double d = sqrt(dx * dx + dy * dy);
       v = (v + (int)(127 * exp(-d / 40.0))) & 0xFF;
       v += (int)(xrand() % g_noise) - g_noise / 2; /* noise -> residuals */
-      row[x] = v < 0 ? 0 : v > 255 ? 255 : v;
+      v = v < 0 ? 0 : v > 255 ? 255 : v;
+      if (bd10)
+        row16[x] = (uint16_t)((v << 2) | (xrand() & 3));
+      else
+        row[x] = (uint8_t)v;
     }
   }
   for (int y = 0; y < ch_h; y++) {
     uint8_t *u = f->data[1] + y * f->linesize[1];
     uint8_t *v = f->data[2] + y * f->linesize[2];
+    uint16_t *u16 = (uint16_t *)u, *v16 = (uint16_t *)v;
     for (int x = 0; x < w / 2; x++) {
-      u[x] = 128 + (int)(40 * sin((x + t) * 0.05));
-      v[x] = 128 + (int)(40 * cos((y + t * 2) * 0.07));
+      int uu = 128 + (int)(40 * sin((x + t) * 0.05));
+      int vv = 128 + (int)(40 * cos((y + t * 2) * 0.07));
+      if (bd10) {
+        u16[x] = (uint16_t)(uu << 2);
+        v16[x] = (uint16_t)(vv << 2);
+      } else {
+        u[x] = (uint8_t)uu;
+        v[x] = (uint8_t)vv;
+      }
     }
   }
 }
@@ -73,6 +86,8 @@ int main(int argc, char **argv) {
   int slices = argc > 10 ? atoi(argv[10]) : 1;
   const char *extra = argc > 11 ? argv[11] : "";
   int is422 = argc > 12 && argv[12][1] == '2' && argv[12][2] == '2';
+  int is444 = argc > 12 && argv[12][1] == '4';
+  int is10 = argc > 12 && strstr(argv[12], "10") != NULL;
 
   const AVCodec *codec = avcodec_find_encoder_by_name("libx264");
   if (!codec) { fprintf(stderr, "libx264 encoder not available\n"); return 1; }
@@ -87,7 +102,12 @@ int main(int argc, char **argv) {
   c->height = h;
   c->time_base = (AVRational){1, fps};
   c->framerate = (AVRational){fps, 1};
-  c->pix_fmt = is422 ? AV_PIX_FMT_YUV422P : AV_PIX_FMT_YUV420P;
+  c->pix_fmt = is10    ? (is444 ? AV_PIX_FMT_YUV444P10LE
+                          : is422 ? AV_PIX_FMT_YUV422P10LE
+                                  : AV_PIX_FMT_YUV420P10LE)
+               : is444  ? AV_PIX_FMT_YUV444P
+               : is422  ? AV_PIX_FMT_YUV422P
+                        : AV_PIX_FMT_YUV420P;
   c->gop_size = gop;
   c->max_b_frames = bframes;
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
@@ -96,7 +116,11 @@ int main(int argc, char **argv) {
   snprintf(x264opts, sizeof x264opts, "cabac=1:slices=%d%s%s", slices,
            extra[0] ? ":" : "", extra);
   av_opt_set(c->priv_data, "preset", "medium", 0);
-  av_opt_set(c->priv_data, "profile", is422 ? "high422" : "high", 0);
+  av_opt_set(c->priv_data, "profile",
+             is444 ? "high444"
+             : is10 ? "high10"
+             : is422 ? "high422"
+                     : "high", 0);
   av_opt_set_int(c->priv_data, "crf", crf, 0);
   av_opt_set(c->priv_data, "x264-params", x264opts, 0);
 
@@ -119,7 +143,7 @@ int main(int argc, char **argv) {
     AVFrame *f = NULL;
     if (i < nframes) {
       av_frame_make_writable(frame);
-      fill_frame(frame, i, w, h, is422 ? h : h / 2);
+      fill_frame(frame, i, w, h, is444 || is422 ? h : h / 2, is10);
       frame->pts = i;
       f = frame;
     }

@@ -11,8 +11,11 @@
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
 
 int main(int argc, char **argv) {
+  const char *s;
   if (argc != 2) {
     fprintf(stderr, "usage: %s file\n", argv[0]);
     return 2;
@@ -29,7 +32,8 @@ int main(int argc, char **argv) {
       avcodec_find_decoder(fmt->streams[vs]->codecpar->codec_id);
   AVCodecContext *c = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(c, fmt->streams[vs]->codecpar);
-  c->debug = FF_DEBUG_MB_TYPE;
+  s = getenv("ORACLE_DEBUG");
+  c->debug = s && strcmp(s, "qp") == 0 ? FF_DEBUG_QP : FF_DEBUG_MB_TYPE;
   c->thread_count = 1;
   if (avcodec_open2(c, codec, NULL) < 0) return 1;
   AVPacket *pkt = av_packet_alloc();
