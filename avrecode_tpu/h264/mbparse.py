@@ -717,9 +717,16 @@ class SliceParser:
         fld0 = self.cur_field if self.mbaff else 0
         if has_cbf:
             inc = self._cbf_neighbor(cat, blk, is_intra)
+            # model v6: block-position quadrant joins the cbf key
+            if cat in _CAT_DC or cat == CAT_CHROMA_DC:
+                pq = 0
+            elif cat == CAT_CHROMA_AC:
+                pq = (blk & 7) & 3
+            else:
+                pq = (int(BLK4_Y[blk]) >> 1) * 2 + (int(BLK4_X[blk]) >> 1)
             cbf = self._bin(
                 CBF_CTX_BASE[cat] + inc,
-                ("cbf", cat + 16 * fld0, inc, min(nnz_prior, 7), int(is_intra)),
+                ("cbf", cat + 16 * fld0, inc + 4 * pq, min(nnz_prior, 7), int(is_intra)),
             )
             self._last_cbf = cbf
             if not cbf:
@@ -777,13 +784,18 @@ class SliceParser:
         node = 0
         abs_base = COEFF_ABS_LEVEL_M1_OFFSET[cat]
         gt1_off = 8 if cat == CAT_CHROMA_DC else 0
+        # model v6 key enrichment (round 3, A/B-measured): levels are
+        # conditioned on a scan-position bucket; the sign on its (position,
+        # magnitude) — DC/low-frequency signs carry real signal
+        posdiv = 8 if cat in _CAT_88 else 2
         for pos in reversed(positions):
+            pb2 = min(pos // posdiv, 7)
             ctx1 = abs_base + COEFF_ABS_LEVEL1_CTX[node]
-            if self._bin(ctx1, ("lvl1", cat, COEFF_ABS_LEVEL1_CTX[node], int(is_intra), nzb)):
+            if self._bin(ctx1, ("lvl1", cat, COEFF_ABS_LEVEL1_CTX[node], int(is_intra), nzb, pb2)):
                 coeff = 2
                 ctxg = abs_base + COEFF_ABS_LEVELGT1_CTX[gt1_off + node]
                 while coeff < 15 and self._bin(
-                    ctxg, ("lvlg", cat, COEFF_ABS_LEVELGT1_CTX[gt1_off + node], min(coeff, 7), int(is_intra), nzb)
+                    ctxg, ("lvlg", cat, COEFF_ABS_LEVELGT1_CTX[gt1_off + node], min(coeff, 7), int(is_intra), nzb, pb2)
                 ):
                     coeff += 1
                 if coeff == 15:
@@ -801,7 +813,7 @@ class SliceParser:
             else:
                 coeff = 1
                 node = COEFF_ABS_LEVEL_TRANSITION[0][node]
-            self._bypass(("sgn", cat))
+            self._bypass(("sgn", cat, min(pos, 3), min(coeff, 3)))
         return nnz
 
     def _replay_sig(self, cat, sig, nnz, sig_ctx, last_ctx, emit, pcabs=None, intra=0):

@@ -1212,6 +1212,7 @@ static int mixlab_run(const uint8_t* data, size_t size, const double* params,
       cur.reset();
       prev.reset();
     }
+    lab.slice_qp = rec.hdr.slice_qp;
     bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
     PicState scratch;
     const PicState* cand_prev;

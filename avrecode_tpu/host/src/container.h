@@ -6,7 +6,7 @@
 
 namespace avtpu {
 
-constexpr uint8_t kVersion = 6;  // v6: segmented slice blocks (MPEG-TS)
+constexpr uint8_t kVersion = 7;  // v7: model v6 keys; v6: TS segments
 enum { KIND_LITERAL = 0, KIND_SLICE = 1, KIND_END = 2 };
 enum { SCOPE_STREAM = 0, SCOPE_SLICE = 1, SCOPE_GOP = 2 };
 

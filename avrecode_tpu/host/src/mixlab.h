@@ -24,6 +24,7 @@ class MixLab {
   // 2 logistic mix (class x confidence-bucket weights); 3 baseline + SSE;
   // 4 variant-2 + SSE
   int variant = 1;
+  int slice_qp = 26;  // variants 12/14: per-slice conditioning input
   double lr = 0.02;        // mixer learning rate
   double w_est = 3.0;      // initial weight: counter-estimator input
   double w_cab = 3.0;      // initial weight: CABAC-prior input
@@ -56,6 +57,8 @@ class MixLab {
     lastb2_.clear();
     std::fill(w5init_, w5init_ + K_NCLS, 0);
     std::fill(w6init_, w6init_ + K_NCLS, 0);
+    wqp_.clear();
+    wqpinit_.clear();
     for (uint32_t c = 0; c < K_NCLS; c++) {
       wi_[(size_t)c * 3 + 0] = 24576;  // 0.375
       wi_[(size_t)c * 3 + 1] = 24576;
@@ -124,6 +127,100 @@ class MixLab {
 
     // --- candidate ---
     double pm = pb;
+    if (variant == 12 || variant == 13) {
+      // v5 + a SIXTH input: 12 = slice qp (centered, scaled); 13 = slot
+      // confidence (stretch-scaled log of the slow counter total) — lets
+      // the mixer discount cold estimators without bucketed cold-start
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      if (lastb_.empty()) lastb_.assign(kKeys.total, 2);
+      int32_t* w = &wi6_[(size_t)cls * 6];
+      if (!w6init_[cls]) {
+        w6init_[cls] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0; w[4] = 0; w[5] = 0;
+      }
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int lb = lastb_[i];
+      int32_t x4 = lb == 2 ? 0 : lb ? 256 : -256;
+      int32_t x5;
+      if (variant == 12) {
+        x5 = (slice_qp - 26) * 16;
+      } else {
+        int conf = 0, t = total;
+        while (t > 1) { t >>= 1; conf++; }  // log2(total) in [1, 6]
+        x5 = (conf - 3) * 128;
+      }
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3 + (w[4] >> 6) * x4 +
+                     (w[5] >> 6) * x5) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      pm = p16 / 65536.0;
+      int32_t err = (bit << 16) - p16;
+      int32_t xs[6] = {x0, x1, 77, x3, x4, x5};
+      for (int k = 0; k < 6; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
+    if (variant == 14) {
+      // v5 with qp-BUCKETED weights (cls x qp/8 bucket): measures whether
+      // per-qp specialization beats the shared-weight cold start
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      if (lastb_.empty()) lastb_.assign(kKeys.total, 2);
+      if (wqp_.empty()) wqp_.assign((size_t)K_NCLS * 7 * 5, 0);
+      if (wqpinit_.empty()) wqpinit_.assign((size_t)K_NCLS * 7, 0);
+      int qb = slice_qp < 0 ? 0 : slice_qp > 51 ? 6 : slice_qp / 8;
+      size_t wi = ((size_t)cls * 7 + qb) * 5;
+      int32_t* w = &wqp_[wi];
+      if (!wqpinit_[(size_t)cls * 7 + qb]) {
+        wqpinit_[(size_t)cls * 7 + qb] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0; w[4] = 0;
+      }
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int lb = lastb_[i];
+      int32_t x4 = lb == 2 ? 0 : lb ? 256 : -256;
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3 + (w[4] >> 6) * x4) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      pm = p16 / 65536.0;
+      int32_t err = (bit << 16) - p16;
+      int32_t xs[5] = {x0, x1, 77, x3, x4};
+      for (int k = 0; k < 5; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
     if (variant == 11) {
       // v5 + SECOND-last bit as a 6th input (2-bit history)
       init_int_tables();
@@ -462,15 +559,17 @@ class MixLab {
   std::vector<double> apm_;
   std::vector<int32_t> wi_, kStretch, kSquash;
   std::vector<int> fpos_, fneg_;
-  int32_t wi4_[59 * 4] = {};
-  uint8_t w4init_[59] = {};
-  int32_t wb_[59 * 5] = {};
-  uint8_t wbinit_[59] = {};
+  int32_t wi4_[K_NCLS * 4] = {};
+  uint8_t w4init_[K_NCLS] = {};
+  int32_t wb_[K_NCLS * 5] = {};
+  uint8_t wbinit_[K_NCLS] = {};
   std::vector<uint8_t> lastb_, lastb2_;
-  int32_t wi5_[59 * 5] = {};
-  uint8_t w5init_[59] = {};
-  int32_t wi6_[59 * 6] = {};
-  uint8_t w6init_[59] = {};
+  int32_t wi5_[K_NCLS * 5] = {};
+  uint8_t w5init_[K_NCLS] = {};
+  int32_t wi6_[K_NCLS * 6] = {};
+  uint8_t w6init_[K_NCLS] = {};
+  std::vector<int32_t> wqp_;   // variant 14: (cls x qp bucket) weights
+  std::vector<uint8_t> wqpinit_;
 };
 
 }  // namespace avtpu

@@ -83,13 +83,13 @@ struct KeySpace {
     set(K_MVDE, 2, 8);
     set(K_MVDB, 2, 8);
     set(K_MVDS, 2);
-    set(K_CBF, 32, 4, 8, 2);    // (cat + 16*field, inc, prior, intra)
+    set(K_CBF, 32, 16, 8, 2);   // (cat + 16*field, inc + 4*quadrant, prior, intra)
     set(K_SIG, 64, 64, 8, 8);   // (cat + 16*intra + 32*field, pos, found, need)
-    set(K_LVL1, 16, 8, 2, 8);
-    set(K_LVLG, 32, 16, 8, 8);  // (cat + 16*intra, gt1 ctx, coeff, nzb)
+    set(K_LVL1, 16, 128, 2, 8);
+    set(K_LVLG, 32, 128, 8, 8);  // (cat + 16*intra, gt1 ctx + pos bucket, coeff, nzb)
     set(K_LVLE, 16, 8);
     set(K_LVLB, 16, 8);
-    set(K_SGN, 16);
+    set(K_SGN, 16, 4, 4);
     set(K_NNZ, 32, 8, 64, 16);  // (cat + 16*field, bit idx, prefix, prior)
     set(K_FIELDF, 4);
     set(K_PCM, 8);

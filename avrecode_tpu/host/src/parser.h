@@ -990,7 +990,12 @@ class SliceParser {
     if (cat == CAT_CHROMA_DC && ch422_) max_coeff = 8;
     if (has_cbf) {
       int inc = cbf_neighbor_inc(cat, blk, is_intra_b);
-      int cbf = bin(kCbfCtxBase[cat] + inc, mkey(K_CBF, cat + 16 * fld, inc,
+      int pq = (cat == CAT_CHROMA_DC || cat_is_dc3(cat))
+                   ? 0
+                   : (cat == CAT_CHROMA_AC
+                          ? (blk & 7) & 3
+                          : (G.blk4_y[blk] >> 1) * 2 + (G.blk4_x[blk] >> 1));
+      int cbf = bin(kCbfCtxBase[cat] + inc, mkey(K_CBF, cat + 16 * fld, inc + 4 * pq,
                                                  std::min(nnz_prior, 7), is_intra));
       last_cbf_ = cbf;
       if (!cbf) return 0;
@@ -1069,14 +1074,17 @@ class SliceParser {
     int node = 0;
     int abs_base = kAbsLevelOffset[cat];
     int gt1_off = cat == CAT_CHROMA_DC ? 8 : 0;
+    int posdiv = cat_is_88(cat) ? 8 : 2;  // scan pos -> 8 buckets
     for (int k = npos - 1; k >= 0; k--) {
+      int pb2 = std::min(positions[k] / posdiv, 7);
       int ctx1 = abs_base + kLvl1Ctx[node];
-      if (bin(ctx1, mkey(K_LVL1, cat, kLvl1Ctx[node], is_intra, nzb))) {
-        int coeff = 2;
+      int coeff = 1;
+      if (bin(ctx1, mkey(K_LVL1, cat, kLvl1Ctx[node] + 16 * pb2, is_intra, nzb))) {
+        coeff = 2;
         int ctxg = abs_base + kLvlGt1Ctx[gt1_off + node];
         while (coeff < 15 &&
                bin(ctxg, mkey(K_LVLG, cat + 16 * is_intra,
-                              kLvlGt1Ctx[gt1_off + node], std::min(coeff, 7),
+                              kLvlGt1Ctx[gt1_off + node] + 16 * pb2, std::min(coeff, 7),
                               nzb)))
           coeff++;
         if (coeff == 15) {
@@ -1095,7 +1103,7 @@ class SliceParser {
       } else {
         node = kLvlTransition[node];
       }
-      bypass(mkey(K_SGN, cat));
+      bypass(mkey(K_SGN, cat, std::min(positions[k], 3), std::min(coeff, 3)));
     }
     return nnz;
   }

@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 6  # v6: segmented slice blocks (MPEG-TS); v5: history mixer input
+VERSION = 7  # v7: model v6 key enrichment (sign/level/cbf); v6: TS segments
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 
