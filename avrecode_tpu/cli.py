@@ -10,6 +10,7 @@ Options (before the command):
   --threads N                0=auto, 1=serial (gop scope parallelism)
   --python                   force the Python reference implementation
   --hosts N                  shard each file over N simulated hosts
+  --stream                   file-to-file streaming IO (O(GOP-window) memory)
                              (GOP-range fragments + stitch, gop scope)
 
 The corpus driver mirrors test.cpp:113-148 (the -ms fork's addition) with
@@ -25,7 +26,8 @@ import time
 
 from .codec import compress as py_compress, decompress as py_decompress
 
-OPTS = {"scope": "gop", "threads": 0, "python": False, "hosts": 0}
+OPTS = {"scope": "gop", "threads": 0, "python": False, "hosts": 0,
+        "stream": False}
 
 
 def compress(data, verbose=False):
@@ -84,6 +86,20 @@ def _safe(fn, *a):
 def cmd_compress(argv):
     inp = argv[0]
     out = argv[1] if len(argv) > 1 else inp + ".avtr"
+    if OPTS["stream"]:
+        # O(GOP-window) memory: mmap'd input, fragments flushed as produced
+        from .utils.streamio import stream_compress
+
+        t0 = time.time()
+        stream_compress(inp, out, threads=OPTS["threads"])
+        dt = time.time() - t0
+        n_in, n_out = os.path.getsize(inp), os.path.getsize(out)
+        print(
+            f"compressed {inp} (streaming): {n_in} -> {n_out} bytes "
+            f"({100.0 * n_out / max(1, n_in):.2f}%) in {dt:.2f}s",
+            file=sys.stderr,
+        )
+        return 0
     data = open(inp, "rb").read()
     t0 = time.time()
     blob = compress(data, verbose=True)
@@ -101,6 +117,18 @@ def cmd_compress(argv):
 def cmd_decompress(argv):
     inp = argv[0]
     out = argv[1] if len(argv) > 1 else inp.removesuffix(".avtr") + ".out"
+    if OPTS["stream"]:
+        from .utils.streamio import stream_decompress
+
+        t0 = time.time()
+        stream_decompress(inp, out, threads=OPTS["threads"])
+        dt = time.time() - t0
+        print(
+            f"decompressed {inp} (streaming): {os.path.getsize(inp)} -> "
+            f"{os.path.getsize(out)} bytes in {dt:.2f}s",
+            file=sys.stderr,
+        )
+        return 0
     blob = open(inp, "rb").read()
     t0 = time.time()
     data = decompress(blob)
@@ -211,6 +239,8 @@ def main(argv=None):
             OPTS["python"] = True
         elif opt == "--hosts":
             OPTS["hosts"] = int(argv.pop(0))
+        elif opt == "--stream":
+            OPTS["stream"] = True
         else:
             print(f"unknown option {opt}", file=sys.stderr)
             return 2

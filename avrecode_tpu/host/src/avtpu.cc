@@ -29,6 +29,21 @@ struct SliceRec {
   PPS pps;
   Bytes rbsp;           // [0]=placeholder + unescaped payload after hdr byte
   size_t cabac_offset;  // into rbsp
+  bool lazy = false;    // rbsp holds only a header prefix (streaming walks)
+
+  // lazy walks defer the full-payload unescape until a GOP window actually
+  // parses this slice — window rescans then cost only header prefixes
+  void materialize(const uint8_t* data) {
+    if (!lazy) return;
+    Bytes raw = segs.empty()
+                    ? Bytes(data + offset, data + offset + size)
+                    : nal_payload(data, NalSpan{offset, size, 0, 0, segs});
+    Bytes full = unescape_rbsp(raw.data() + 1, raw.size() - 1);
+    rbsp.clear();
+    rbsp.push_back(0);
+    rbsp.insert(rbsp.end(), full.begin(), full.end());
+    lazy = false;
+  }
 };
 
 // canonical-escaping check across possibly-segmented NAL bytes: the escape
@@ -89,7 +104,8 @@ static void write_gaps(W& out, const std::vector<std::pair<uint64_t, Bytes>>& ga
 
 class Walker {
  public:
-  explicit Walker(const uint8_t* data, size_t size) : data_(data), size_(size) {
+  explicit Walker(const uint8_t* data, size_t size, bool lazy = false)
+      : data_(data), size_(size), lazy_(lazy) {
     stream_ = demux(data, size);
     if (!stream_) return;
     for (auto& b : stream_->sps_list) {
@@ -158,15 +174,38 @@ class Walker {
       if (params_poisoned_) continue;  // first-wins contract (see decompress)
       SliceRec rec;
       try {
-        Bytes rbsp = unescape_rbsp(raw + 1, nal.size - 1);
+        // lazy: header fields live in the first bytes; unescape a prefix
+        // large enough for any slice header, fall back to full on overrun
+        size_t take = lazy_ ? std::min<uint64_t>(nal.size, 4096) : nal.size;
+        Bytes rbsp = unescape_rbsp(raw + 1, take - 1);
         rec.hdr = parse_slice_header(rbsp, nal.nal_type, nal.nal_ref_idc,
                                      sps_map_, pps_map_, &rec.sps, &rec.pps);
+        if (lazy_ && take < nal.size &&
+            rec.hdr.cabac_start_byte + 64 >= rbsp.size())
+          throw ParseError("prefix too short");  // retried below
+        rec.lazy = lazy_ && take < nal.size;
+        rec.cabac_offset = 1 + rec.hdr.cabac_start_byte;
         rec.rbsp.clear();
         rec.rbsp.push_back(0);
-        rec.rbsp.insert(rec.rbsp.end(), rbsp.begin(), rbsp.end());
-        rec.cabac_offset = 1 + rec.hdr.cabac_start_byte;
+        if (rec.lazy)  // keep only the header bytes; materialize() rebuilds
+          rec.rbsp.insert(rec.rbsp.end(), rbsp.begin(),
+                          rbsp.begin() + rec.hdr.cabac_start_byte);
+        else
+          rec.rbsp.insert(rec.rbsp.end(), rbsp.begin(), rbsp.end());
       } catch (const ParseError&) {
-        continue;
+        if (!lazy_) continue;
+        try {  // rare: enormous header — redo with the full payload
+          Bytes rbsp = unescape_rbsp(raw + 1, nal.size - 1);
+          rec.hdr = parse_slice_header(rbsp, nal.nal_type, nal.nal_ref_idc,
+                                       sps_map_, pps_map_, &rec.sps, &rec.pps);
+          rec.lazy = false;
+          rec.rbsp.clear();
+          rec.rbsp.push_back(0);
+          rec.rbsp.insert(rec.rbsp.end(), rbsp.begin(), rbsp.end());
+          rec.cabac_offset = 1 + rec.hdr.cabac_start_byte;
+        } catch (const ParseError&) {
+          continue;
+        }
       }
       rec.nal_index = i;
       rec.offset = nal.offset;
@@ -178,6 +217,7 @@ class Walker {
   }
 
   const H264Stream* stream() const { return stream_ ? &*stream_ : nullptr; }
+  bool lazy_ = false;
 
   std::map<int, SPS> sps_map_;
   std::map<int, PPS> pps_map_;
@@ -408,7 +448,7 @@ struct GopJob {
   std::vector<uint8_t> ok;
 };
 
-static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
+static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
                         GopJob* job) {
   RecodeModel model;
   std::unique_ptr<PicState> cur, prev;
@@ -417,7 +457,8 @@ static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
   job->blocks.resize(job->end - job->begin);
   job->ok.assign(job->end - job->begin, 0);
   for (size_t i = job->begin; i < job->end; i++) {
-    const SliceRec& rec = sl[i];
+    SliceRec& rec = sl[i];
+    rec.materialize(data);
     size_t k = i - job->begin;
     bool advance = rec.hdr.first_mb_in_slice == 0 || !cur;
     {
@@ -483,7 +524,9 @@ static void process_gop(const uint8_t* data, const std::vector<SliceRec>& sl,
 static Bytes compress_gops_range(const uint8_t* data, size_t size,
                                  int threads, int lo, int hi,
                                  int* total_out) {
-  Walker w(data, size);
+  // lazy walk: full payloads unescape only inside the processed GOP range,
+  // so windowed streaming drivers pay header prefixes for out-of-range GOPs
+  Walker w(data, size, /*lazy=*/true);
   std::vector<SliceRec> sl;
   w.slices([&](const SliceRec& rec) { sl.push_back(rec); });
 

@@ -115,3 +115,57 @@ class Writer:
 
     def bytes(self):
         return bytes(self.out)
+
+
+def scan_gop_groups(blob):
+    """Structural container scan (no stream decode): returns
+    (header_end, [(start, end), ...]) where the ranges partition the block
+    region of a gop-scope container into GOP groups — each starting at a
+    GOP-start slice block (non-empty stream slot), literals attached to the
+    preceding group.  Returns None for non-gop scopes.  The decomposition
+    unit shared by multi-host decode (parallel/multihost.py) and streaming
+    IO (utils/streamio.py)."""
+    if bytes(blob[:4]) != MAGIC:
+        raise ContainerError("bad magic")
+    r = Reader(blob)
+    r.pos = 4
+    r.u8(), r.u8()
+    scope = r.u16()
+    r.varint()  # substream_bins
+    for _ in range(r.varint()):
+        r.blob()
+    for _ in range(r.varint()):
+        r.blob()
+    header_end = r.pos
+    if scope != SCOPE_GOP:
+        return None
+    blocks = []  # (offset, is_gop_start)
+    while True:
+        off = r.pos
+        kind = r.u8()
+        if kind == KIND_END:
+            end_off = off
+            break
+        if kind == KIND_LITERAL:
+            r.blob()
+            blocks.append((off, False))
+            continue
+        if kind != KIND_SLICE:
+            raise ContainerError("bad block kind")
+        r.varint(), r.blob(), r.varint(), r.varint(), r.blob()
+        for _ in range(r.varint()):  # v6 segmentation entries
+            r.varint(), r.blob()
+        sstream = r.blob()
+        blocks.append((off, len(sstream) > 0))
+    if not blocks:
+        return header_end, [(header_end, end_off)]
+    starts = [off for off, g in blocks if g]
+    if not starts:  # literal-only container: one group
+        return header_end, [(blocks[0][0], end_off)]
+    groups = []
+    first = blocks[0][0]
+    for i, s in enumerate(starts):
+        lo = first if i == 0 else s
+        hi = starts[i + 1] if i + 1 < len(starts) else end_off
+        groups.append((lo, hi))
+    return header_end, groups
