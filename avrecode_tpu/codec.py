@@ -362,6 +362,8 @@ def decompress(blob):
         if len(nal) != nal_size:
             raise ContainerError("reconstructed NAL size mismatch")
         if gaps:  # TS: re-scatter the NAL into its original segments
+            if sum(g[0] for g in gaps) > len(nal):
+                raise ContainerError("segmented slice lengths exceed NAL")
             p2 = 0
             for seg_len, gap in gaps:
                 out += nal[p2 : p2 + seg_len]

@@ -1030,8 +1030,12 @@ static void decode_slice_block(const DBlock& b, int scope, uint32_t sub_bins,
     return;
   }
   // TS: re-scatter the NAL into its original segments around the gap bytes
+  // (segment lengths come from the container: bounds-check against the
+  // rebuilt NAL so corrupt inputs fail loudly instead of over-reading)
   size_t p2 = 0;
   for (auto& [seg_len, gap] : b.gaps) {
+    if (seg_len > nal.size() || p2 > nal.size() - seg_len)
+      throw ParseError("segmented slice lengths exceed NAL");
     out->insert(out->end(), nal.begin() + p2, nal.begin() + p2 + seg_len);
     out->insert(out->end(), gap.begin(), gap.end());
     p2 += seg_len;

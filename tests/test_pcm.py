@@ -85,3 +85,24 @@ def test_pcm_device_pipeline():
     host = compress(data, scope="gop", substream_bins=4096)
     assert dev == host
     assert decompress(dev) == data
+
+
+def test_pcm_mbaff_combined():
+    """I_PCM inside MBAFF pairs (field and frame): hand-authored, validated
+    by the libavcodec oracle, recoded byte-identically in both impls."""
+    path = os.path.join(DATA, "pcm_mbaff.264")
+    if not os.path.exists(path):
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "gen_pcm.py"),
+             path, "4x4", "3", "mbaff"],
+            check=True, capture_output=True,
+        )
+    oracle = os.path.join(ROOT, "tools", "mbtype_oracle")
+    if os.path.exists(oracle):
+        r = subprocess.run([oracle, path], capture_output=True, text=True)
+        assert "error" not in r.stderr.lower()
+    data = open(path, "rb").read()
+    comp = compress(data)
+    assert decompress(comp) == data
+    assert native.compress(data) == comp
+    assert native.decompress(comp) == data

@@ -38,7 +38,7 @@ class ScriptModel:
         return 1  # only used when a cbf bit was scripted to 1
 
 
-def build_sps_pps(w_mbs, h_mbs):
+def build_sps_pps(w_mbs, h_mbs, mbaff=False):
     w = BitWriter()
     w.u(77, 8)  # profile_idc main (CABAC-capable)
     w.u(0, 8)  # constraint flags
@@ -49,8 +49,10 @@ def build_sps_pps(w_mbs, h_mbs):
     w.ue(1)  # max_num_ref_frames
     w.u(0, 1)  # gaps allowed
     w.ue(w_mbs - 1)
-    w.ue(h_mbs - 1)
-    w.u(1, 1)  # frame_mbs_only
+    w.ue((h_mbs // 2 if mbaff else h_mbs) - 1)  # map units = pair rows
+    w.u(0 if mbaff else 1, 1)  # frame_mbs_only
+    if mbaff:
+        w.u(1, 1)  # mb_adaptive_frame_field
     w.u(1, 1)  # direct_8x8_inference
     w.u(0, 1)  # frame_cropping
     w.u(0, 1)  # vui
@@ -82,15 +84,19 @@ def _trail(w):
     return w.bytes()
 
 
-def build_slice(w_mbs, h_mbs, frame_num, idr, pcm_positions, qp=26):
+def build_slice(w_mbs, h_mbs, frame_num, idr, pcm_positions, qp=26,
+                mbaff=False, field_pairs=()):
     """One I slice covering the picture; MBs at pcm_positions are I_PCM,
-    the rest are 'empty' I_16x16 (no residual)."""
+    the rest are 'empty' I_16x16 (no residual).  mbaff: MB pairs, with
+    field_pairs (pair indices) coded as field pairs."""
     sps = SPS(profile_idc=77, pic_width_in_mbs=w_mbs,
-              pic_height_in_map_units=h_mbs, log2_max_frame_num=4,
-              pic_order_cnt_type=2)
+              pic_height_in_map_units=h_mbs // 2 if mbaff else h_mbs,
+              log2_max_frame_num=4, pic_order_cnt_type=2,
+              frame_mbs_only_flag=0 if mbaff else 1,
+              mb_adaptive_frame_field_flag=1 if mbaff else 0)
     pps = PPS(entropy_coding_mode_flag=1, pic_init_qp=26)
     hdr = SliceHeader(first_mb_in_slice=0, slice_type=2, pps_id=0,
-                      idr=idr, slice_qp=qp)
+                      idr=idr, slice_qp=qp, mbaff=mbaff)
     n_mbs = w_mbs * h_mbs
     script = {
         "imbtype": [1] * n_mbs,  # every MB leaves the I_NxN branch
@@ -100,6 +106,20 @@ def build_slice(w_mbs, h_mbs, frame_num, idr, pcm_positions, qp=26):
         "i16pm1": [1] * n_mbs,
         "pcm": [],
     }
+    if mbaff:
+        # I slices read the field flag at every pair top: one value per pair
+        n_pairs = n_mbs // 2
+        script["fieldf"] = [1 if p in field_pairs else 0
+                            for p in range(n_pairs)]
+        # decode order is pair raster: remap pcm_positions (given in MB
+        # raster indices) to scripted pcmf order
+        order = []
+        for pair in range(n_pairs):
+            px, py = pair % w_mbs, pair // w_mbs
+            order.append((2 * py) * w_mbs + px)      # top
+            order.append((2 * py + 1) * w_mbs + px)  # bottom
+        script["pcmf"] = [1 if i in pcm_positions else 0 for i in order]
+        pcm_positions = [i for i in order if i in pcm_positions]
     # deterministic sample pattern, different per PCM mb
     for k, i in enumerate(sorted(pcm_positions)):
         for j in range(384):
@@ -117,6 +137,8 @@ def build_slice(w_mbs, h_mbs, frame_num, idr, pcm_positions, qp=26):
     w.ue(7)  # slice_type I (all slices in picture)
     w.ue(0)  # pps_id
     w.u(frame_num & 15, 4)  # frame_num
+    if mbaff:
+        w.u(0, 1)  # field_pic_flag = 0 (MBAFF frame)
     if idr:
         w.ue(0)  # idr_pic_id
     # poc type 2: nothing
@@ -136,8 +158,9 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "data/pcm.264"
     dims = sys.argv[2] if len(sys.argv) > 2 else "4x3"
     n_frames = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    mbaff = len(sys.argv) > 4 and sys.argv[4] == "mbaff"
     w_mbs, h_mbs = (int(v) for v in dims.split("x"))
-    sps, pps = build_sps_pps(w_mbs, h_mbs)
+    sps, pps = build_sps_pps(w_mbs, h_mbs, mbaff)
     sc = b"\x00\x00\x00\x01"
     blob = bytearray(sc + sps + sc + pps)
     n = w_mbs * h_mbs
@@ -148,7 +171,9 @@ def main():
             1: set(range(min(w_mbs, n))),  # whole top row
             2: {1, w_mbs, n - 2},
         }.get(f % 3, {f % n})
-        blob += sc + build_slice(w_mbs, h_mbs, f, f == 0, pcm)
+        fp = {0, (n // 2) // w_mbs * 0 + 1, n // 2 - 1} if mbaff else ()
+        blob += sc + build_slice(w_mbs, h_mbs, f, f == 0, pcm, mbaff=mbaff,
+                                 field_pairs=fp)
     with open(out, "wb") as fh:
         fh.write(bytes(blob))
     print(f"wrote {out}: {len(blob)} bytes, {n_frames} frames, "
