@@ -269,7 +269,8 @@ static const char* kClsNames[K_NCLS] = {
     "bsub1", "bsub2", "bsub3", "bsub4", "bsub5", "bsub6", "bsub7", "t8x8",
     "ipredf", "ipredr", "cpred0", "cpred1", "cpred2", "cbpl", "cbpc0",
     "cbpc1", "qpd0", "qpd1", "qpd2", "ref", "mvd", "mvdp", "mvde", "mvdb",
-    "mvds", "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz"};
+    "mvds", "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz",
+    "fieldf", "pcmf", "pcm"};
 
 static void dump_bill();
 
