@@ -105,7 +105,7 @@ static void write_gaps(W& out, const std::vector<std::pair<uint64_t, Bytes>>& ga
 class Walker {
  public:
   explicit Walker(const uint8_t* data, size_t size, bool lazy = false)
-      : data_(data), size_(size), lazy_(lazy) {
+      : lazy_(lazy), data_(data), size_(size) {
     stream_ = demux(data, size);
     if (!stream_) return;
     for (auto& b : stream_->sps_list) {

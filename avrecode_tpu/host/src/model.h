@@ -240,6 +240,7 @@ class RecodeModel {
   // decoder's serial range/offset chain instead of queuing behind it — the
   // single biggest host hot-path cost (sampled profile: put_bit ~48% self).
   struct Prep {
+    EstPool::Cell* cell;  // resolved once; commit()/adapt() reuse it
     uint32_t idx;
     uint32_t p1;
     int pcab;
@@ -248,10 +249,10 @@ class RecodeModel {
   };
   Prep prepare(uint64_t key, int pcab = 0) {
     Prep pp;
-    pp.idx = touch(key);
+    pp.cell = touch(key, &pp.idx);
     pp.pcab = pcab;
     pp.cls = (uint32_t)(key >> 40);
-    pp.p1 = mix_prob(pp.idx, pp.cls, pcab, &pp.x0, &pp.x1, &pp.x3, &pp.x4);
+    pp.p1 = mix_prob(*pp.cell, pp.cls, pcab, &pp.x0, &pp.x1, &pp.x3, &pp.x4);
     return pp;
   }
   void commit(const Prep& pp, uint64_t key, int bit) {
@@ -262,14 +263,14 @@ class RecodeModel {
           (uint64_t)(pp.idx | ((uint32_t)bit << 24)) |
           ((uint64_t)(uint32_t)pp.pcab << 32) | ((uint64_t)pp.p1 << 48));
       update_mix(pp, bit);
-      adapt(pp.idx, key, bit);
+      adapt(*pp.cell, pp.cls, bit);
       return;
     }
     size_t n0 = bill ? enc_->out_size() : 0;
     enc_->put(bit, pp.p1);
     if (bill) bill[key >> 40] += (enc_->out_size() - n0) * 8;
     update_mix(pp, bit);
-    adapt(pp.idx, key, bit);
+    adapt(*pp.cell, pp.cls, bit);
   }
   void put_bit(uint64_t key, int bit, int pcab = 0) {
     commit(prepare(key, pcab), key, bit);
@@ -290,7 +291,7 @@ class RecodeModel {
     Prep pp = prepare(key, pcab);
     int bit = dec_->get(pp.p1);
     update_mix(pp, bit);
-    adapt(pp.idx, key, bit);
+    adapt(*pp.cell, pp.cls, bit);
     return bit;
   }
 
@@ -441,18 +442,19 @@ class RecodeModel {
   // Resolve key -> dense index, initializing / journaling as needed.
   // Both modes adapt counters now (the recorder needs live probabilities
   // for the p1 field), so both journal for rollback.
-  uint32_t touch(uint64_t key) {
+  EstPool::Cell* touch(uint64_t key, uint32_t* idx_out) {
     uint32_t i = kKeys.index(key);
+    *idx_out = i;
     EstPool::Cell& c = pool_->cells[i];
     uint32_t g = c.gen;
-    if (g == epoch_) return i;
+    if (g == epoch_) return &c;
     journal_.push_back({i, c.pos, c.neg, c.fpos, c.fneg, c.last, g});
     if (g < start_gen_) {  // fresh for this model
       c.pos = c.neg = c.fpos = c.fneg = 1;
       c.last = 2;
     }
     c.gen = epoch_;
-    return i;
+    return &c;
   }
 
   // Logistic mixing (round-2 model upgrade, lab-validated at +2.0% of
@@ -462,9 +464,9 @@ class RecodeModel {
   // int32-safe and floor-shift based, mirrored exactly by
   // models/h264_model.py and the device kernels; the shared stretch/
   // squash tables are generated once (tools/gen_mix_tables.py).
-  uint32_t mix_prob(uint32_t i, uint32_t cls, int pcab, int32_t* x0o,
-                    int32_t* x1o, int32_t* x3o, int32_t* x4o) const {
-    const EstPool::Cell& c = pool_->cells[i];
+  uint32_t mix_prob(const EstPool::Cell& c, uint32_t cls, int pcab,
+                    int32_t* x0o, int32_t* x1o, int32_t* x3o,
+                    int32_t* x4o) const {
     int32_t x0 = kDivStretch.t[(c.pos + c.neg) * 97 + c.pos];
     int32_t x1 = pcab > 0 ? kStretch12[pcab >> 4] : 0;
     int32_t x3 = kDivStretch.t[(c.fpos + c.fneg) * 97 + c.fpos];
@@ -492,8 +494,7 @@ class RecodeModel {
   static int32_t wclamp(int32_t w) {
     return w < -(1 << 24) ? -(1 << 24) : w > (1 << 24) ? (1 << 24) : w;
   }
-  void adapt(uint32_t i, uint64_t key, int bit) {
-    EstPool::Cell& c = pool_->cells[i];
+  static void adapt(EstPool::Cell& c, uint32_t cls, int bit) {
     c.last = (uint8_t)bit;
     if (bit) {
       c.pos++;
@@ -502,7 +503,7 @@ class RecodeModel {
       c.neg++;
       c.fneg++;
     }
-    int limit = (key >> 40) == K_SIG ? kHalveSig : kHalveDefault;
+    int limit = cls == K_SIG ? kHalveSig : kHalveDefault;
     if (c.pos + c.neg > limit) {
       c.pos = (c.pos + 1) >> 1;
       c.neg = (c.neg + 1) >> 1;
