@@ -23,7 +23,8 @@ namespace avtpu {
 constexpr int kHalveDefault = 0x60;
 constexpr int kHalveSig = 0x50;
 constexpr int kHalveFast = 0x18;  // model v4: fast mixer-input counter
-constexpr int32_t kHistMag = 256;  // model v5: last-bit history input
+constexpr int32_t kHistMag = 256;   // model v5: last-bit history input
+constexpr int32_t kHist2Mag = 128;  // model v7: second-last-bit input
 
 // model key classes (order is internal; independent per-key streams)
 enum KeyCls : uint32_t {
@@ -154,7 +155,7 @@ struct EstPool {
     uint16_t pos, neg;
     uint8_t fpos, fneg;  // fast second counter (halve at kHalveFast <= 25)
     uint8_t last;        // previous bit of this key (2 = no history yet)
-    uint8_t pad;
+    uint8_t last2;       // second-previous bit (model v7; 2 = none)
     uint32_t gen;
   };
   std::vector<Cell> cells;
@@ -244,7 +245,7 @@ class RecodeModel {
     uint32_t idx;
     uint32_t p1;
     int pcab;
-    int32_t x0, x1, x3, x4;  // mixer inputs for the weight update
+    int32_t x0, x1, x3, x4, x5;  // mixer inputs for the weight update
     uint32_t cls;
   };
   Prep prepare(uint64_t key, int pcab = 0) {
@@ -252,7 +253,8 @@ class RecodeModel {
     pp.cell = touch(key, &pp.idx);
     pp.pcab = pcab;
     pp.cls = (uint32_t)(key >> 40);
-    pp.p1 = mix_prob(*pp.cell, pp.cls, pcab, &pp.x0, &pp.x1, &pp.x3, &pp.x4);
+    pp.p1 = mix_prob(*pp.cell, pp.cls, pcab, &pp.x0, &pp.x1, &pp.x3, &pp.x4,
+                     &pp.x5);
     return pp;
   }
   void commit(const Prep& pp, uint64_t key, int bit) {
@@ -325,7 +327,7 @@ class RecodeModel {
     uint64_t cache_size;
     size_t out_len;
     size_t rec_len, lim_len;  // trace mode
-    int32_t wmix[K_NCLS * 5];  // mixer weights (small: full copy)
+    int32_t wmix[K_NCLS * 6];  // mixer weights (small: full copy)
   };
 
   Snapshot snapshot() {
@@ -339,7 +341,7 @@ class RecodeModel {
       s.rec_len = trace_->recs.size();
       s.lim_len = trace_->limits.size();
     }
-    std::copy(wmix_, wmix_ + K_NCLS * 5, s.wmix);
+    std::copy(wmix_, wmix_ + K_NCLS * 6, s.wmix);
     return s;
   }
   void commit(const Snapshot& s) { journal_.resize(s.journal_len); }
@@ -352,6 +354,7 @@ class RecodeModel {
       cc.fpos = u.fpos;
       cc.fneg = u.fneg;
       cc.last = u.last;
+      cc.last2 = u.last2;
       cc.gen = u.prev_gen;
     }
     journal_.resize(s.journal_len);
@@ -361,7 +364,7 @@ class RecodeModel {
       trace_->limits.resize(s.lim_len);
       trace_->cls.resize(s.lim_len);
     }
-    std::copy(s.wmix, s.wmix + K_NCLS * 5, wmix_);
+    std::copy(s.wmix, s.wmix + K_NCLS * 6, wmix_);
   }
 
   Bytes finish() { return enc_->finish(); }
@@ -431,11 +434,12 @@ class RecodeModel {
     start_gen_ = ++pool_->gen_counter;
     epoch_ = start_gen_;
     for (uint32_t c = 0; c < K_NCLS; c++) {
-      wmix_[c * 5 + 0] = 24576;  // 0.375 in 16-frac
-      wmix_[c * 5 + 1] = 24576;
-      wmix_[c * 5 + 2] = 0;
-      wmix_[c * 5 + 3] = 0;
-      wmix_[c * 5 + 4] = 0;
+      wmix_[c * 6 + 0] = 24576;  // 0.375 in 16-frac
+      wmix_[c * 6 + 1] = 24576;
+      wmix_[c * 6 + 2] = 0;
+      wmix_[c * 6 + 3] = 0;
+      wmix_[c * 6 + 4] = 0;
+      wmix_[c * 6 + 5] = 0;
     }
   }
 
@@ -448,10 +452,10 @@ class RecodeModel {
     EstPool::Cell& c = pool_->cells[i];
     uint32_t g = c.gen;
     if (g == epoch_) return &c;
-    journal_.push_back({i, c.pos, c.neg, c.fpos, c.fneg, c.last, g});
+    journal_.push_back({i, c.pos, c.neg, c.fpos, c.fneg, c.last, c.last2, g});
     if (g < start_gen_) {  // fresh for this model
       c.pos = c.neg = c.fpos = c.fneg = 1;
-      c.last = 2;
+      c.last = c.last2 = 2;
     }
     c.gen = epoch_;
     return &c;
@@ -465,36 +469,41 @@ class RecodeModel {
   // models/h264_model.py and the device kernels; the shared stretch/
   // squash tables are generated once (tools/gen_mix_tables.py).
   uint32_t mix_prob(const EstPool::Cell& c, uint32_t cls, int pcab,
-                    int32_t* x0o, int32_t* x1o, int32_t* x3o,
-                    int32_t* x4o) const {
+                    int32_t* x0o, int32_t* x1o, int32_t* x3o, int32_t* x4o,
+                    int32_t* x5o) const {
     int32_t x0 = kDivStretch.t[(c.pos + c.neg) * 97 + c.pos];
     int32_t x1 = pcab > 0 ? kStretch12[pcab >> 4] : 0;
     int32_t x3 = kDivStretch.t[(c.fpos + c.fneg) * 97 + c.fpos];
     int32_t x4 = c.last == 2 ? 0 : c.last ? kHistMag : -kHistMag;
-    const int32_t* w = &wmix_[cls * 5];
+    int32_t x5 = c.last2 == 2 ? 0 : c.last2 ? kHist2Mag : -kHist2Mag;
+    const int32_t* w = &wmix_[cls * 6];
     int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
-                   (w[3] >> 6) * x3 + (w[4] >> 6) * x4) >> 10;
+                   (w[3] >> 6) * x3 + (w[4] >> 6) * x4 +
+                   (w[5] >> 6) * x5) >> 10;
     if (dot < -2048) dot = -2048;
     if (dot > 2047) dot = 2047;
     *x0o = x0;
     *x1o = x1;
     *x3o = x3;
     *x4o = x4;
+    *x5o = x5;
     return kSquash[dot + 2048];
   }
   void update_mix(const Prep& pp, int bit) {
-    int32_t* w = &wmix_[pp.cls * 5];
+    int32_t* w = &wmix_[pp.cls * 6];
     int32_t err = (bit << 16) - (int32_t)pp.p1;
     w[0] = wclamp(w[0] + ((err * pp.x0) >> 14));
     w[1] = wclamp(w[1] + ((err * pp.x1) >> 14));
     w[2] = wclamp(w[2] + ((err * 77) >> 14));
     w[3] = wclamp(w[3] + ((err * pp.x3) >> 14));
     w[4] = wclamp(w[4] + ((err * pp.x4) >> 14));
+    w[5] = wclamp(w[5] + ((err * pp.x5) >> 14));
   }
   static int32_t wclamp(int32_t w) {
     return w < -(1 << 24) ? -(1 << 24) : w > (1 << 24) ? (1 << 24) : w;
   }
   static void adapt(EstPool::Cell& c, uint32_t cls, int bit) {
+    c.last2 = c.last;  // model v7: shift the 2-bit history register
     c.last = (uint8_t)bit;
     if (bit) {
       c.pos++;
@@ -517,12 +526,12 @@ class RecodeModel {
   struct Undo {
     uint32_t idx;
     uint16_t pos, neg;
-    uint8_t fpos, fneg, last;
+    uint8_t fpos, fneg, last, last2;
     uint32_t prev_gen;
   };
 
   EstPool* pool_ = nullptr;
-  int32_t wmix_[K_NCLS * 5];
+  int32_t wmix_[K_NCLS * 6];
   uint32_t start_gen_ = 0, epoch_ = 0;
   std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;

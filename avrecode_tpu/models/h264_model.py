@@ -31,6 +31,7 @@ HALVE_DEFAULT = 0x60
 HALVE_SIG = 0x50
 HALVE_FAST = 0x18  # model v4: fast mixer-input counter
 HIST_MAG = 256  # model v5: last-bit history input magnitude
+HIST2_MAG = 128  # model v7: second-last-bit input magnitude
 
 
 class RecodeModel:
@@ -84,7 +85,7 @@ class RecodeModel:
     def _prob_update(self, key, pcab):
         e = self.est.get(key)
         if e is None:
-            e = self.est[key] = [1, 1, 1, 1, 2]  # slow, fast, last (2=none)
+            e = self.est[key] = [1, 1, 1, 1, 2, 2]  # slow, fast, last, last2
         pe = (e[0] << 16) // (e[0] + e[1])
         pe = 1 if pe < 1 else (0xFFFF if pe > 0xFFFF else pe)
         pf = (e[2] << 16) // (e[2] + e[3])
@@ -93,25 +94,28 @@ class RecodeModel:
         x1 = STRETCH12[pcab >> 4] if pcab else 0
         x3 = STRETCH12[pf >> 4]
         x4 = 0 if e[4] == 2 else (HIST_MAG if e[4] else -HIST_MAG)
+        x5 = 0 if e[5] == 2 else (HIST2_MAG if e[5] else -HIST2_MAG)
         w = self.wmix.get(key[0])
         if w is None:
-            w = self.wmix[key[0]] = [24576, 24576, 0, 0, 0]  # 0.375 16-frac
+            w = self.wmix[key[0]] = [24576, 24576, 0, 0, 0, 0]  # 0.375 16-frac
         dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77
-               + (w[3] >> 6) * x3 + (w[4] >> 6) * x4) >> 10
+               + (w[3] >> 6) * x3 + (w[4] >> 6) * x4
+               + (w[5] >> 6) * x5) >> 10
         dot = -2048 if dot < -2048 else (2047 if dot > 2047 else dot)
         p1 = SQUASH[dot + 2048]
-        return e, p1, (w, x0, x1, x3, x4)
+        return e, p1, (w, x0, x1, x3, x4, x5)
 
     @staticmethod
     def _update_mix(mixctx, p1, bit):
-        w, x0, x1, x3, x4 = mixctx
+        w, x0, x1, x3, x4, x5 = mixctx
         err = (bit << 16) - p1
-        for k, x in ((0, x0), (1, x1), (2, 77), (3, x3), (4, x4)):
+        for k, x in ((0, x0), (1, x1), (2, 77), (3, x3), (4, x4), (5, x5)):
             wn = w[k] + ((err * x) >> 14)
             w[k] = -(1 << 24) if wn < -(1 << 24) else (
                 (1 << 24) if wn > (1 << 24) else wn)
 
     def _adapt(self, key, e, bit):
+        e[5] = e[4]  # 2-bit history register (model v7)
         e[4] = bit  # history input (model v5)
         e[bit ^ 1] += 1  # index 0 counts ones, index 1 counts zeros
         e[2 + (bit ^ 1)] += 1  # fast counter (model v4)

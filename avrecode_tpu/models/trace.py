@@ -21,7 +21,8 @@ the per-bin std::map path called out as the reference's hotspot
 """
 
 from ..ops._mix_tables import SQUASH, STRETCH12
-from .h264_model import HALVE_DEFAULT, HALVE_FAST, HALVE_SIG, HIST_MAG
+from .h264_model import (HALVE_DEFAULT, HALVE_FAST, HALVE_SIG, HIST2_MAG,
+                         HIST_MAG)
 
 # key class name -> numeric id for the device mixer weight table; MUST
 # follow host/src/model.h::KeyCls order (the native extractor exports the
@@ -69,7 +70,7 @@ class TraceModel:
         s = self._slot(key)
         e = self.est.get(s)
         if e is None:
-            e = self.est[s] = [1, 1, 1, 1, 2]
+            e = self.est[s] = [1, 1, 1, 1, 2, 2]
         # identical integer arithmetic to RecodeModel._prob_update/
         # _update_mix/_adapt (logistic mixing + dual-rate counter, model v4)
         pe = (e[0] << 16) // (e[0] + e[1])
@@ -80,20 +81,23 @@ class TraceModel:
         x1 = STRETCH12[pcab >> 4] if pcab else 0
         x3 = STRETCH12[pf >> 4]
         x4 = 0 if e[4] == 2 else (HIST_MAG if e[4] else -HIST_MAG)
+        x5 = 0 if e[5] == 2 else (HIST2_MAG if e[5] else -HIST2_MAG)
         c = self.cls[s]
         w = self.wmix.get(c)
         if w is None:
-            w = self.wmix[c] = [24576, 24576, 0, 0, 0]
+            w = self.wmix[c] = [24576, 24576, 0, 0, 0, 0]
         dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77
-               + (w[3] >> 6) * x3 + (w[4] >> 6) * x4) >> 10
+               + (w[3] >> 6) * x3 + (w[4] >> 6) * x4
+               + (w[5] >> 6) * x5) >> 10
         dot = -2048 if dot < -2048 else (2047 if dot > 2047 else dot)
         p1 = SQUASH[dot + 2048]
         bit = int(bit)
         err = (bit << 16) - p1
-        for k, x in ((0, x0), (1, x1), (2, 77), (3, x3), (4, x4)):
+        for k, x in ((0, x0), (1, x1), (2, 77), (3, x3), (4, x4), (5, x5)):
             wn = w[k] + ((err * x) >> 14)
             w[k] = -(1 << 24) if wn < -(1 << 24) else (
                 (1 << 24) if wn > (1 << 24) else wn)
+        e[5] = e[4]
         e[4] = bit
         e[bit ^ 1] += 1
         e[2 + (bit ^ 1)] += 1

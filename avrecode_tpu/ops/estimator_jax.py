@@ -45,6 +45,7 @@ def _mix_tables():
 from ..models.trace import N_CLS  # model.h::K_NCLS (single source of truth)
 HALVE_FAST = 0x18  # model v4 fast-counter halving (model.h::kHalveFast)
 HIST_MAG = 256  # model v5 last-bit history magnitude (model.h::kHistMag)
+HIST2_MAG = 128  # model v7 second-last-bit magnitude (model.h::kHist2Mag)
 
 
 def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
@@ -59,22 +60,26 @@ def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
         est, w = carry
         slot, bit, pcab, v = x
         e = est[slot]
-        e0, e1, f0, f1, lb = e[0], e[1], e[2], e[3], e[4]
+        e0, e1, f0, f1, lb, lb2 = e[0], e[1], e[2], e[3], e[4], e[5]
         pe = jnp.clip((e0 << 16) // (e0 + e1), 1, 0xFFFF)
         pf = jnp.clip((f0 << 16) // (f0 + f1), 1, 0xFFFF)
         x0 = stretch[pe >> 4]
         x1 = jnp.where(pcab > 0, stretch[pcab >> 4], 0)
         x3 = stretch[pf >> 4]
         x4 = jnp.where(lb == 2, 0, jnp.where(lb == 1, HIST_MAG, -HIST_MAG))
+        x5 = jnp.where(lb2 == 2, 0,
+                       jnp.where(lb2 == 1, HIST2_MAG, -HIST2_MAG))
         c = cls[slot]
         wr = w[c]
         dot = ((wr[0] >> 6) * x0 + (wr[1] >> 6) * x1 + (wr[2] >> 6) * 77
-               + (wr[3] >> 6) * x3 + (wr[4] >> 6) * x4) >> 10
+               + (wr[3] >> 6) * x3 + (wr[4] >> 6) * x4
+               + (wr[5] >> 6) * x5) >> 10
         dot = jnp.clip(dot, -2048, 2047)
         p1 = squash[dot + 2048]
         err = (bit << 16) - p1
         wn = jnp.clip(
-            wr + ((err * jnp.stack([x0, x1, jnp.int32(77), x3, x4])) >> 14),
+            wr + ((err * jnp.stack([x0, x1, jnp.int32(77), x3, x4, x5]))
+                  >> 14),
             -(1 << 24), 1 << 24,
         )
         w = w.at[c].set(jnp.where(v == 1, wn, wr))
@@ -87,18 +92,19 @@ def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
         fhalve = (f0n + f1n) > HALVE_FAST
         f0n = jnp.where(fhalve, (f0n + 1) >> 1, f0n)
         f1n = jnp.where(fhalve, (f1n + 1) >> 1, f1n)
-        new = jnp.where(v == 1, jnp.stack([e0n, e1n, f0n, f1n, bit]), e)
+        new = jnp.where(v == 1, jnp.stack([e0n, e1n, f0n, f1n, bit, lb]), e)
         est = est.at[slot].set(new)
         return (est, w), jnp.where(v == 1, p1, 0x8000)
 
     est0 = _vlike(
         jnp.concatenate(
             [jnp.ones((n_slots, 4), jnp.int32),
-             jnp.full((n_slots, 1), 2, jnp.int32)], axis=1),
+             jnp.full((n_slots, 2), 2, jnp.int32)], axis=1),
         slots,
     )
     w0 = _vlike(
-        jnp.tile(jnp.array([[24576, 24576, 0, 0, 0]], jnp.int32), (N_CLS, 1)),
+        jnp.tile(jnp.array([[24576, 24576, 0, 0, 0, 0]], jnp.int32),
+                 (N_CLS, 1)),
         slots,
     )
     (_, _), p1s = jax.lax.scan(

@@ -44,11 +44,11 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
 
     @pl.when(c == 0)
     def _():
-        # est rows: [pos, neg, fpos, fneg, last(2=none), pad...]
+        # est rows: [pos, neg, fpos, fneg, last(2=none), last2, pad...]
         cole = jax.lax.broadcasted_iota(jnp.int32, est_ref.shape, 1)
-        est_ref[:, :] = jnp.where(cole < 4, 1, jnp.where(cole == 4, 2, 0))
+        est_ref[:, :] = jnp.where(cole < 4, 1, jnp.where(cole < 6, 2, 0))
         # mixer weights per key class: [w_est, w_cab, w_bias, w_fast,
-        # w_hist, pad...]
+        # w_hist, w_hist2, pad...]
         colw = jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 1)
         w_ref[:, :] = jnp.where(colw < 2, 24576, 0)
         state_ref[0] = 0   # low
@@ -83,6 +83,7 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         f0 = equad[0, 2]
         f1 = equad[0, 3]
         lb = equad[0, 4]
+        lb2 = equad[0, 5]
         total = e0 + e1
         # logistic mixing + dual-rate counter (model.h mix_prob/update_mix/
         # adapt mirror, model v4): stretch/squash live in tbl_ref columns
@@ -93,13 +94,14 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         cls = lrow[0, 1]
         wrow = w_ref[pl.ds(cls, 1), :]
         w0, w1, w2 = wrow[0, 0], wrow[0, 1], wrow[0, 2]
-        w3, w4 = wrow[0, 3], wrow[0, 4]
+        w3, w4, w5 = wrow[0, 3], wrow[0, 4], wrow[0, 5]
         x0 = tbl_ref[pl.ds(pe >> 4, 1), :][0, 0]
         x1 = jnp.where(pcab > 0, tbl_ref[pl.ds(pcab >> 4, 1), :][0, 0], 0)
         x3 = tbl_ref[pl.ds(pf >> 4, 1), :][0, 0]
         x4 = jnp.where(lb == 2, 0, jnp.where(lb == 1, 256, -256))
+        x5 = jnp.where(lb2 == 2, 0, jnp.where(lb2 == 1, 128, -128))
         dot = ((w0 >> 6) * x0 + (w1 >> 6) * x1 + (w2 >> 6) * 77
-               + (w3 >> 6) * x3 + (w4 >> 6) * x4) >> 10
+               + (w3 >> 6) * x3 + (w4 >> 6) * x4 + (w5 >> 6) * x5) >> 10
         dot = jnp.clip(dot, -2048, 2047)
         p1 = tbl_ref[pl.ds(dot + 2048, 1), :][0, 1]
         err = (bit << 16) - p1
@@ -108,12 +110,12 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         w2n = jnp.clip(w2 + ((err * 77) >> 14), -(1 << 24), 1 << 24)
         w3n = jnp.clip(w3 + ((err * x3) >> 14), -(1 << 24), 1 << 24)
         w4n = jnp.clip(w4 + ((err * x4) >> 14), -(1 << 24), 1 << 24)
+        w5n = jnp.clip(w5 + ((err * x5) >> 14), -(1 << 24), 1 << 24)
 
         @pl.when(v == 1)
         def _():
             w_ref[pl.ds(cls, 1), :] = jnp.stack(
-                [w0n, w1n, w2n, w3n, w4n, jnp.int32(0), jnp.int32(0),
-                 jnp.int32(0)]
+                [w0n, w1n, w2n, w3n, w4n, w5n, jnp.int32(0), jnp.int32(0)]
             ).reshape(1, 8)
 
         inc1 = jnp.where(bit == 1, 1, 0)
@@ -131,8 +133,7 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         @pl.when(v == 1)
         def _():
             est_ref[pl.ds(slot, 1), :] = jnp.stack(
-                [e0n, e1n, f0n, f1n, bit, jnp.int32(0), jnp.int32(0),
-                 jnp.int32(0)]
+                [e0n, e1n, f0n, f1n, bit, lb, jnp.int32(0), jnp.int32(0)]
             ).reshape(1, 8)
 
         r1 = ((rng >> 16) & 0xFFFF) * p1

@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 7  # v7: model v6 key enrichment (sign/level/cbf); v6: TS segments
+VERSION = 8  # v8: model v7 (2-bit history mixer input); v7: model v6 keys
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 
