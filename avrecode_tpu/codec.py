@@ -126,7 +126,8 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill,
         if gop_start:
             # fresh GOP: new model + wiped picture ring (no priors cross
             # the IDR), making GOPs independently decodable units
-            model = RecodeModel("encode", substream_bins=B)
+            model = (slice_model_factory
+                     or (lambda: RecodeModel("encode", substream_bins=B)))()
             model._gop_emitted = False
             w.cur_pic = None
             w.prev_pic = None

@@ -112,6 +112,28 @@ class TraceModel:
         self.pcabs.append(0 if pcab is None else int(pcab))
         self.p1s.append(p1)
 
+    def snapshot(self):
+        """GOP-scope slice rollback support (codec._scan_blocks snapshots the
+        model before each slice attempt; a failed slice must restore the
+        recorder exactly — trace arrays truncated, estimator/mixer state and
+        the slot table restored)."""
+        return (
+            len(self.bits),
+            len(self.limits),
+            {s: e[:] for s, e in self.est.items()},
+            {c: w[:] for c, w in self.wmix.items()},
+        )
+
+    def rollback(self, snap):
+        nbits, nslots, est, wmix = snap
+        del self.slots[nbits:], self.bits[nbits:]
+        del self.pcabs[nbits:], self.p1s[nbits:]
+        if len(self.limits) > nslots:
+            del self.limits[nslots:], self.cls[nslots:]
+            self.slot_of = {k: s for k, s in self.slot_of.items() if s < nslots}
+        self.est = est
+        self.wmix = wmix
+
     def put_nnz(self, nnz, cat, max_coeff, prior):
         v = nnz - 1
         nb = (max_coeff - 1).bit_length()

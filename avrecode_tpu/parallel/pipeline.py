@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..codec import _scan_blocks, serialize_container
 from ..models.trace import N_CLS, TraceModel
 from ..ops.estimator_jax import encode_slices, stream_bytes
-from ..utils.container import KIND_SLICE, SCOPE_SLICE
+from ..utils.container import KIND_SLICE, SCOPE_GOP, SCOPE_SLICE
 
 
 def extract_traces(data, use_native=None, scope="slice", threads=0,
@@ -37,7 +37,7 @@ def extract_traces(data, use_native=None, scope="slice", threads=0,
     scope: one trace per GOP on its first slice block, b"" continuations).
 
     Uses the native (C++) extractor when built — ~50x the Python parser —
-    falling back to the Python reference implementation (slice scope only).
+    falling back to the Python reference implementation (both scopes).
     threads: 0=auto (parallel GOP jobs, gop scope), 1=serial."""
     if use_native is None or use_native:
         try:
@@ -52,11 +52,13 @@ def extract_traces(data, use_native=None, scope="slice", threads=0,
         except Exception:
             if use_native:
                 raise
-    if scope != "slice":
-        raise NotImplementedError("python trace extraction is slice-scope only")
     stats = {"slices": 0, "recoded": 0, "bins": 0}
-    sps, pps, blocks, _ = _scan_blocks(data, SCOPE_SLICE, TraceModel, stats, {})
-    traces = [b[6] for b in blocks if b[0] == KIND_SLICE]
+    scope_id = SCOPE_SLICE if scope == "slice" else SCOPE_GOP
+    sps, pps, blocks, _ = _scan_blocks(data, scope_id, TraceModel, stats, {})
+    # GOP scope: one trace per GOP on its first slice block; b""
+    # continuation markers are serialized as-is, not encoded
+    traces = [b[6] for b in blocks
+              if b[0] == KIND_SLICE and not isinstance(b[6], bytes)]
     return sps, pps, blocks, traces, stats
 
 

@@ -134,6 +134,53 @@ def test_device_pipeline_gop_scope_matches_host():
         assert decompress(dev0) == data
 
 
+def test_python_extraction_gop_scope_matches_host():
+    """Pure-Python trace extraction covers gop scope (round 3): without the
+    native library the Python fallback can still drive the default gop-scope
+    device pipeline, producing the host container byte-for-byte."""
+    from avrecode_tpu.codec import compress, serialize_container
+    from avrecode_tpu.ops.lane_coder import encode_traces_lanes
+    from avrecode_tpu.parallel import pipeline
+
+    path = os.path.join(DATA, "rt_gop.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "192", "160", "12", "30", "4", "1", "26", "9", "1"],
+            check=True, capture_output=True,
+        )
+    data = open(path, "rb").read()
+    sps, pps, blocks, traces, _ = pipeline.extract_traces(
+        data, use_native=False, scope="gop")
+    assert len(traces) >= 2  # several GOPs, one trace each
+    envs = encode_traces_lanes(traces, 4096, use_pallas=False)
+    finmap = {id(t): envs[i] for i, t in enumerate(traces)}
+    out = serialize_container(
+        2, sps, pps, blocks, None,
+        finisher=lambda t: t if isinstance(t, bytes) else finmap[id(t)],
+        substream_bins=4096,
+    )
+    assert out == compress(data, scope="gop", substream_bins=4096)
+
+
+def test_trace_model_snapshot_rollback():
+    """A failed slice mid-GOP must restore the recorder exactly: pre+post
+    sequence after rollback equals a fresh recorder fed the same bits."""
+    a = _random_trace(7, 800)
+    snap = a.snapshot()
+    rng = random.Random(99)
+    for _ in range(300):  # doomed slice: new keys + estimator churn
+        a.put_bit(("mvd", rng.randint(0, 30)), rng.randint(0, 1), None)
+    a.rollback(snap)
+    for i in range(200):
+        a.put_bit(("ctx", i % 17), (i * 7) % 3 == 0, None)
+    b = _random_trace(7, 800)
+    for i in range(200):
+        b.put_bit(("ctx", i % 17), (i * 7) % 3 == 0, None)
+    assert host_encode(a) == host_encode(b)
+    assert (a.slots, a.bits, a.pcabs, a.p1s, a.limits, a.cls) == (
+        b.slots, b.bits, b.pcabs, b.p1s, b.limits, b.cls)
+
+
 def test_device_compress_corpus_matches_per_file():
     # batch-directory pipeline (BASELINE config 4): containers byte-identical
     # to per-file device_compress, roundtrip bit-exact
