@@ -171,6 +171,12 @@ class PicState:
         # (cbf_chroma_dc / nnz_chroma_dc double as the per-plane DC maps)
         self.cbf_c44 = np.zeros((2, h, w, 16), np.uint8)
         self.nnz_c44 = np.zeros((2, h, w, 16), np.uint8)
+        # model v8: sign of each block's first (DC) coefficient, +1/-1
+        # (0 = absent) — neighbor context for DC sign coding
+        self.sgn_luma = np.zeros((h, w, 16), np.int8)
+        self.sgn_luma_dc = np.zeros((h, w), np.int8)
+        self.sgn_chroma_dc = np.zeros((h, w, 2), np.int8)
+        self.sgn_c44 = np.zeros((2, h, w, 16), np.int8)
 
 
 class SliceParser:
@@ -704,6 +710,59 @@ class SliceParser:
             inc += cond << di
         return inc
 
+    def _sgn_neighbor(self, cat, blk):
+        """Model v8: left/above DC-sign context for a block's first (DC)
+        coefficient — 3*(L+1)+(A+1) with each neighbor sign in {-1,0,+1}
+        (0 = unavailable, uncoded, or zero DC).  Neighbor resolution mirrors
+        _cbf_neighbor so both directions stay symmetric."""
+        p = self.pic
+        plane = _CAT_PLANE.get(cat) if cat != CAT_CHROMA_DC else None
+        v = [0, 0]
+        for di, (dx, dy) in enumerate(((-1, 0), (0, -1))):
+            if cat in _CAT_DC:
+                nmb = self._left() if dx else self._up()
+                if not self._avail(nmb):
+                    continue
+                if cat == CAT_LUMA_DC:
+                    v[di] = int(p.sgn_luma_dc[nmb[1], nmb[0]])
+                else:  # 4:4:4 Cb/Cr DC
+                    v[di] = int(p.sgn_chroma_dc[nmb[1], nmb[0], plane - 1])
+            elif cat == CAT_CHROMA_DC:
+                nmb = self._left() if dx else self._up()
+                if self._avail(nmb):
+                    v[di] = int(p.sgn_chroma_dc[nmb[1], nmb[0], blk])
+            else:  # luma-style 4x4/8x8 cells
+                nmb, nblk = self._blk_nb(blk, dx, dy)
+                if not self._avail(nmb):
+                    continue
+                if plane == 0:
+                    v[di] = int(p.sgn_luma[nmb[1], nmb[0], nblk])
+                else:
+                    v[di] = int(p.sgn_c44[plane - 1, nmb[1], nmb[0], nblk])
+        return 3 * (v[0] + 1) + (v[1] + 1)
+
+    def _sgn_store(self, cat, blk, s0):
+        """Record a block's DC-coefficient sign for successors' contexts
+        (8x8 blocks replicate into their four 4x4 cells, like nnz)."""
+        p = self.pic
+        x, y = self.mbx, self.mby
+        if cat == CAT_LUMA_DC:
+            p.sgn_luma_dc[y, x] = s0
+        elif cat in _CAT_DC:
+            p.sgn_chroma_dc[y, x, _CAT_PLANE[cat] - 1] = s0
+        elif cat == CAT_CHROMA_DC:
+            p.sgn_chroma_dc[y, x, blk] = s0
+        else:
+            plane = _CAT_PLANE[cat]
+            m = p.sgn_luma if plane == 0 else p.sgn_c44[plane - 1]
+            if cat in _CAT_88:
+                x0, y0 = int(BLK4_X[blk]), int(BLK4_Y[blk])
+                for yy in (y0, y0 + 1):
+                    for xx in (x0, x0 + 1):
+                        m[y, x, int(RASTER_TO_BLK4[yy * 4 + xx])] = s0
+            else:
+                m[y, x, blk] = s0
+
     def parse_residual_block(self, cat, blk, is_intra, has_cbf, nnz_prior):
         """Parse one residual block; returns (nnz, coeff levels summary).
 
@@ -813,7 +872,14 @@ class SliceParser:
             else:
                 coeff = 1
                 node = COEFF_ABS_LEVEL_TRANSITION[0][node]
-            self._bypass(("sgn", cat, min(pos, 3), min(coeff, 3)))
+            # model v8: true-DC signs (scan position 0 of a DC-bearing
+            # category) get a left/above neighbor-sign context
+            if pos == 0 and cat not in _CAT_AC and cat != CAT_CHROMA_AC:
+                nb = self._sgn_neighbor(cat, blk)
+                sb = self._bypass(("sgn", cat, 0, min(coeff, 3), nb))
+                self._sgn_store(cat, blk, -1 if sb else 1)
+            else:
+                self._bypass(("sgn", cat, min(pos, 3), min(coeff, 3)))
         return nnz
 
     def _replay_sig(self, cat, sig, nnz, sig_ctx, last_ctx, emit, pcabs=None, intra=0):

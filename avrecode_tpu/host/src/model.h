@@ -90,7 +90,7 @@ struct KeySpace {
     set(K_LVLG, 32, 128, 8, 8);  // (cat + 16*intra, gt1 ctx + pos bucket, coeff, nzb)
     set(K_LVLE, 16, 8);
     set(K_LVLB, 16, 8);
-    set(K_SGN, 16, 4, 4);
+    set(K_SGN, 16, 4, 4, 9);  // model v8: d = DC neighbor-sign context
     set(K_NNZ, 32, 8, 64, 16);  // (cat + 16*field, bit idx, prefix, prior)
     set(K_FIELDF, 4);
     set(K_PCM, 8);

@@ -98,6 +98,12 @@ struct PicState {
   // 4:4:4: Cb/Cr planes carry luma-style per-4x4 cbf/nnz maps ([2][n*16];
   // cbf_chroma_dc / nnz_chroma_dc double as the per-plane DC maps)
   std::vector<uint8_t> cbf_c44, nnz_c44;
+  // model v8: sign of each block's first (DC) coefficient, +1/-1 (0 =
+  // absent) — neighbor context for DC sign coding (mbparse.py mirror)
+  std::vector<int8_t> sgn_luma;       // [h*w*16]
+  std::vector<int8_t> sgn_luma_dc;    // [h*w]
+  std::vector<int8_t> sgn_chroma_dc;  // [h*w*2]
+  std::vector<int8_t> sgn_c44;        // [2*h*w*16]
 
   void init(int W, int H) {
     w = W;
@@ -123,6 +129,10 @@ struct PicState {
     field.assign(n, 0);
     cbf_c44.assign(2 * n * 16, 0);
     nnz_c44.assign(2 * n * 16, 0);
+    sgn_luma.assign(n * 16, 0);
+    sgn_luma_dc.assign(n, 0);
+    sgn_chroma_dc.assign(n * 2, 0);
+    sgn_c44.assign(2 * n * 16, 0);
   }
 };
 
@@ -874,6 +884,66 @@ class SliceParser {
     return inc;
   }
 
+  // model v8: left/above DC-sign context for a block's first coefficient —
+  // 3*(L+1)+(A+1), each neighbor sign in {-1,0,+1} (0 = unavailable,
+  // uncoded, or zero DC).  Mirrors mbparse._sgn_neighbor exactly.
+  int sgn_neighbor(int cat, int blk) {
+    const PicState* p = pic_;
+    static const int dxs[2] = {-1, 0}, dys[2] = {0, -1};
+    int plane = cat == CAT_CHROMA_DC ? -1 : kCatPlane[cat];
+    int v[2] = {0, 0};
+    for (int di = 0; di < 2; di++) {
+      if (cat_is_dc3(cat)) {
+        int nx, ny;
+        if (dxs[di]) mb_left(&nx, &ny); else mb_up(&nx, &ny);
+        if (!avail(nx, ny)) continue;
+        v[di] = cat == CAT_LUMA_DC
+                    ? p->sgn_luma_dc[mb(nx, ny)]
+                    : p->sgn_chroma_dc[mb(nx, ny) * 2 + plane - 1];
+      } else if (cat == CAT_CHROMA_DC) {
+        int nx, ny;
+        if (dxs[di]) mb_left(&nx, &ny); else mb_up(&nx, &ny);
+        if (avail(nx, ny)) v[di] = p->sgn_chroma_dc[mb(nx, ny) * 2 + blk];
+      } else {  // luma-style 4x4/8x8 cells
+        int nmbx, nmby, nblk;
+        blk_nb(blk, dxs[di], dys[di], &nmbx, &nmby, &nblk);
+        if (!avail(nmbx, nmby)) continue;
+        v[di] = plane == 0
+                    ? p->sgn_luma[mb(nmbx, nmby) * 16 + nblk]
+                    : p->sgn_c44[((size_t)(plane - 1) * H_ * W_ +
+                                  mb(nmbx, nmby)) * 16 + nblk];
+      }
+    }
+    return 3 * (v[0] + 1) + (v[1] + 1);
+  }
+
+  // record a block's DC sign for successors' contexts (8x8 blocks
+  // replicate into their four 4x4 cells, like nnz)
+  void sgn_store(int cat, int blk, int s0) {
+    PicState* p = pic_;
+    size_t m = mb(mbx_, mby_);
+    if (cat == CAT_LUMA_DC) {
+      p->sgn_luma_dc[m] = (int8_t)s0;
+    } else if (cat_is_dc3(cat)) {
+      p->sgn_chroma_dc[m * 2 + kCatPlane[cat] - 1] = (int8_t)s0;
+    } else if (cat == CAT_CHROMA_DC) {
+      p->sgn_chroma_dc[m * 2 + blk] = (int8_t)s0;
+    } else {
+      int plane = kCatPlane[cat];
+      int8_t* map = plane == 0
+                        ? p->sgn_luma.data()
+                        : p->sgn_c44.data() + (size_t)(plane - 1) * H_ * W_ * 16;
+      if (cat_is_88(cat)) {
+        int x0 = G.blk4_x[blk], y0 = G.blk4_y[blk];
+        for (int yy = y0; yy < y0 + 2; yy++)
+          for (int xx = x0; xx < x0 + 2; xx++)
+            map[m * 16 + G.raster_to_blk4[yy * 4 + xx]] = (int8_t)s0;
+      } else {
+        map[m * 16 + blk] = (int8_t)s0;
+      }
+    }
+  }
+
   // walk the sig map with determinism elision (mbparse._replay_sig)
   void replay_sig(int cat, const int* sig_in, int nnz, const int* sig_ctx,
                   const int* last_ctx, int max_coeff, const int* pcabs,
@@ -1103,7 +1173,16 @@ class SliceParser {
       } else {
         node = kLvlTransition[node];
       }
-      bypass(mkey(K_SGN, cat, std::min(positions[k], 3), std::min(coeff, 3)));
+      // model v8: true-DC signs (scan position 0 of a DC-bearing
+      // category) get a left/above neighbor-sign context
+      if (positions[k] == 0 && cat != CAT_LUMA_AC && cat != 7 && cat != 11 &&
+          cat != CAT_CHROMA_AC) {
+        int nb = sgn_neighbor(cat, blk);
+        int sb = bypass(mkey(K_SGN, cat, 0, std::min(coeff, 3), nb));
+        sgn_store(cat, blk, sb ? -1 : 1);
+      } else {
+        bypass(mkey(K_SGN, cat, std::min(positions[k], 3), std::min(coeff, 3)));
+      }
     }
     return nnz;
   }

@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 8  # v8: model v7 (2-bit history mixer input); v7: model v6 keys
+VERSION = 9  # v9: model v8 (DC neighbor-sign keys); v8: model v7 history
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 
