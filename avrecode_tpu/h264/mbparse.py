@@ -213,6 +213,10 @@ class SliceParser:
         self.nref0 = header.num_ref_idx_l0_active
         self.nref1 = header.num_ref_idx_l1_active
         self.prev_qp_delta_nz = 0
+        # model v9: previous nonzero |qp_delta| mapped-unary magnitude
+        # (model context, not spec state: sticky across the spec's
+        # skip/PCM qp-context resets)
+        self.prev_qp_mag = 0
         self.mb_count = 0
         self.mbx = 0
         self.mby = 0
@@ -386,9 +390,14 @@ class SliceParser:
             return None  # I_PCM escape (Table 9-36 bin string "11")
         cbf_luma = self._bin(base + skew + 1, ("i16cbf",))
         cbp_chroma = 0
-        if self._bin(base + skew + 2, ("i16cbc0",)):
+        a, b = self._left(), self._up()
+        p = self.pic
+        ca = int(p.cbp_chroma[a[1], a[0]]) if self._avail(a) else 3
+        cb = int(p.cbp_chroma[b[1], b[0]]) if self._avail(b) else 3
+        if self._bin(base + skew + 2, ("i16cbc0", ca, cb)):
             cbp_chroma = 1 + self._bin(
-                base + skew + (3 if intra_slice else 2), ("i16cbc1",)
+                base + skew + (3 if intra_slice else 2),
+                ("i16cbc1", int(ca == 2), int(cb == 2))
             )
         pm1 = self._bin(base + skew + (4 if intra_slice else 3), ("i16pm1",))
         pm0 = self._bin(base + skew + (5 if intra_slice else 3), ("i16pm0",))
@@ -565,15 +574,18 @@ class SliceParser:
     def parse_mb_qp_delta(self):
         if not self._bin(60 + self.prev_qp_delta_nz, ("qpd0", self.prev_qp_delta_nz)):
             self.prev_qp_delta_nz = 0
+            self.prev_qp_mag = 0
             return 0
         v = 1
-        if self._bin(62, ("qpd1",)):
+        pm = self.prev_qp_mag
+        if self._bin(62, ("qpd1", pm)):
             v = 2
-            while self._bin(63, ("qpd2", min(v - 2, 4))):
+            while self._bin(63, ("qpd2", min(v - 2, 4), pm)):
                 v += 1
                 if v > 128:
                     raise UnsupportedStream("qp_delta overflow")
         self.prev_qp_delta_nz = 1
+        self.prev_qp_mag = min(v, 7)
         # mapped unary -> signed (9.3.2.7)
         return (v + 1) >> 1 if v & 1 else -(v >> 1)
 

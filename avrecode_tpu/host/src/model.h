@@ -77,7 +77,10 @@ struct KeySpace {
     set(K_CBPC0, 4);
     set(K_CBPC1, 4);
     set(K_QPD0, 2);
-    set(K_QPD2, 8);
+    set(K_QPD1, 8);     // model v9: prev |qp_delta| magnitude context
+    set(K_QPD2, 8, 8);  // (unary position, prev magnitude)
+    set(K_I16CBC0, 4, 4);  // model v9: neighbor cbp_chroma (3 = unavail)
+    set(K_I16CBC1, 2, 2);
     set(K_REF, 4, 4);
     set(K_MVD, 2, 4);
     set(K_MVDP, 2, 8);

@@ -548,8 +548,17 @@ class SliceParser {
     }
     r.cbf_luma = bin(base + skew + 1, mkey(K_I16CBF));
     r.cbp_chroma = 0;
-    if (bin(base + skew + 2, mkey(K_I16CBC0)))
-      r.cbp_chroma = 1 + bin(base + skew + (intra_slice ? 3 : 2), mkey(K_I16CBC1));
+    // model v9: neighbor cbp_chroma context (3 = unavailable) — the CABAC
+    // contexts for the I16 suffix are fixed, so the model supplies the
+    // spatial conditioning CABAC lacks (mbparse.parse_mb_type_i_suffix)
+    int nx, ny, ca = 3, cb = 3;
+    mb_left(&nx, &ny);
+    if (avail(nx, ny)) ca = pic_->cbp_chroma[mb(nx, ny)];
+    mb_up(&nx, &ny);
+    if (avail(nx, ny)) cb = pic_->cbp_chroma[mb(nx, ny)];
+    if (bin(base + skew + 2, mkey(K_I16CBC0, ca, cb)))
+      r.cbp_chroma = 1 + bin(base + skew + (intra_slice ? 3 : 2),
+                             mkey(K_I16CBC1, ca == 2, cb == 2));
     int pm1 = bin(base + skew + (intra_slice ? 4 : 3), mkey(K_I16PM1));
     int pm0 = bin(base + skew + (intra_slice ? 5 : 3), mkey(K_I16PM0));
     r.pred = 2 * pm1 + pm0;
@@ -727,16 +736,22 @@ class SliceParser {
   void parse_mb_qp_delta() {
     if (!bin(60 + prev_qp_delta_nz_, mkey(K_QPD0, prev_qp_delta_nz_))) {
       prev_qp_delta_nz_ = 0;
+      prev_qp_mag_ = 0;
       return;
     }
     int v = 1;
-    if (bin(62, mkey(K_QPD1))) {
+    // model v9: previous nonzero |qp_delta| mapped-unary magnitude as a
+    // key context (model state, sticky across the spec's skip/PCM
+    // qp-context resets; mbparse.parse_mb_qp_delta mirror)
+    int pm = prev_qp_mag_;
+    if (bin(62, mkey(K_QPD1, pm))) {
       v = 2;
-      while (bin(63, mkey(K_QPD2, std::min(v - 2, 4)))) {
+      while (bin(63, mkey(K_QPD2, std::min(v - 2, 4), pm))) {
         if (++v > 128) throw Unsupported("qp_delta overflow");
       }
     }
     prev_qp_delta_nz_ = 1;
+    prev_qp_mag_ = std::min(v, 7);
   }
 
   // active ref count for ref_idx presence: field MBs address per-field
@@ -1694,6 +1709,7 @@ class SliceParser {
   bool ch422_ = false, ch444_ = false;
   int ch_grid_h_ = 2, n_chroma_ac_ = 4;
   int prev_qp_delta_nz_ = 0;
+  int prev_qp_mag_ = 0;  // model v9 qp-delta magnitude context
   int last_cbf_ = 0;
   int sub_types_[4] = {0, 0, 0, 0};
   bool sub_types_valid_ = false;

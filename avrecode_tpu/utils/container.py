@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 9  # v9: model v8 (DC neighbor-sign keys); v8: model v7 history
+VERSION = 10  # v10: model v9 (i16 cbp-chroma + qp-delta-magnitude keys)
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 
