@@ -137,7 +137,9 @@ def _scan_blocks(data, scope, slice_model_factory, stats, cabac_bill,
         advance = rec.header.first_mb_in_slice == 0 or w.cur_pic is None
         if advance:
             cand_prev = w.cur_pic
-            cand_cur = PicState(rec.sps.pic_width_in_mbs, mb_height(rec.sps))
+            # PAFF field picture: a half-height picture of its own
+            cand_cur = PicState(rec.sps.pic_width_in_mbs,
+                                mb_height(rec.sps) >> int(rec.header.field_pic))
         else:
             cand_prev = w.prev_pic
             cand_cur = w.cur_pic
@@ -345,7 +347,8 @@ def decompress(blob):
             raise ValueError("slice block without model stream")
         if hdr.first_mb_in_slice == 0 or cur_pic is None:
             prev_pic = cur_pic
-            cur_pic = PicState(sps.pic_width_in_mbs, mb_height(sps))
+            cur_pic = PicState(sps.pic_width_in_mbs,
+                               mb_height(sps) >> int(hdr.field_pic))
         slice_id += 1
         idc = None if hdr.slice_type == 2 else hdr.cabac_init_idc
         coder = DecompressCoder(hdr.slice_qp, idc, smodel)

@@ -194,13 +194,18 @@ class SliceParser:
         # regardless (clause 6.4.8 availability).
         self.isolate = isolate
         self.W = sps.pic_width_in_mbs
-        self.H = sps.pic_height_in_map_units * (1 if sps.frame_mbs_only_flag else 2)
+        # PAFF field picture: a half-height picture whose MBs are all
+        # field-coded (no pair addressing, no mixing — field context rows
+        # only); the PicState is sized by the caller to match
+        self.field_pic = bool(getattr(header, "field_pic", False))
+        self.H = (sps.pic_height_in_map_units *
+                  (1 if sps.frame_mbs_only_flag else 2)) >> self.field_pic
         self.mbaff = bool(getattr(header, "mbaff", False))
         # MBAFF state: cur_field = current pair's field flag (decoded,
         # predicted, or provisional); eff_field mirrors ffmpeg's
         # sl->mb_field_decoding_flag "most recent value" convention used for
         # ctx derivation before the current pair's flag is decoded
-        self.cur_field = 0
+        self.cur_field = 1 if self.field_pic else 0
         self.eff_field = 0
         self.field_known = False
         self.stype = header.slice_type
@@ -785,7 +790,7 @@ class SliceParser:
         max_coeff = _MAX_COEFF[cat]
         if cat == CAT_CHROMA_DC and self.ch422:
             max_coeff = 8
-        fld0 = self.cur_field if self.mbaff else 0
+        fld0 = self.cur_field if (self.mbaff or self.field_pic) else 0
         if has_cbf:
             inc = self._cbf_neighbor(cat, blk, is_intra)
             # model v6: block-position quadrant joins the cbf key
@@ -805,7 +810,7 @@ class SliceParser:
         else:
             self._last_cbf = 1
         # --- significance map (field MBs use the field ctx rows, 9.3.3.1.3)
-        fld = self.cur_field if self.mbaff else 0
+        fld = self.cur_field if (self.mbaff or self.field_pic) else 0
         if cat in _CAT_88:
             sig8_base = SIG_COEFF_FLAG_OFFSET[fld][cat]
             last8_base = LAST_COEFF_FLAG_OFFSET[fld][cat]

@@ -30,6 +30,8 @@ class SliceHeader:
     num_ref_idx_l1_active: int = 1
     direct_spatial_mv_pred_flag: int = 0
     mbaff: bool = False  # MB-adaptive frame/field frame picture
+    field_pic: bool = False  # PAFF field picture (all MBs field-coded)
+    bottom_field: bool = False
     cabac_start_byte: int = 0  # offset into unescaped RBSP where CABAC begins
 
 
@@ -55,8 +57,6 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
         raise UnsupportedStream("CAVLC slice (entropy_coding_mode_flag=0)")
     if sps.separate_colour_plane_flag:
         raise UnsupportedStream("separate colour planes")
-    if not sps.frame_mbs_only_flag and not sps.mb_adaptive_frame_field_flag:
-        raise UnsupportedStream("PAFF field coding")
     if sps.chroma_format_idc not in (1, 2, 3):
         raise UnsupportedStream(f"chroma_format_idc {sps.chroma_format_idc}")
     if h.slice_type in (SLICE_SP, SLICE_SI):
@@ -64,18 +64,22 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
 
     h.frame_num = r.u(sps.log2_max_frame_num)
     if not sps.frame_mbs_only_flag:
-        if r.flag():  # field_pic_flag: individual field pictures (PAFF)
-            raise UnsupportedStream("PAFF field picture")
-        h.mbaff = True  # MBAFF frame (mb_adaptive checked above)
+        if r.flag():  # field_pic_flag: individual field picture (PAFF)
+            h.field_pic = True
+            h.bottom_field = bool(r.flag())
+        else:
+            # MBAFF frame iff the SPS says mb_adaptive (a PAFF stream's
+            # frame pictures are plain frames otherwise)
+            h.mbaff = bool(sps.mb_adaptive_frame_field_flag)
     if h.idr:
         r.ue()  # idr_pic_id
     if sps.pic_order_cnt_type == 0:
         r.u(sps.log2_max_pic_order_cnt_lsb)
-        if pps.bottom_field_pic_order_in_frame_present_flag:
+        if pps.bottom_field_pic_order_in_frame_present_flag and not h.field_pic:
             r.se()  # delta_pic_order_cnt_bottom
     elif sps.pic_order_cnt_type == 1 and not sps.delta_pic_order_always_zero_flag:
         r.se()
-        if pps.bottom_field_pic_order_in_frame_present_flag:
+        if pps.bottom_field_pic_order_in_frame_present_flag and not h.field_pic:
             r.se()
     if pps.redundant_pic_cnt_present_flag:
         if r.ue() != 0:

@@ -138,7 +138,8 @@ class StreamWalker:
         picture boundaries (first_mb_in_slice == 0)."""
         if rec.header.first_mb_in_slice == 0 or self.cur_pic is None:
             self.prev_pic = self.cur_pic
-            self.cur_pic = PicState(rec.sps.pic_width_in_mbs, mb_height(rec.sps))
+            self.cur_pic = PicState(rec.sps.pic_width_in_mbs,
+                                    mb_height(rec.sps) >> int(rec.header.field_pic))
         self.slice_id += 1
         return self.cur_pic, self.prev_pic
 

@@ -314,7 +314,8 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
+      scratch.init(rec.sps.pic_width_in_mbs,
+                   mb_height(rec.sps) >> (rec.hdr.field_pic ? 1 : 0));
       cand_prev = cur.get();
     } else {
       scratch = *cur;  // deep copy
@@ -469,7 +470,8 @@ static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
+      scratch.init(rec.sps.pic_width_in_mbs,
+                   mb_height(rec.sps) >> (rec.hdr.field_pic ? 1 : 0));
       cand_prev = cur.get();
     } else {
       scratch = *cur;
@@ -673,7 +675,8 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
+      scratch.init(rec.sps.pic_width_in_mbs,
+                   mb_height(rec.sps) >> (rec.hdr.field_pic ? 1 : 0));
       cand_prev = cur.get();
     } else {
       scratch = *cur;
@@ -798,7 +801,8 @@ static void process_gop_x(const uint8_t* data,
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
+      scratch.init(rec.sps.pic_width_in_mbs,
+                   mb_height(rec.sps) >> (rec.hdr.field_pic ? 1 : 0));
       cand_prev = cur.get();
     } else {
       scratch = *cur;
@@ -1006,7 +1010,8 @@ static void decode_slice_block(const DBlock& b, int scope, uint32_t sub_bins,
   if (hdr.first_mb_in_slice == 0 || !st->cur) {
     st->prev = std::move(st->cur);
     st->cur = std::make_unique<PicState>();
-    st->cur->init(sps.pic_width_in_mbs, mb_height(sps));
+    st->cur->init(sps.pic_width_in_mbs,
+                  mb_height(sps) >> (hdr.field_pic ? 1 : 0));
   }
   st->slice_id++;
   int idc = hdr.slice_type == SLICE_I ? -1 : hdr.cabac_init_idc;
@@ -1183,7 +1188,8 @@ static int refscore_run(const uint8_t* data, size_t size, double* out) {
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
+      scratch.init(rec.sps.pic_width_in_mbs,
+                   mb_height(rec.sps) >> (rec.hdr.field_pic ? 1 : 0));
       cand_prev = cur.get();
     } else {
       scratch = *cur;
@@ -1194,7 +1200,8 @@ static int refscore_run(const uint8_t* data, size_t size, double* out) {
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
     int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
     if (advance)  // reference frame_spec hook fires at slice start
-      sc.frame_start(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
+      sc.frame_start(rec.sps.pic_width_in_mbs,
+                     mb_height(rec.sps) >> (rec.hdr.field_pic ? 1 : 0));
     sc.begin_slice();
     try {
       Coder c;
@@ -1265,7 +1272,8 @@ static int mixlab_run(const uint8_t* data, size_t size, const double* params,
     PicState scratch;
     const PicState* cand_prev;
     if (advance) {
-      scratch.init(rec.sps.pic_width_in_mbs, mb_height(rec.sps));
+      scratch.init(rec.sps.pic_width_in_mbs,
+                   mb_height(rec.sps) >> (rec.hdr.field_pic ? 1 : 0));
       cand_prev = cur.get();
     } else {
       scratch = *cur;

@@ -75,6 +75,8 @@ struct SliceHeader {
   int first_mb_in_slice = 0, slice_type = 0, pps_id = 0, frame_num = 0;
   bool idr = false;
   bool mbaff = false;  // MB-adaptive frame/field frame picture
+  bool field_pic = false;  // PAFF field picture (all MBs field-coded)
+  bool bottom_field = false;
   int cabac_init_idc = 0, slice_qp = 26;
   int num_ref_idx_l0_active = 1, num_ref_idx_l1_active = 1;
   int direct_spatial_mv_pred_flag = 0;
@@ -190,8 +192,6 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
   const SPS& sps = sit->second;
   if (!pps.entropy_coding_mode_flag) throw Unsupported("CAVLC slice");
   if (sps.separate_colour_plane_flag) throw Unsupported("separate planes");
-  if (!sps.frame_mbs_only_flag && !sps.mb_adaptive_frame_field_flag)
-    throw Unsupported("PAFF field coding");
   if (sps.chroma_format_idc < 1 || sps.chroma_format_idc > 3)
     throw Unsupported("chroma format");
   if (h.slice_type == SLICE_SP || h.slice_type == SLICE_SI)
@@ -199,17 +199,24 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
 
   h.frame_num = r.u(sps.log2_max_frame_num);
   if (!sps.frame_mbs_only_flag) {
-    if (r.flag()) throw Unsupported("PAFF field picture");  // field_pic_flag
-    h.mbaff = true;
+    if (r.flag()) {  // field_pic_flag: individual field picture (PAFF)
+      h.field_pic = true;
+      h.bottom_field = r.flag();
+    } else {
+      // MBAFF frame iff the SPS says mb_adaptive
+      h.mbaff = sps.mb_adaptive_frame_field_flag != 0;
+    }
   }
   if (h.idr) r.ue();
   if (sps.pic_order_cnt_type == 0) {
     r.u(sps.log2_max_pic_order_cnt_lsb);
-    if (pps.bottom_field_pic_order_in_frame_present_flag) r.se();
+    if (pps.bottom_field_pic_order_in_frame_present_flag && !h.field_pic)
+      r.se();
   } else if (sps.pic_order_cnt_type == 1 &&
              !sps.delta_pic_order_always_zero_flag) {
     r.se();
-    if (pps.bottom_field_pic_order_in_frame_present_flag) r.se();
+    if (pps.bottom_field_pic_order_in_frame_present_flag && !h.field_pic)
+      r.se();
   }
   if (pps.redundant_pic_cnt_present_flag && r.ue() != 0)
     throw Unsupported("redundant slices");

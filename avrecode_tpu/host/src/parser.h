@@ -294,8 +294,13 @@ class SliceParser {
               bool isolate)
       : sps_(sps), pps_(pps), hdr_(hdr), pic_(pic), prev_(prev), c_(c),
         sid_(sid), isolate_(isolate), W_(sps.pic_width_in_mbs),
-        H_(mb_height(sps)) {
+        H_(mb_height(sps) >> (hdr.field_pic ? 1 : 0)) {
     mbaff_ = hdr.mbaff;
+    // PAFF field picture: a half-height picture whose MBs are ALL
+    // field-coded — plain raster addressing/neighbors, field context rows
+    // (mbparse.py mirror)
+    field_pic_ = hdr.field_pic;
+    if (field_pic_) cur_field_ = 1;
     stype_ = hdr.slice_type;
     nref0_ = hdr.num_ref_idx_l0_active;
     nref1_ = hdr.num_ref_idx_l1_active;
@@ -1070,7 +1075,8 @@ class SliceParser {
                            int nnz_prior) {
     int is_intra = is_intra_b ? 1 : 0;
     Coder* c = c_;
-    int fld = mbaff_ ? cur_field_ : 0;  // field MBs use the field ctx rows
+    // field MBs use the field ctx rows (MBAFF field pairs + PAFF pictures)
+    int fld = (mbaff_ || field_pic_) ? cur_field_ : 0;
     int max_coeff = kMaxCoeff[cat];
     if (cat == CAT_CHROMA_DC && ch422_) max_coeff = 8;
     if (has_cbf) {
@@ -1701,6 +1707,7 @@ class SliceParser {
   // (decoded/predicted/provisional); eff_field_ = ffmpeg's stale-register
   // convention used for ctx derivation before the flag is decoded
   bool mbaff_ = false;
+  bool field_pic_ = false;  // PAFF field picture
   int cur_field_ = 0, eff_field_ = 0;
   bool field_known_ = false;
   int top_xy_[2] = {0, -1};
