@@ -234,22 +234,21 @@ class CabacXcoder {
   }
 
   int decision(CtxStates& st, int ctx) {
+    // branchless LPS/MPS select: the compare outcome is data-dependent and
+    // mispredicts dominate the branching formulation on mixed content
     uint8_t s = st.s[ctx];
     int pstate = s >> 1, mps = s & 1;
     uint32_t r_lps = kRangeTabLPS[4 * pstate + ((range_ >> 6) & 3)];
     range_ -= r_lps;
-    int bin;
-    if (offset_ >= range_) {
-      bin = mps ^ 1;
-      offset_ -= range_;
-      q_.low_ += range_;  // encoder LPS path uses the same post-sub range
-      range_ = r_lps;
-      if (pstate == 0) mps ^= 1;
-      st.s[ctx] = (uint8_t)((kTransIdxLPS[pstate] << 1) | mps);
-    } else {
-      bin = mps;
-      st.s[ctx] = (uint8_t)((kTransIdxMPS[pstate] << 1) | mps);
-    }
+    int is_lps = offset_ >= range_;
+    uint8_t ns_mps = (uint8_t)((kTransIdxMPS[pstate] << 1) | mps);
+    uint8_t ns_lps =
+        (uint8_t)((kTransIdxLPS[pstate] << 1) | (mps ^ (pstate == 0)));
+    int bin = mps ^ is_lps;
+    q_.low_ += is_lps ? range_ : 0;  // encoder LPS path: post-sub range
+    offset_ -= is_lps ? range_ : 0;
+    range_ = is_lps ? r_lps : range_;
+    st.s[ctx] = is_lps ? ns_lps : ns_mps;
     if (range_ < 256) {
       int n = __builtin_clz(range_) - 23;
       offset_ = (offset_ << n) | take(n);

@@ -14,6 +14,10 @@
 #include <cassert>
 #include <cstdint>
 #include <vector>
+#if defined(__AVX2__) && !defined(AVT_NO_SIMD)
+#include <immintrin.h>
+#define AVT_AVX 1
+#endif
 #include "mix_tables.h"
 #include "rangecoder.h"
 #include "tables.h"
@@ -43,21 +47,17 @@ enum KeyCls : uint32_t {
   K_NCLS,
 };
 
-inline uint64_t mkey(uint32_t cls, uint32_t a = 0, uint32_t b = 0,
-                     uint32_t c = 0, uint32_t dd = 0) {
-  return ((uint64_t)cls << 40) | ((uint64_t)a << 30) | ((uint64_t)b << 20) |
-         ((uint64_t)c << 10) | dd;
-}
-
 // per-class field extents (a, b, c, d) — headroom over the parser's actual
-// ranges; asserts catch drift in debug/fuzz builds
+// ranges; asserts catch drift in debug/fuzz builds.  constexpr so mkey()
+// call sites fold base/stride lookups into immediates (the per-bin
+// KeySpace::index unpack/re-multiply was a measurable hot-path cost).
 struct KeySpace {
   uint32_t dims[K_NCLS][4];
   uint32_t base[K_NCLS];
   uint32_t stride[K_NCLS][3];  // a, b, c strides (d stride is 1)
   uint32_t total;
 
-  KeySpace() {
+  constexpr KeySpace() : dims{}, base{}, stride{}, total(0) {
     auto set = [&](uint32_t cls, uint32_t a, uint32_t b = 1, uint32_t c = 1,
                    uint32_t d = 1) {
       dims[cls][0] = a;
@@ -108,17 +108,26 @@ struct KeySpace {
     total = off;
   }
 
-  uint32_t index(uint64_t key) const {
-    uint32_t cls = (uint32_t)(key >> 40);
-    uint32_t a = (key >> 30) & 1023, b = (key >> 20) & 1023,
-             c = (key >> 10) & 1023, d = key & 1023;
-    assert(cls < K_NCLS && a < dims[cls][0] && b < dims[cls][1] &&
-           c < dims[cls][2] && d < dims[cls][3]);
-    return base[cls] + a * stride[cls][0] + b * stride[cls][1] +
-           c * stride[cls][2] + d;
-  }
+  // keys carry the dense index in the low bits (see mkey); fits the trace
+  // record's 24-bit slot field by construction
+  static uint32_t index(uint64_t key) { return (uint32_t)key & 0xFFFFFF; }
 };
-inline const KeySpace kKeys{};
+inline constexpr KeySpace kKeys{};
+static_assert(kKeys.total <= (1u << 24), "dense key index must fit 24 bits");
+
+// key = cls<<40 | dense index.  The dense index is computed at the call
+// site with compile-time-constant strides (kKeys is constexpr), so the
+// model never re-derives it per bin.  Estimator identity per (cls,a,b,c,d)
+// tuple is unchanged — streams are byte-identical to the packed-field
+// encoding this replaces.
+inline uint64_t mkey(uint32_t cls, uint32_t a = 0, uint32_t b = 0,
+                     uint32_t c = 0, uint32_t dd = 0) {
+  assert(cls < K_NCLS && a < kKeys.dims[cls][0] && b < kKeys.dims[cls][1] &&
+         c < kKeys.dims[cls][2] && dd < kKeys.dims[cls][3]);
+  return ((uint64_t)cls << 40) |
+         (kKeys.base[cls] + a * kKeys.stride[cls][0] +
+          b * kKeys.stride[cls][1] + c * kKeys.stride[cls][2] + dd);
+}
 
 // exact (pos << 16) / total for all reachable (pos, total) pairs
 struct DivTab {
@@ -248,16 +257,17 @@ class RecodeModel {
     uint32_t idx;
     uint32_t p1;
     int pcab;
-    int32_t x0, x1, x3, x4, x5;  // mixer inputs for the weight update
     uint32_t cls;
+    // mixer input vector (x[2] is the constant bias input 77; x[6], x[7]
+    // are zero padding so the weight update can run as one 8-lane op)
+    alignas(32) int32_t x[8];
   };
   Prep prepare(uint64_t key, int pcab = 0) {
     Prep pp;
     pp.cell = touch(key, &pp.idx);
     pp.pcab = pcab;
     pp.cls = (uint32_t)(key >> 40);
-    pp.p1 = mix_prob(*pp.cell, pp.cls, pcab, &pp.x0, &pp.x1, &pp.x3, &pp.x4,
-                     &pp.x5);
+    pp.p1 = mix_prob(*pp.cell, pp.cls, pcab, &pp);
     return pp;
   }
   void commit(const Prep& pp, uint64_t key, int bit) {
@@ -330,7 +340,7 @@ class RecodeModel {
     uint64_t cache_size;
     size_t out_len;
     size_t rec_len, lim_len;  // trace mode
-    int32_t wmix[K_NCLS * 6];  // mixer weights (small: full copy)
+    int32_t wmix[K_NCLS * 8];  // mixer weights (small: full copy)
   };
 
   Snapshot snapshot() {
@@ -344,7 +354,7 @@ class RecodeModel {
       s.rec_len = trace_->recs.size();
       s.lim_len = trace_->limits.size();
     }
-    std::copy(wmix_, wmix_ + K_NCLS * 6, s.wmix);
+    std::copy(wmix_, wmix_ + K_NCLS * 8, s.wmix);
     return s;
   }
   void commit(const Snapshot& s) { journal_.resize(s.journal_len); }
@@ -367,11 +377,12 @@ class RecodeModel {
       trace_->limits.resize(s.lim_len);
       trace_->cls.resize(s.lim_len);
     }
-    std::copy(s.wmix, s.wmix + K_NCLS * 6, wmix_);
+    std::copy(s.wmix, s.wmix + K_NCLS * 8, wmix_);
   }
 
   Bytes finish() { return enc_->finish(); }
   const Trace* trace() const { return trace_; }
+
 
   // Export-time trace finalization: remap dense key indices (written by
   // put_bit) to first-appearance slot ids and build the per-slot halving
@@ -437,12 +448,14 @@ class RecodeModel {
     start_gen_ = ++pool_->gen_counter;
     epoch_ = start_gen_;
     for (uint32_t c = 0; c < K_NCLS; c++) {
-      wmix_[c * 6 + 0] = 24576;  // 0.375 in 16-frac
-      wmix_[c * 6 + 1] = 24576;
-      wmix_[c * 6 + 2] = 0;
-      wmix_[c * 6 + 3] = 0;
-      wmix_[c * 6 + 4] = 0;
-      wmix_[c * 6 + 5] = 0;
+      wmix_[c * 8 + 0] = 24576;  // 0.375 in 16-frac
+      wmix_[c * 8 + 1] = 24576;
+      wmix_[c * 8 + 2] = 0;
+      wmix_[c * 8 + 3] = 0;
+      wmix_[c * 8 + 4] = 0;
+      wmix_[c * 8 + 5] = 0;
+      wmix_[c * 8 + 6] = 0;  // pad lanes (SIMD width); never move: x=0
+      wmix_[c * 8 + 7] = 0;
     }
   }
 
@@ -471,36 +484,56 @@ class RecodeModel {
   // int32-safe and floor-shift based, mirrored exactly by
   // models/h264_model.py and the device kernels; the shared stretch/
   // squash tables are generated once (tools/gen_mix_tables.py).
+  // Hot-path layout note: all arithmetic below is exactly the scalar
+  // formulation (int32 two's-complement adds are order-independent, mullo/
+  // srai are exact), so the AVX2 path is byte-identical to the scalar one —
+  // guarded by the Python differential suite and hash_corpus.py.
   uint32_t mix_prob(const EstPool::Cell& c, uint32_t cls, int pcab,
-                    int32_t* x0o, int32_t* x1o, int32_t* x3o, int32_t* x4o,
-                    int32_t* x5o) const {
+                    Prep* pp) {
     int32_t x0 = kDivStretch.t[(c.pos + c.neg) * 97 + c.pos];
     int32_t x1 = pcab > 0 ? kStretch12[pcab >> 4] : 0;
     int32_t x3 = kDivStretch.t[(c.fpos + c.fneg) * 97 + c.fpos];
-    int32_t x4 = c.last == 2 ? 0 : c.last ? kHistMag : -kHistMag;
-    int32_t x5 = c.last2 == 2 ? 0 : c.last2 ? kHist2Mag : -kHist2Mag;
-    const int32_t* w = &wmix_[cls * 6];
-    int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
-                   (w[3] >> 6) * x3 + (w[4] >> 6) * x4 +
-                   (w[5] >> 6) * x5) >> 10;
+    // history inputs via direct index (last/last2 in {0,1,2}; 2 = none)
+    static constexpr int32_t kHistLut[3] = {-kHistMag, kHistMag, 0};
+    static constexpr int32_t kHist2Lut[3] = {-kHist2Mag, kHist2Mag, 0};
+    int32_t x4 = kHistLut[c.last];
+    int32_t x5 = kHist2Lut[c.last2];
+    int32_t* x = pp->x;
+    x[0] = x0; x[1] = x1; x[2] = 77; x[3] = x3; x[4] = x4; x[5] = x5;
+    x[6] = 0; x[7] = 0;
+    const int32_t* w = &wmix_[cls * 8];
+    // scalar dot on purpose: the 6 imuls issue in parallel and feed the
+    // squash lookup on the serial chain — a SIMD dot (insert chain +
+    // mullo + horizontal sum) measured slower, as did a register-cached
+    // weight row (the vector dot it forces outweighs the saved loads)
+    int32_t dot =
+        ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+         (w[3] >> 6) * x3 + (w[4] >> 6) * x4 + (w[5] >> 6) * x5) >> 10;
     if (dot < -2048) dot = -2048;
     if (dot > 2047) dot = 2047;
-    *x0o = x0;
-    *x1o = x1;
-    *x3o = x3;
-    *x4o = x4;
-    *x5o = x5;
     return kSquash[dot + 2048];
   }
   void update_mix(const Prep& pp, int bit) {
-    int32_t* w = &wmix_[pp.cls * 6];
     int32_t err = (bit << 16) - (int32_t)pp.p1;
-    w[0] = wclamp(w[0] + ((err * pp.x0) >> 14));
-    w[1] = wclamp(w[1] + ((err * pp.x1) >> 14));
+    int32_t* w = &wmix_[pp.cls * 8];
+#ifdef AVT_AVX
+    __m256i xv = _mm256_load_si256((const __m256i*)pp.x);
+    __m256i wv = _mm256_loadu_si256((const __m256i*)w);
+    __m256i dv = _mm256_srai_epi32(
+        _mm256_mullo_epi32(_mm256_set1_epi32(err), xv), 14);
+    __m256i nw = _mm256_add_epi32(wv, dv);
+    nw = _mm256_min_epi32(
+        _mm256_set1_epi32(1 << 24),
+        _mm256_max_epi32(_mm256_set1_epi32(-(1 << 24)), nw));
+    _mm256_storeu_si256((__m256i*)w, nw);  // pad lanes: x=0 -> unchanged
+#else
+    w[0] = wclamp(w[0] + ((err * pp.x[0]) >> 14));
+    w[1] = wclamp(w[1] + ((err * pp.x[1]) >> 14));
     w[2] = wclamp(w[2] + ((err * 77) >> 14));
-    w[3] = wclamp(w[3] + ((err * pp.x3) >> 14));
-    w[4] = wclamp(w[4] + ((err * pp.x4) >> 14));
-    w[5] = wclamp(w[5] + ((err * pp.x5) >> 14));
+    w[3] = wclamp(w[3] + ((err * pp.x[3]) >> 14));
+    w[4] = wclamp(w[4] + ((err * pp.x[4]) >> 14));
+    w[5] = wclamp(w[5] + ((err * pp.x[5]) >> 14));
+#endif
   }
   static int32_t wclamp(int32_t w) {
     return w < -(1 << 24) ? -(1 << 24) : w > (1 << 24) ? (1 << 24) : w;
@@ -534,7 +567,7 @@ class RecodeModel {
   };
 
   EstPool* pool_ = nullptr;
-  int32_t wmix_[K_NCLS * 6];
+  int32_t wmix_[K_NCLS * 8];
   uint32_t start_gen_ = 0, epoch_ = 0;
   std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;
