@@ -38,6 +38,134 @@ static Bytes parse_avcc_field(const uint8_t* p, size_t len, int* length_size,
   return {};
 }
 
+// tkhd track_id (0 if absent)
+static uint32_t track_id_of(const uint8_t* d, uint64_t trak_s,
+                            uint64_t trak_e) {
+  uint64_t s, e;
+  if (!find_box(d, trak_s, trak_e, {"tkhd"}, 0, &s, &e)) return 0;
+  if (s >= e) return 0;
+  uint64_t off = s + 4 + (d[s] ? 16 : 8);  // ver/flags + ctime + mtime
+  if (off + 4 > e) return 0;
+  return rd32(d + off);
+}
+
+// mvex/trex default_sample_size for track_id (0 if none)
+static uint32_t trex_size_of(const uint8_t* d, uint64_t moov_s,
+                             uint64_t moov_e, uint32_t tid) {
+  uint64_t mvex_s, mvex_e;
+  if (!find_box(d, moov_s, moov_e, {"mvex"}, 0, &mvex_s, &mvex_e)) return 0;
+  uint32_t out = 0;
+  for_boxes(d, mvex_s, mvex_e, [&](const uint8_t* t, uint64_t s, uint64_t e) {
+    if (memcmp(t, "trex", 4) || s + 20 > e) return true;
+    if (rd32(d + s + 4) == tid) {
+      out = rd32(d + s + 16);
+      return false;
+    }
+    return true;
+  });
+  return out;
+}
+
+// fragmented MP4 (DASH/CMAF): walk top-level moof boxes -> (offset, size)
+// per sample in file order; mirrors utils/mp4.py::_fragment_samples.
+// Covers what the reference gets from libavformat (recode.cpp:89-96):
+// tfhd base_data_offset / default-base-is-moof / implicit moof-start base,
+// tfhd+trex default sizes, multi-trun trafs with continuation offsets.
+static void fragment_samples(const uint8_t* d, size_t n, uint32_t tid,
+                             uint32_t trex_size,
+                             std::vector<std::pair<uint64_t, uint64_t>>* out) {
+  uint64_t pos0 = 0;
+  while (pos0 + 8 <= n) {
+    uint64_t size = rd32(d + pos0);
+    const uint8_t* t = d + pos0 + 4;
+    uint64_t hdr = 8;
+    if (size == 1) {
+      if (pos0 + 16 > n) break;
+      size = rd64(d + pos0 + 8);
+      hdr = 16;
+    } else if (size == 0) {
+      size = n - pos0;
+    }
+    if (size < hdr || pos0 + size > n) break;
+    if (!memcmp(t, "moof", 4)) {
+      uint64_t moof_start = pos0, moof_s = pos0 + hdr, moof_e = pos0 + size;
+      bool have_prev_traf = false;
+      uint64_t traf_base_next = 0;
+      for_boxes(d, moof_s, moof_e,
+                [&](const uint8_t* t2, uint64_t traf_s, uint64_t traf_e) {
+        if (memcmp(t2, "traf", 4)) return true;
+        uint64_t s, e;
+        if (!find_box(d, traf_s, traf_e, {"tfhd"}, 0, &s, &e)) return true;
+        if (s + 8 > e) return true;
+        uint32_t flags = rd32(d + s) & 0xFFFFFF;
+        uint32_t this_tid = rd32(d + s + 4);
+        uint64_t p = s + 8;
+        bool have_base = false;
+        uint64_t base = 0;
+        if (flags & 0x01) {
+          if (p + 8 > e) return true;
+          base = rd64(d + p);
+          have_base = true;
+          p += 8;
+        }
+        if (flags & 0x02) p += 4;
+        if (flags & 0x08) p += 4;
+        uint64_t dsize = trex_size;
+        if (flags & 0x10) {
+          if (p + 4 > e) return true;
+          dsize = rd32(d + p);
+          p += 4;
+        }
+        if (!have_base)
+          base = (flags & 0x20000) ? moof_start
+                                   : (have_prev_traf ? traf_base_next
+                                                     : moof_start);
+        if (this_tid != tid) return true;
+        bool have_run = false;
+        uint64_t run_pos = 0;
+        for_boxes(d, traf_s, traf_e,
+                  [&](const uint8_t* t3, uint64_t s3, uint64_t e3) {
+          if (memcmp(t3, "trun", 4) || s3 + 8 > e3) return true;
+          uint32_t tf = rd32(d + s3) & 0xFFFFFF;
+          uint32_t count = rd32(d + s3 + 4);
+          uint64_t q = s3 + 8;
+          if (tf & 0x01) {
+            if (q + 4 > e3) return false;
+            run_pos = base + (int64_t)(int32_t)rd32(d + q);
+            have_run = true;
+            q += 4;
+          } else if (!have_run) {
+            run_pos = base;
+            have_run = true;
+          }
+          if (tf & 0x04) q += 4;
+          uint64_t per = ((tf & 0x100) ? 4 : 0) + ((tf & 0x200) ? 4 : 0) +
+                         ((tf & 0x400) ? 4 : 0) + ((tf & 0x800) ? 4 : 0);
+          for (uint32_t i = 0; i < count; i++) {
+            uint64_t size2 = dsize;
+            uint64_t r = q + i * per;
+            if (tf & 0x100) r += 4;
+            if (tf & 0x200) {
+              if (r + 4 > e3) return false;
+              size2 = rd32(d + r);
+            }
+            if (!size2 || run_pos + size2 > n) return false;  // corrupt tail
+            out->push_back({run_pos, size2});
+            run_pos += size2;
+          }
+          return true;
+        });
+        if (have_run) {
+          traf_base_next = run_pos;
+          have_prev_traf = true;
+        }
+        return true;
+      });
+    }
+    pos0 += size;
+  }
+}
+
 static std::optional<H264Stream> demux_mp4(const uint8_t* d, size_t n) {
   uint64_t moov_s, moov_e;
   if (!find_box(d, 0, n, {"moov"}, 0, &moov_s, &moov_e)) return std::nullopt;
@@ -117,6 +245,7 @@ static std::optional<H264Stream> demux_mp4(const uint8_t* d, size_t n) {
     H264Stream stream;
     stream.sps_list = sps;
     stream.pps_list = pps;
+    std::vector<std::pair<uint64_t, uint64_t>> samples;
     size_t si = 0;
     for (size_t ci = 0; ci < chunks.size(); ci++) {
       uint32_t spc = 1;
@@ -128,26 +257,35 @@ static std::optional<H264Stream> demux_mp4(const uint8_t* d, size_t n) {
       }
       uint64_t pos = chunks[ci];
       for (uint32_t k = 0; k < spc && si < sizes.size(); k++) {
-        uint64_t off = pos, end = pos + sizes[si];
-        if (end > n) throw ParseError("sample beyond file");
-        uint64_t p = off;
-        while (p + length_size <= end) {
-          uint64_t ln = 0;
-          if (length_size == 4)
-            ln = rd32(d + p);
-          else if (length_size == 2)
-            ln = rd16(d + p);
-          else
-            ln = d[p];
-          p += length_size;
-          if (ln == 0 || p + ln > end) break;
-          uint8_t hdr = d[p];
-          stream.nals.push_back(
-              {p, ln, hdr & 0x1F, (hdr >> 5) & 3});
-          p += ln;
-        }
+        if (pos + sizes[si] > n) throw ParseError("sample beyond file");
+        samples.push_back({pos, sizes[si]});
         pos += sizes[si];
         si++;
+      }
+    }
+    // fragmented MP4: samples described by moof/traf/trun after the
+    // (possibly empty) moov
+    uint32_t tid = track_id_of(d, ts, te);
+    if (tid)
+      fragment_samples(d, n, tid, trex_size_of(d, moov_s, moov_e, tid),
+                       &samples);
+    for (auto& [off, size] : samples) {
+      uint64_t end = off + size;
+      uint64_t p = off;
+      while (p + length_size <= end) {
+        uint64_t ln = 0;
+        if (length_size == 4)
+          ln = rd32(d + p);
+        else if (length_size == 2)
+          ln = rd16(d + p);
+        else
+          ln = d[p];
+        p += length_size;
+        if (ln == 0 || p + ln > end) break;
+        uint8_t hdr = d[p];
+        stream.nals.push_back(
+            {p, ln, hdr & 0x1F, (hdr >> 5) & 3});
+        p += ln;
       }
     }
     result = std::move(stream);

@@ -19,10 +19,32 @@ way (Pallas kernel on TPU, XLA scans elsewhere).
 """
 
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Persistent compilation cache: the lane-pipeline shapes cost minutes to
+# compile against the remote (axon-tunneled) TPU; caching executables on
+# disk turns every later process's warm-up into a deserialize+load
+# (~2-4x faster measured) and makes bench runs steady-state.  Harmless on
+# CPU test runs; opt out with AVT_NO_JAX_CACHE=1.
+if not os.environ.get("AVT_NO_JAX_CACHE"):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "AVT_JAX_CACHE_DIR",
+                os.path.join(os.path.dirname(__file__), "..", "..", "build",
+                             "jaxcache"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without these flags: cache is best-effort
+        pass
 
 from ..codec import _scan_blocks, serialize_container
 from ..models.trace import N_CLS, TraceModel

@@ -170,6 +170,124 @@ def _sample_offsets(data, tables):
     return offsets, sizes
 
 
+def _track_id(data, trak_s, trak_e):
+    """track_id from tkhd (None if absent/corrupt)."""
+    tkhd = _find_box(data, trak_s, trak_e, [b"tkhd"])
+    if not tkhd:
+        return None
+    s, e = tkhd
+    if s >= e:
+        return None
+    ver = data[s]
+    off = s + 4 + (16 if ver else 8)  # ver/flags + ctime + mtime
+    if off + 4 > e:
+        return None
+    return struct.unpack(">I", data[off : off + 4])[0]
+
+
+def _trex_defaults(data, moov_s, moov_e, track_id):
+    """trex default_sample_size for the track (0 if none)."""
+    mvex = _find_box(data, moov_s, moov_e, [b"mvex"])
+    if not mvex:
+        return 0
+    for btype, s, e in _boxes(data, mvex[0], mvex[1]):
+        if btype != b"trex" or s + 24 > e:
+            continue
+        tid, _sdi, _dur, dsize = struct.unpack(">IIII", data[s + 4 : s + 20])
+        if tid == track_id:
+            return dsize
+    return 0
+
+
+def _fragment_samples(data, track_id, trex_size):
+    """Walk top-level moof boxes -> (offset, size) per sample, file order.
+
+    Covers the DASH/CMAF layouts the reference gets from libavformat
+    (recode.cpp:89-96): tfhd base_data_offset / default-base-is-moof /
+    implicit moof-start base, tfhd+trex default sample sizes, multi-trun
+    trafs with implicit continuation offsets."""
+    samples = []
+    pos0 = 0
+    tops = []  # (box_start, body_start, body_end) of top-level moofs
+    while pos0 + 8 <= len(data):
+        size = struct.unpack(">I", data[pos0 : pos0 + 4])[0]
+        btype = data[pos0 + 4 : pos0 + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack(">Q", data[pos0 + 8 : pos0 + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = len(data) - pos0
+        if size < hdr or pos0 + size > len(data):
+            break
+        if btype == b"moof":
+            tops.append((pos0, pos0 + hdr, pos0 + size))
+        pos0 += size
+    for moof_start, moof_s, moof_e in tops:
+        traf_base_next = None  # end of previous traf's data (implicit base)
+        for t2, traf_s, traf_e in _boxes(data, moof_s, moof_e):
+            if t2 != b"traf":
+                continue
+            tfhd = _find_box(data, traf_s, traf_e, [b"tfhd"])
+            if not tfhd:
+                continue
+            s, e = tfhd
+            flags = struct.unpack(">I", data[s : s + 4])[0] & 0xFFFFFF
+            tid = struct.unpack(">I", data[s + 4 : s + 8])[0]
+            pos = s + 8
+            base = None
+            if flags & 0x01:
+                base = struct.unpack(">Q", data[pos : pos + 8])[0]
+                pos += 8
+            if flags & 0x02:
+                pos += 4
+            if flags & 0x08:
+                pos += 4
+            dsize = trex_size
+            if flags & 0x10:
+                dsize = struct.unpack(">I", data[pos : pos + 4])[0]
+                pos += 4
+            if base is None:
+                if flags & 0x20000:  # default-base-is-moof
+                    base = moof_start
+                else:
+                    base = (moof_start if traf_base_next is None
+                            else traf_base_next)
+            if tid != track_id:
+                continue
+            run_pos = None
+            for t3, trun_s, trun_e in _boxes(data, traf_s, traf_e):
+                if t3 != b"trun":
+                    continue
+                s3 = trun_s
+                tf = struct.unpack(">I", data[s3 : s3 + 4])[0] & 0xFFFFFF
+                count = struct.unpack(">I", data[s3 + 4 : s3 + 8])[0]
+                p = s3 + 8
+                if tf & 0x01:
+                    doff = struct.unpack(">i", data[p : p + 4])[0]
+                    run_pos = base + doff
+                    p += 4
+                elif run_pos is None:
+                    run_pos = base
+                if tf & 0x04:
+                    p += 4
+                per = ((4 if tf & 0x100 else 0) + (4 if tf & 0x200 else 0)
+                       + (4 if tf & 0x400 else 0) + (4 if tf & 0x800 else 0))
+                for i in range(count):
+                    size = dsize
+                    q = p + i * per
+                    if tf & 0x100:
+                        q += 4
+                    if tf & 0x200:
+                        size = struct.unpack(">I", data[q : q + 4])[0]
+                    if size <= 0 or run_pos + size > len(data):
+                        return samples  # corrupt tail: keep what we have
+                    samples.append((run_pos, size))
+                    run_pos += size
+            traf_base_next = run_pos if run_pos is not None else base
+    return samples
+
+
 def _is_avc_track(data, trak_s, trak_e):
     stsd = _find_box(data, trak_s, trak_e, [b"mdia", b"minf", b"stbl", b"stsd"])
     if not stsd:
@@ -199,8 +317,15 @@ def demux_mp4(data):
         stbl = _find_box(data, trak_s, trak_e, [b"mdia", b"minf", b"stbl"])
         tables = _parse_stbl(data, stbl[0], stbl[1])
         offsets, sizes = _sample_offsets(data, tables)
+        samples = list(zip(offsets, sizes))
+        # fragmented MP4 (DASH/CMAF): the rest of (or all of) the samples
+        # live in moof/traf/trun fragments after the (possibly empty) moov
+        tid = _track_id(data, trak_s, trak_e)
+        if tid is not None:
+            trex_size = _trex_defaults(data, moov[0], moov[1], tid)
+            samples += _fragment_samples(data, tid, trex_size)
         nals = []
-        for off, size in zip(offsets, sizes):
+        for off, size in samples:
             pos = off
             end = off + size
             while pos + length_size <= end:

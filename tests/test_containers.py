@@ -111,3 +111,39 @@ def test_mkv_mbaff():
     assert decompress(c) == data
     assert len(c) < 0.96 * len(data)
     assert native.compress(data) == c
+
+
+def _fragmented(mode):
+    """Fragmented-MP4 fixture (moof/traf/trun): `frag` uses tfhd
+    base_data_offset; `frag_moofbase` the DASH/CMAF default-base-is-moof
+    layout."""
+    src_data, _ = _remuxed("mkv")  # ensures source + remux binary exist
+    src = os.path.join(DATA, "rt_ctr.mp4")
+    dst = os.path.join(DATA, "rt_ctr_" + mode + ".mp4")
+    if not os.path.exists(dst):
+        subprocess.run([REMUX, src, dst, mode], check=True,
+                       capture_output=True)
+    return src_data, open(dst, "rb").read()
+
+
+@pytest.mark.parametrize("mode", ["frag", "frag_moofbase"])
+def test_fmp4_demux_same_payloads(mode):
+    mp4, frag = _fragmented(mode)
+    s1, s2 = demux(mp4), demux(frag)
+    p1 = [bytes(nal_payload(mp4, n)) for n in s1.nals if n.nal_type in (1, 5)]
+    p2 = [bytes(nal_payload(frag, n)) for n in s2.nals if n.nal_type in (1, 5)]
+    assert p1 == p2 and len(p1) > 0
+
+
+@pytest.mark.parametrize("mode", ["frag", "frag_moofbase"])
+def test_fmp4_roundtrip_native_identical(mode):
+    mp4, frag = _fragmented(mode)
+    pc = compress(frag)
+    nc = native.compress(frag)
+    assert pc == nc
+    assert decompress(pc) == frag
+    assert native.decompress(nc) == frag
+    # recodes (not literal): savings at parity with the plain-MP4 original
+    saved_mp4 = len(mp4) - len(compress(mp4))
+    saved_frag = len(frag) - len(pc)
+    assert saved_frag > 0.75 * saved_mp4 > 0

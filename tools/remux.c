@@ -3,14 +3,19 @@
  * SAME H.264 stream recodes to the same ratio from MP4/MKV/TS — the coverage
  * the reference gets from libavformat (SURVEY.md C5, recode.cpp:89-96).
  *
- * Usage: remux in.mp4 out.{ts,mkv,mp4,264}
+ * Usage: remux in.mp4 out.{ts,mkv,mp4,264} [frag|frag_moofbase]
+ *   frag          — fragmented MP4 (moof/traf/trun, base_data_offset)
+ *   frag_moofbase — fragmented MP4 with default-base-is-moof tfhd bases
+ *                   (the DASH/CMAF profile layout)
  */
 #include <libavformat/avformat.h>
+#include <libavutil/opt.h>
 #include <stdio.h>
+#include <string.h>
 
 int main(int argc, char **argv) {
-  if (argc != 3) {
-    fprintf(stderr, "usage: %s in out\n", argv[0]);
+  if (argc != 3 && argc != 4) {
+    fprintf(stderr, "usage: %s in out [frag|frag_moofbase]\n", argv[0]);
     return 2;
   }
   AVFormatContext *in = NULL, *out = NULL;
@@ -33,7 +38,16 @@ int main(int argc, char **argv) {
   }
   if (!(out->oformat->flags & AVFMT_NOFILE))
     if (avio_open(&out->pb, argv[2], AVIO_FLAG_WRITE) < 0) return 1;
-  if (avformat_write_header(out, NULL) < 0) return 1;
+  AVDictionary *opts = NULL;
+  if (argc == 4 && !strncmp(argv[3], "frag", 4))
+    av_dict_set(&opts, "movflags",
+                strcmp(argv[3], "frag_moofbase") == 0
+                    ? "+frag_keyframe+empty_moov+default_base_moof"
+                    : "+frag_keyframe+empty_moov",
+                0);
+  int hdr_ret = avformat_write_header(out, &opts);
+  av_dict_free(&opts);
+  if (hdr_ret < 0) return 1;
   AVPacket *pkt = av_packet_alloc();
   while (av_read_frame(in, pkt) >= 0) {
     if (pkt->stream_index < 64 && map[pkt->stream_index] >= 0) {
