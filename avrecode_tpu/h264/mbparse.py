@@ -27,7 +27,8 @@ hooked decoder's semantics (fill_decode_neighbors left-pair split + y remap,
 skip/field-flag register conventions) — the same behavior the reference
 inherits from its ffmpeg patch (SURVEY.md C18, recode.cpp:149-235).  I_PCM
 macroblocks recode (escape flush + raw samples + engine re-init); PAFF
-field pictures raise UnsupportedStream -> literal fallback.
+field pictures recode as half-height all-field-coded pictures (plain
+raster addressing, field context rows — tests/test_paff.py).
 """
 
 import numpy as np
