@@ -44,7 +44,7 @@ from .utils.container import (
 def _try_slice(rec, cur_pic, prev_pic, slice_id, model, isolate=False):
     """Model-pass parse of one slice. Returns (mb_count, tail) or raises."""
     payload = rec.rbsp[rec.cabac_offset :]
-    idc = None if rec.header.slice_type == 2 else rec.header.cabac_init_idc
+    idc = None if rec.header.slice_type in (2, 4) else rec.header.cabac_init_idc
     coder = CompressCoder(payload, rec.header.slice_qp, idc, model=model)
     parser = SliceParser(
         rec.sps, rec.pps, rec.header, cur_pic, prev_pic, coder, slice_id, isolate=isolate
@@ -350,7 +350,7 @@ def decompress(blob):
             cur_pic = PicState(sps.pic_width_in_mbs,
                                mb_height(sps) >> int(hdr.field_pic))
         slice_id += 1
-        idc = None if hdr.slice_type == 2 else hdr.cabac_init_idc
+        idc = None if hdr.slice_type in (2, 4) else hdr.cabac_init_idc
         coder = DecompressCoder(hdr.slice_qp, idc, smodel)
         parser = SliceParser(
             sps, pps, hdr, cur_pic, prev_pic, coder, slice_id,

@@ -45,7 +45,7 @@ from ..ops._tables_data import (
 )
 from .geometry import BLK4_X, BLK4_Y, RASTER_TO_BLK4, blk4_neighbor, chroma_blk_neighbor
 from .params import UnsupportedStream
-from .slicehdr import SLICE_I, SLICE_P
+from .slicehdr import SLICE_I, SLICE_P, SLICE_SI, SLICE_SP
 
 
 class ParseDesync(Exception):
@@ -62,6 +62,7 @@ MB_INTER = 4
 MB_I_NXN = 5  # I_4x4 / I_8x8
 MB_I16 = 6
 MB_I_PCM = 7
+MB_SI = 8  # SI macroblock (Intra_4x4 content, qs-domain reconstruction)
 
 # inter partition prediction modes
 PRED_L0, PRED_L1, PRED_BI, PRED_DIRECT, PRED_NONE = 1, 2, 3, 4, 0
@@ -209,11 +210,22 @@ class SliceParser:
         self.cur_field = 1 if self.field_pic else 0
         self.eff_field = 0
         self.field_known = False
-        self.stype = header.slice_type
+        # SP slices parse exactly like P (7.3.5: same mb layer; the qs
+        # domain only changes reconstruction); SI keeps its own type for
+        # the mb_type prefix bin and the absent skip flag
+        self.stype = (SLICE_P if header.slice_type == SLICE_SP
+                      else header.slice_type)
         # 4:2:2: 2x4 chroma 4x4-block grid, 8-coeff chroma DC
         self.ch422 = sps.chroma_format_idc == 2
         # 4:4:4 (non-separate): Cb/Cr recode as luma-style planes (cats 6-13)
-        self.ch444 = sps.chroma_format_idc == 3
+        # ChromaArrayType semantics (7.4.2.1.1): separate colour planes
+        # code each plane as a monochrome picture (ChromaArrayType 0)
+        self.ch444 = (sps.chroma_format_idc == 3
+                      and not sps.separate_colour_plane_flag)
+        # monochrome (ChromaArrayType 0): no chroma planes at all — no
+        # chroma pred mode, no chroma cbp bins, luma-only residuals
+        self.ch400 = (sps.chroma_format_idc == 0
+                      or bool(sps.separate_colour_plane_flag))
         self.ch_grid_h = 4 if self.ch422 else 2
         self.n_chroma_ac = 8 if self.ch422 else 4
         self.nref0 = header.num_ref_idx_l0_active
@@ -413,6 +425,26 @@ class SliceParser:
     def parse_mb_type(self):
         """Returns (mbclass, info) where info depends on class."""
         p = self.pic
+        if self.stype == SLICE_SI:
+            # SI mb_type (9.3.2.5, Table 9-11 ctxIdxOffset 0): prefix bin
+            # 0 -> SI macroblock; 1 -> the full I-slice binarization.
+            # Prefix ctxInc per 9.3.3.1.1.3: neighbors counted unless SI.
+            a, b = self._left(), self._up()
+            inc = 0
+            for pos in (a, b):
+                if self._avail(pos) and p.mbclass[pos[1], pos[0]] != MB_SI:
+                    inc += 1
+            if not self._bin(0 + inc, ("simbtype", inc)):
+                return MB_SI, None
+            inc2 = 0
+            if self._avail(a) and p.mbclass[a[1], a[0]] != MB_I_NXN:
+                inc2 += 1
+            if self._avail(b) and p.mbclass[b[1], b[0]] != MB_I_NXN:
+                inc2 += 1
+            if not self._bin(3 + inc2, ("imbtype", inc2)):
+                return MB_I_NXN, None
+            info = self.parse_mb_type_i_suffix(3, True)
+            return (MB_I_PCM, None) if info is None else (MB_I16, info)
         if self.stype == SLICE_I:
             a, b = self._left(), self._up()
             inc = 0
@@ -429,7 +461,7 @@ class SliceParser:
             inc2 = 0
             for w, pos in ((1, self._left()), (2, self._up())):
                 if self._avail(pos) and p.mbclass[pos[1], pos[0]] in (
-                    MB_I_NXN, MB_I16, MB_I_PCM,
+                    MB_I_NXN, MB_I16, MB_I_PCM, MB_SI,
                 ):
                     inc2 += w
             if self._bin(14, ("pmbtype0", inc2)):
@@ -523,7 +555,7 @@ class SliceParser:
         for pos in (a, b):
             if self._avail(pos):
                 cls = p.mbclass[pos[1], pos[0]]
-                if cls in (MB_I_NXN, MB_I16) and p.chroma_mode[pos[1], pos[0]] != 0:
+                if cls in (MB_I_NXN, MB_I16, MB_SI) and p.chroma_mode[pos[1], pos[0]] != 0:
                     inc += 1
         if not self._bin(64 + inc, ("cpred0", inc)):
             return 0
@@ -533,7 +565,7 @@ class SliceParser:
 
     def parse_cbp(self, mbclass):
         p = self.pic
-        intra = int(mbclass in (MB_I_NXN, MB_I16))
+        intra = int(mbclass in (MB_I_NXN, MB_I16, MB_SI))
         a, b = self._left(), self._up()
         avail_a, avail_b = self._avail(a), self._avail(b)
         cbp = 0
@@ -563,8 +595,8 @@ class SliceParser:
                 cond_b = 0 if (cbp >> x8) & 1 else 1
             if self._bin(73 + cond_a + 2 * cond_b, ("cbpl", i8, cond_a + 2 * cond_b, intra)):
                 cbp |= 1 << i8
-        if self.ch444:  # no chroma cbp bins; luma bits apply per plane
-            return cbp, 0
+        if self.ch444 or self.ch400:  # no chroma cbp bins (4:4:4 applies
+            return cbp, 0             # luma bits per plane; 4:0:0 has none)
         # chroma: TU cMax=2
         cond_a = 1 if (avail_a and p.cbp_chroma[a[1], a[0]] != 0) else 0
         cond_b = 1 if (avail_b and p.cbp_chroma[b[1], b[0]] != 0) else 0
@@ -970,7 +1002,7 @@ class SliceParser:
         """One MB: skip flag (+ MBAFF field flag interleaving handled by the
         caller for skipped pairs), then the macroblock layer."""
         skip = 0
-        if self.stype != SLICE_I:
+        if self.stype not in (SLICE_I, SLICE_SI):  # SI: no skip flag
             skip = self.parse_mb_skip()
         if skip:
             self._store_skip_mb()
@@ -1012,20 +1044,27 @@ class SliceParser:
             return
 
         t8x8 = 0
-        is_intra = mbclass in (MB_I_NXN, MB_I16)
+        is_intra = mbclass in (MB_I_NXN, MB_I16, MB_SI)
         cbp_luma = cbp_chroma = 0
         i16_cbf_luma = 0
 
-        if mbclass == MB_I_NXN:
+        if mbclass == MB_SI:
+            # Intra_4x4 content; no transform_size_8x8_flag (7.3.5 gates
+            # it on mb_type == I_NxN)
+            self.parse_intra_pred_modes(16)
+            if not self.ch444 and not self.ch400:
+                p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
+        elif mbclass == MB_I_NXN:
             if self.pps.transform_8x8_mode_flag:
                 t8x8 = self.parse_transform_8x8()
             self.parse_intra_pred_modes(4 if t8x8 else 16)
-            if not self.ch444:  # 4:4:4: chroma reuses the luma modes (7.3.5.1)
+            if not self.ch444 and not self.ch400:
+                # 4:4:4 reuses the luma modes (7.3.5.1); 4:0:0 has no chroma
                 p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
         elif mbclass == MB_I16:
             i16_cbf_luma, cbp_chroma, _pred = info
             cbp_luma = 15 if i16_cbf_luma else 0
-            if not self.ch444:
+            if not self.ch444 and not self.ch400:
                 p.chroma_mode[y, x] = self.parse_chroma_pred_mode()
         elif mbclass == MB_B_DIRECT:
             pass  # no mb_pred syntax
@@ -1040,7 +1079,7 @@ class SliceParser:
             if (
                 cbp_luma
                 and self.pps.transform_8x8_mode_flag
-                and mbclass != MB_I_NXN
+                and mbclass not in (MB_I_NXN, MB_SI)
                 and self._t8x8_allowed(mbclass, info, sub_types)
             ):
                 t8x8 = self.parse_transform_8x8()
@@ -1061,7 +1100,7 @@ class SliceParser:
         chroma pred mode 0, qp-delta chain reset)."""
         p = self.pic
         x, y = self.mbx, self.mby
-        chs = 256 if self.ch444 else 128 if self.ch422 else 64
+        chs = 0 if self.ch400 else 256 if self.ch444 else 128 if self.ch422 else 64
         n = (256 * self.sps.bit_depth_luma + 2 * chs * self.sps.bit_depth_chroma) >> 3
         self.c.pcm_samples(n)
         p.cbf_c44[:, y, x, :] = 1

@@ -32,6 +32,7 @@ class SliceHeader:
     mbaff: bool = False  # MB-adaptive frame/field frame picture
     field_pic: bool = False  # PAFF field picture (all MBs field-coded)
     bottom_field: bool = False
+    colour_plane_id: int = 0  # separate_colour_plane_flag streams
     cabac_start_byte: int = 0  # offset into unescaped RBSP where CABAC begins
 
 
@@ -55,13 +56,12 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
         raise UnsupportedStream(f"unknown SPS {pps.sps_id}")
     if not pps.entropy_coding_mode_flag:
         raise UnsupportedStream("CAVLC slice (entropy_coding_mode_flag=0)")
-    if sps.separate_colour_plane_flag:
-        raise UnsupportedStream("separate colour planes")
-    if sps.chroma_format_idc not in (1, 2, 3):
+    if sps.chroma_format_idc not in (0, 1, 2, 3):
         raise UnsupportedStream(f"chroma_format_idc {sps.chroma_format_idc}")
-    if h.slice_type in (SLICE_SP, SLICE_SI):
-        raise UnsupportedStream("SP/SI slices")
-
+    if sps.separate_colour_plane_flag:
+        h.colour_plane_id = r.u(2)  # 7.3.3: each plane codes separately
+        if h.colour_plane_id > 2:
+            raise UnsupportedStream("bad colour_plane_id")
     h.frame_num = r.u(sps.log2_max_frame_num)
     if not sps.frame_mbs_only_flag:
         if r.flag():  # field_pic_flag: individual field picture (PAFF)
@@ -89,14 +89,14 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
     h.num_ref_idx_l1_active = pps.num_ref_idx_l1_default_active
     if h.slice_type == SLICE_B:
         h.direct_spatial_mv_pred_flag = r.flag()
-    if h.slice_type in (SLICE_P, SLICE_B):
+    if h.slice_type in (SLICE_P, SLICE_SP, SLICE_B):
         if r.flag():  # num_ref_idx_active_override
             h.num_ref_idx_l0_active = r.ue() + 1
             if h.slice_type == SLICE_B:
                 h.num_ref_idx_l1_active = r.ue() + 1
 
     # ref_pic_list_modification (7.3.3.1)
-    if h.slice_type in (SLICE_P, SLICE_B):
+    if h.slice_type in (SLICE_P, SLICE_SP, SLICE_B):
         if r.flag():
             while True:
                 op = r.ue()
@@ -112,7 +112,7 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
                 r.ue()
 
     # pred_weight_table (7.3.3.2)
-    if (pps.weighted_pred_flag and h.slice_type == SLICE_P) or (
+    if (pps.weighted_pred_flag and h.slice_type in (SLICE_P, SLICE_SP)) or (
         pps.weighted_bipred_idc == 1 and h.slice_type == SLICE_B
     ):
         r.ue()  # luma_log2_weight_denom
@@ -150,11 +150,15 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
                     if op == 4:
                         r.ue()
 
-    if h.slice_type != SLICE_I:
+    if h.slice_type not in (SLICE_I, SLICE_SI):  # 7.3.3: SI has no idc
         h.cabac_init_idc = r.ue()
         if h.cabac_init_idc > 2:
             raise UnsupportedStream("bad cabac_init_idc")
     h.slice_qp = pps.pic_init_qp + r.se()
+    if h.slice_type in (SLICE_SP, SLICE_SI):
+        if h.slice_type == SLICE_SP:
+            r.flag()  # sp_for_switch_flag
+        r.se()  # slice_qs_delta (reconstruction-only; parse is unaffected)
     if pps.deblocking_filter_control_present_flag:
         idc = r.ue()
         if idc != 1:

@@ -171,7 +171,7 @@ def validate_file(data, max_slices=None, collect=None):
         coder = CompressCoder(
             payload,
             rec.header.slice_qp,
-            None if rec.header.slice_type == 2 else rec.header.cabac_init_idc,
+            None if rec.header.slice_type in (2, 4) else rec.header.cabac_init_idc,
         )
         parser = w.make_parser(rec, coder)
         try:

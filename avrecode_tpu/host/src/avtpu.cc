@@ -325,7 +325,9 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     int sid = slice_id + 1;
     const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
-    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    int idc = rec.hdr.slice_type == SLICE_I || rec.hdr.slice_type == SLICE_SI
+                  ? -1
+                  : rec.hdr.cabac_init_idc;
 
     // per-slice model (slice scope) or shared stream model; single-pass
     // with journal rollback — same flow as the Python snapshot logic.
@@ -480,7 +482,9 @@ static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
     int sid = slice_id + 1;
     const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
-    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    int idc = rec.hdr.slice_type == SLICE_I || rec.hdr.slice_type == SLICE_SI
+                  ? -1
+                  : rec.hdr.cabac_init_idc;
     RecodeModel::Snapshot snap = model.snapshot();
     int mb_count, drop;
     Bytes tail;
@@ -685,7 +689,9 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
     int sid = slice_id + 1;
     const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
-    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    int idc = rec.hdr.slice_type == SLICE_I || rec.hdr.slice_type == SLICE_SI
+                  ? -1
+                  : rec.hdr.cabac_init_idc;
     std::shared_ptr<RecodeModel> recorder =
         per_gop ? gop_rec : std::make_shared<RecodeModel>(true);
     recorder->reserve_trace(payload_size * 20);  // ~18.5 bins/payload byte
@@ -811,7 +817,9 @@ static void process_gop_x(const uint8_t* data,
     int sid = slice_id + 1;
     const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
-    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    int idc = rec.hdr.slice_type == SLICE_I || rec.hdr.slice_type == SLICE_SI
+                  ? -1
+                  : rec.hdr.cabac_init_idc;
     recorder->reserve_trace(payload_size * 20);
     RecodeModel::Snapshot snap = recorder->snapshot();
     int mb_count, drop;
@@ -1014,7 +1022,9 @@ static void decode_slice_block(const DBlock& b, int scope, uint32_t sub_bins,
                   mb_height(sps) >> (hdr.field_pic ? 1 : 0));
   }
   st->slice_id++;
-  int idc = hdr.slice_type == SLICE_I ? -1 : hdr.cabac_init_idc;
+  int idc = hdr.slice_type == SLICE_I || hdr.slice_type == SLICE_SI
+                ? -1
+                : hdr.cabac_init_idc;
   Coder c;
   c.init_decompress(hdr.slice_qp, idc, model);
   SliceParser p(sps, pps, hdr, st->cur.get(), st->prev.get(), &c,
@@ -1198,7 +1208,9 @@ static int refscore_run(const uint8_t* data, size_t size, double* out) {
     int sid = slice_id + 1;
     const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
-    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    int idc = rec.hdr.slice_type == SLICE_I || rec.hdr.slice_type == SLICE_SI
+                  ? -1
+                  : rec.hdr.cabac_init_idc;
     if (advance)  // reference frame_spec hook fires at slice start
       sc.frame_start(rec.sps.pic_width_in_mbs,
                      mb_height(rec.sps) >> (rec.hdr.field_pic ? 1 : 0));
@@ -1282,7 +1294,9 @@ static int mixlab_run(const uint8_t* data, size_t size, const double* params,
     int sid = slice_id + 1;
     const uint8_t* payload = rec.rbsp.data() + rec.cabac_offset;
     size_t payload_size = rec.rbsp.size() - rec.cabac_offset;
-    int idc = rec.hdr.slice_type == SLICE_I ? -1 : rec.hdr.cabac_init_idc;
+    int idc = rec.hdr.slice_type == SLICE_I || rec.hdr.slice_type == SLICE_SI
+                  ? -1
+                  : rec.hdr.cabac_init_idc;
     try {
       Coder c;
       c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);

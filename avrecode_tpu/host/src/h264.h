@@ -77,6 +77,7 @@ struct SliceHeader {
   bool mbaff = false;  // MB-adaptive frame/field frame picture
   bool field_pic = false;  // PAFF field picture (all MBs field-coded)
   bool bottom_field = false;
+  int colour_plane_id = 0;  // separate_colour_plane_flag streams
   int cabac_init_idc = 0, slice_qp = 26;
   int num_ref_idx_l0_active = 1, num_ref_idx_l1_active = 1;
   int direct_spatial_mv_pred_flag = 0;
@@ -191,12 +192,12 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
   if (sit == sps_map.end()) throw Unsupported("unknown SPS");
   const SPS& sps = sit->second;
   if (!pps.entropy_coding_mode_flag) throw Unsupported("CAVLC slice");
-  if (sps.separate_colour_plane_flag) throw Unsupported("separate planes");
-  if (sps.chroma_format_idc < 1 || sps.chroma_format_idc > 3)
+  if (sps.chroma_format_idc < 0 || sps.chroma_format_idc > 3)
     throw Unsupported("chroma format");
-  if (h.slice_type == SLICE_SP || h.slice_type == SLICE_SI)
-    throw Unsupported("SP/SI slices");
-
+  if (sps.separate_colour_plane_flag) {
+    h.colour_plane_id = (int)r.u(2);  // 7.3.3: each plane codes separately
+    if (h.colour_plane_id > 2) throw Unsupported("bad colour_plane_id");
+  }
   h.frame_num = r.u(sps.log2_max_frame_num);
   if (!sps.frame_mbs_only_flag) {
     if (r.flag()) {  // field_pic_flag: individual field picture (PAFF)
@@ -224,13 +225,15 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
   h.num_ref_idx_l0_active = pps.num_ref_idx_l0_default_active;
   h.num_ref_idx_l1_active = pps.num_ref_idx_l1_default_active;
   if (h.slice_type == SLICE_B) h.direct_spatial_mv_pred_flag = r.flag();
-  if (h.slice_type == SLICE_P || h.slice_type == SLICE_B) {
+  if (h.slice_type == SLICE_P || h.slice_type == SLICE_SP ||
+      h.slice_type == SLICE_B) {
     if (r.flag()) {
       h.num_ref_idx_l0_active = r.ue() + 1;
       if (h.slice_type == SLICE_B) h.num_ref_idx_l1_active = r.ue() + 1;
     }
   }
-  if (h.slice_type == SLICE_P || h.slice_type == SLICE_B) {
+  if (h.slice_type == SLICE_P || h.slice_type == SLICE_SP ||
+      h.slice_type == SLICE_B) {
     if (r.flag())
       while (r.ue() != 3) r.ue();
   }
@@ -238,7 +241,8 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
     if (r.flag())
       while (r.ue() != 3) r.ue();
   }
-  if ((pps.weighted_pred_flag && h.slice_type == SLICE_P) ||
+  if ((pps.weighted_pred_flag &&
+       (h.slice_type == SLICE_P || h.slice_type == SLICE_SP)) ||
       (pps.weighted_bipred_idc == 1 && h.slice_type == SLICE_B)) {
     r.ue();
     r.ue();
@@ -273,11 +277,15 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
       }
     }
   }
-  if (h.slice_type != SLICE_I) {
-    h.cabac_init_idc = r.ue();
+  if (h.slice_type != SLICE_I && h.slice_type != SLICE_SI) {
+    h.cabac_init_idc = r.ue();  // 7.3.3: SI has no cabac_init_idc
     if (h.cabac_init_idc > 2) throw Unsupported("bad cabac_init_idc");
   }
   h.slice_qp = pps.pic_init_qp + r.se();
+  if (h.slice_type == SLICE_SP || h.slice_type == SLICE_SI) {
+    if (h.slice_type == SLICE_SP) r.flag();  // sp_for_switch_flag
+    r.se();  // slice_qs_delta (reconstruction-only)
+  }
   if (pps.deblocking_filter_control_present_flag) {
     uint32_t idc = r.ue();
     if (idc != 1) {

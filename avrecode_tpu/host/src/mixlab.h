@@ -57,6 +57,7 @@ class MixLab {
     lastb2_.clear();
     std::fill(w5init_, w5init_ + K_NCLS, 0);
     std::fill(w6init_, w6init_ + K_NCLS, 0);
+    std::fill(w2init_, w2init_ + K_NCLS, 0);
     wqp_.clear();
     wqpinit_.clear();
     for (uint32_t c = 0; c < K_NCLS; c++) {
@@ -216,6 +217,77 @@ class MixLab {
         int32_t wn = w[k] + ((err * xs[k]) >> 14);
         w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
       }
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
+    if (variant == 15 || variant == 16) {
+      // round-4 candidates on the PRODUCTION (v7) 6-input mixer base:
+      //   15: + APM/SSE on the mixer output, blended (p + 3*apm)/4
+      //   16: + a second mixing layer (stage-2 logistic mixer over
+      //       [stretch(p1), counter stretch, bias], identity-initialized)
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      if (lastb_.empty()) lastb_.assign(kKeys.total, 2);
+      if (lastb2_.empty()) lastb2_.assign(kKeys.total, 2);
+      int32_t* w = &wi6_[(size_t)cls * 6];
+      if (!w6init_[cls]) {
+        w6init_[cls] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0; w[4] = 0; w[5] = 0;
+      }
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int lb = lastb_[i], lb2 = lastb2_[i];
+      int32_t x4 = lb == 2 ? 0 : lb ? 256 : -256;
+      int32_t x5 = lb2 == 2 ? 0 : lb2 ? 128 : -128;
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3 + (w[4] >> 6) * x4 +
+                     (w[5] >> 6) * x5) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      pm = p16 / 65536.0;
+      if (variant == 15) {
+        double pa = apm(cls, pm, bit);
+        pm = std::min(65535.5 / 65536.0,
+                      std::max(0.5 / 65536.0, (3.0 * pm + pa) / 4.0));
+      } else {
+        // stage 2: y = [stretch12(p16), x0, bias]; w20 starts at identity
+        int32_t* w2 = &wi2b_[(size_t)cls * 3];
+        if (!w2init_[cls]) {
+          w2init_[cls] = 1;
+          w2[0] = 65536; w2[1] = 0; w2[2] = 0;
+        }
+        int32_t y0 = kStretch[p16 >> 4];
+        int32_t dot2 = ((w2[0] >> 6) * y0 + (w2[1] >> 6) * x0 +
+                        (w2[2] >> 6) * 77) >> 10;
+        dot2 = dot2 < -2048 ? -2048 : dot2 > 2047 ? 2047 : dot2;
+        int32_t q16 = kSquash[dot2 + 2048];
+        pm = q16 / 65536.0;
+        int32_t err2 = (bit << 16) - q16;
+        int32_t ys[3] = {y0, x0, 77};
+        for (int k = 0; k < 3; k++) {
+          int32_t wn = w2[k] + ((err2 * ys[k]) >> 14);
+          w2[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24)
+                                                                : wn;
+        }
+      }
+      int32_t err = (bit << 16) - p16;
+      int32_t xs[6] = {x0, x1, 77, x3, x4, x5};
+      for (int k = 0; k < 6; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      lastb2_[i] = lastb_[i];
       bits_mix += -std::log2(bit ? pm : 1.0 - pm);
       n_bins++;
       adapt_only(i, cls, bit);
@@ -567,6 +639,8 @@ class MixLab {
   int32_t wi5_[K_NCLS * 5] = {};
   uint8_t w5init_[K_NCLS] = {};
   int32_t wi6_[K_NCLS * 6] = {};
+  int32_t wi2b_[K_NCLS * 3] = {};  // variant 16 stage-2 weights
+  uint8_t w2init_[K_NCLS] = {};
   uint8_t w6init_[K_NCLS] = {};
   std::vector<int32_t> wqp_;   // variant 14: (cls x qp bucket) weights
   std::vector<uint8_t> wqpinit_;

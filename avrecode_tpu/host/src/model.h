@@ -44,6 +44,7 @@ enum KeyCls : uint32_t {
   K_CBF, K_SIG, K_LVL1, K_LVLG, K_LVLE, K_LVLB, K_SGN, K_NNZ,
   K_FIELDF,  // MBAFF mb_field_decoding_flag (appended: ids stay stable)
   K_PCMF, K_PCM,  // I_PCM escape bin + sample-byte bits
+  K_SIMBTYPE,  // SI-slice mb_type prefix bin (appended: ids stay stable)
   K_NCLS,
 };
 
@@ -97,6 +98,7 @@ struct KeySpace {
     set(K_NNZ, 32, 8, 64, 16);  // (cat + 16*field, bit idx, prefix, prior)
     set(K_FIELDF, 4);
     set(K_PCM, 8);
+    set(K_SIMBTYPE, 4);
     uint32_t off = 0;
     for (uint32_t i = 0; i < K_NCLS; i++) {
       base[i] = off;

@@ -16,6 +16,7 @@ namespace avtpu {
 enum MbClass : uint8_t {
   MB_UNSEEN = 0, MB_P_SKIP, MB_B_SKIP, MB_B_DIRECT, MB_INTER,
   MB_I_NXN, MB_I16, MB_I_PCM,
+  MB_SI,  // SI macroblock (Intra_4x4 content, qs-domain reconstruction)
 };
 enum Pred : uint8_t { PRED_NONE = 0, PRED_L0 = 1, PRED_L1 = 2, PRED_BI = 3, PRED_DIRECT = 4 };
 
@@ -301,11 +302,19 @@ class SliceParser {
     // (mbparse.py mirror)
     field_pic_ = hdr.field_pic;
     if (field_pic_) cur_field_ = 1;
-    stype_ = hdr.slice_type;
+    // SP slices parse exactly like P (7.3.5); SI keeps its own type for
+    // the mb_type prefix bin and the absent skip flag (mbparse.py mirror)
+    stype_ = hdr.slice_type == SLICE_SP ? SLICE_P : hdr.slice_type;
     nref0_ = hdr.num_ref_idx_l0_active;
     nref1_ = hdr.num_ref_idx_l1_active;
     ch422_ = sps.chroma_format_idc == 2;
-    ch444_ = sps.chroma_format_idc == 3;
+    // ChromaArrayType semantics (7.4.2.1.1): separate colour planes code
+    // each plane as a monochrome picture (ChromaArrayType 0)
+    ch444_ = sps.chroma_format_idc == 3 && !sps.separate_colour_plane_flag;
+    // monochrome (ChromaArrayType 0): no chroma planes — no chroma pred
+    // mode, no chroma cbp bins, luma-only residuals (mbparse.py mirror)
+    ch400_ = sps.chroma_format_idc == 0 ||
+             sps.separate_colour_plane_flag != 0;
     ch_grid_h_ = ch422_ ? 4 : 2;
     n_chroma_ac_ = ch422_ ? 8 : 4;
   }
@@ -573,6 +582,24 @@ class SliceParser {
   // returns mbclass; fills i16/pinfo/btype
   MbClass parse_mb_type(I16Info* i16, int* p_kind, int* b_type) {
     PicState* p = pic_;
+    if (stype_ == SLICE_SI) {
+      // SI mb_type (9.3.2.5, Table 9-11 ctxIdxOffset 0): prefix bin 0 ->
+      // SI macroblock; 1 -> the full I-slice binarization.  Prefix ctxInc
+      // per 9.3.3.1.1.3: neighbors counted unless SI (mbparse.py mirror).
+      int lxx, lyy, uxx, uyy;
+      mb_left(&lxx, &lyy);
+      mb_up(&uxx, &uyy);
+      int inc = 0;
+      if (avail(lxx, lyy) && p->mbclass[mb(lxx, lyy)] != MB_SI) inc++;
+      if (avail(uxx, uyy) && p->mbclass[mb(uxx, uyy)] != MB_SI) inc++;
+      if (!bin(0 + inc, mkey(K_SIMBTYPE, inc))) return MB_SI;
+      int inc2 = 0;
+      if (avail(lxx, lyy) && p->mbclass[mb(lxx, lyy)] != MB_I_NXN) inc2++;
+      if (avail(uxx, uyy) && p->mbclass[mb(uxx, uyy)] != MB_I_NXN) inc2++;
+      if (!bin(3 + inc2, mkey(K_IMBTYPE, inc2))) return MB_I_NXN;
+      *i16 = parse_mb_type_i_suffix(3, true);
+      return i16->pcm ? MB_I_PCM : MB_I16;
+    }
     if (stype_ == SLICE_I) {
       int lxx, lyy, uxx, uyy;
       mb_left(&lxx, &lyy);
@@ -591,7 +618,8 @@ class SliceParser {
         if (k == 0) mb_left(&nx, &ny); else mb_up(&nx, &ny);
         if (avail(nx, ny)) {
           uint8_t cls = p->mbclass[mb(nx, ny)];
-          if (cls == MB_I_NXN || cls == MB_I16 || cls == MB_I_PCM)
+          if (cls == MB_I_NXN || cls == MB_I16 || cls == MB_I_PCM ||
+              cls == MB_SI)
             inc2 += k == 0 ? 1 : 2;
         }
       }
@@ -679,7 +707,8 @@ class SliceParser {
       if (k == 0) mb_left(&nx, &ny); else mb_up(&nx, &ny);
       if (avail(nx, ny)) {
         uint8_t cls = pic_->mbclass[mb(nx, ny)];
-        if ((cls == MB_I_NXN || cls == MB_I16) && pic_->chroma_mode[mb(nx, ny)])
+        if ((cls == MB_I_NXN || cls == MB_I16 || cls == MB_SI) &&
+            pic_->chroma_mode[mb(nx, ny)])
           inc++;
       }
     }
@@ -721,7 +750,8 @@ class SliceParser {
       if (bin(73 + cond_a + 2 * cond_b, mkey(K_CBPL, i8, cond_a + 2 * cond_b, intra)))
         cbp |= 1 << i8;
     }
-    if (ch444_) {  // no chroma cbp bins; luma bits apply per plane
+    if (ch444_ || ch400_) {  // no chroma cbp bins (4:4:4 applies luma
+                             // bits per plane; 4:0:0 has none)
       *cbp_luma = cbp;
       *cbp_chroma = 0;
       return;
@@ -1333,7 +1363,7 @@ class SliceParser {
   void parse_pcm() {
     PicState* p = pic_;
     size_t m = mb(mbx_, mby_);
-    int chs = ch444_ ? 256 : ch422_ ? 128 : 64;
+    int chs = ch400_ ? 0 : ch444_ ? 256 : ch422_ ? 128 : 64;
     int n = (256 * sps_.bit_depth_luma + 2 * chs * sps_.bit_depth_chroma) >> 3;
     c_->pcm_samples(n);
     for (int pl = 0; pl < 2; pl++)
@@ -1607,7 +1637,7 @@ class SliceParser {
   // returns true when the MB was skipped
   bool parse_macroblock() {
     int skip = 0;
-    if (stype_ != SLICE_I) skip = parse_mb_skip();
+    if (stype_ != SLICE_I && stype_ != SLICE_SI) skip = parse_mb_skip();
     if (skip) {
       store_skip_mb();
       return true;
@@ -1656,18 +1686,24 @@ class SliceParser {
     }
 
     int t8x8 = 0;
-    bool is_intra = cls == MB_I_NXN || cls == MB_I16;
+    bool is_intra = cls == MB_I_NXN || cls == MB_I16 || cls == MB_SI;
     int cbp_luma = 0, cbp_chroma = 0;
 
-    if (cls == MB_I_NXN) {
+    if (cls == MB_SI) {
+      // Intra_4x4 content; no transform_size_8x8_flag (7.3.5 gates it on
+      // mb_type == I_NxN)
+      parse_intra_pred_modes(16);
+      if (!ch444_ && !ch400_)
+        p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
+    } else if (cls == MB_I_NXN) {
       if (pps_.transform_8x8_mode_flag) t8x8 = parse_transform_8x8();
       parse_intra_pred_modes(t8x8 ? 4 : 16);
-      if (!ch444_)  // 4:4:4: chroma reuses the luma modes (7.3.5.1)
+      if (!ch444_ && !ch400_)  // 4:4:4 reuses luma modes; 4:0:0 has none
         p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
     } else if (cls == MB_I16) {
       cbp_chroma = i16.cbp_chroma;
       cbp_luma = i16.cbf_luma ? 15 : 0;
-      if (!ch444_)
+      if (!ch444_ && !ch400_)
         p->chroma_mode[m] = (uint8_t)parse_chroma_pred_mode();
     } else if (cls == MB_B_DIRECT) {
       // no mb_pred syntax
@@ -1678,7 +1714,7 @@ class SliceParser {
     if (cls != MB_I16) {
       parse_cbp(&cbp_luma, &cbp_chroma, is_intra ? 1 : 0);
       if (cbp_luma && pps_.transform_8x8_mode_flag && cls != MB_I_NXN &&
-          t8x8_allowed(cls, p_kind, b_type))
+          cls != MB_SI && t8x8_allowed(cls, p_kind, b_type))
         t8x8 = parse_transform_8x8();
     }
     p->cbp_luma[m] = (uint8_t)cbp_luma;
@@ -1713,7 +1749,7 @@ class SliceParser {
   int top_xy_[2] = {0, -1};
   int left_xy_[2][2] = {{-1, 0}, {-1, 0}};
   int left_ymap_[4] = {0, 1, 2, 3};
-  bool ch422_ = false, ch444_ = false;
+  bool ch422_ = false, ch444_ = false, ch400_ = false;
   int ch_grid_h_ = 2, n_chroma_ac_ = 4;
   int prev_qp_delta_nz_ = 0;
   int prev_qp_mag_ = 0;  // model v9 qp-delta magnitude context

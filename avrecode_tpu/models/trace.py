@@ -40,6 +40,7 @@ CLS_IDS = {
         "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz",
         "fieldf",  # MBAFF mb_field_decoding_flag (appended: ids are stable)
         "pcmf", "pcm",  # I_PCM escape bin + sample-byte bits
+        "simbtype",  # SI-slice mb_type prefix bin (appended)
     ])
 }
 N_CLS = len(CLS_IDS)

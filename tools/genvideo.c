@@ -118,9 +118,9 @@ int main(int argc, char **argv) {
   av_opt_set(c->priv_data, "preset", "medium", 0);
   av_opt_set(c->priv_data, "profile",
              is444 ? "high444"
+             : is422 ? "high422"  /* high422 covers 10-bit 4:2:2 */
              : is10 ? "high10"
-             : is422 ? "high422"
-                     : "high", 0);
+                    : "high", 0);
   av_opt_set_int(c->priv_data, "crf", crf, 0);
   av_opt_set(c->priv_data, "x264-params", x264opts, 0);
 
