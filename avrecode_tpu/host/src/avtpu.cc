@@ -270,17 +270,30 @@ static const char* kClsNames[K_NCLS] = {
     "ipredf", "ipredr", "cpred0", "cpred1", "cpred2", "cbpl", "cbpc0",
     "cbpc1", "qpd0", "qpd1", "qpd2", "ref", "mvd", "mvdp", "mvde", "mvdb",
     "mvds", "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz",
-    "fieldf", "pcmf", "pcm"};
+    "fieldf", "pcmf", "pcm", "simbtype"};
 
 static void dump_bill();
 
-static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
+// Thrown by optimistic (journal-free) passes on the first slice failure;
+// the caller redoes the whole unit with rollback journaling enabled.
+// Parse failures are rare (zero across the corpus), so the fast path pays
+// no journaling cost and the slow path only runs on hostile inputs.
+struct OptimisticAbort {};
+
+static Bytes compress_inner(const uint8_t* data, size_t size, int scope,
+                            bool optimistic) {
   bool per_slice = scope == SCOPE_SLICE;
   bool per_gop = scope == SCOPE_GOP;
+  // per-slice models are discarded wholesale on failure, so they never
+  // need the journal regardless of the caller's optimistic mode
+  bool opt_shared = optimistic && !per_slice;
   Walker w(data, size);
 
   std::unique_ptr<RecodeModel> stream_model;
-  if (!per_gop) stream_model = std::make_unique<RecodeModel>();
+  if (!per_gop) {
+    stream_model = std::make_unique<RecodeModel>();
+    stream_model->set_optimistic(opt_shared);
+  }
   std::vector<std::unique_ptr<RecodeModel>> gop_models;  // kept alive
   bool gop_emitted = false;
   std::vector<BlockRec> blocks;
@@ -298,6 +311,7 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
       // fresh GOP: new model + wiped picture ring (no priors cross the IDR)
       if (stream_model) gop_models.push_back(std::move(stream_model));
       stream_model = std::make_unique<RecodeModel>();
+      stream_model->set_optimistic(opt_shared);
       gop_emitted = false;
       cur.reset();
       prev.reset();
@@ -336,10 +350,11 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
     RecodeModel::Snapshot snap{};
     if (per_slice) {
       slice_model = std::make_unique<RecodeModel>();
+      slice_model->set_optimistic(true);  // discarded on failure: no journal
       model = slice_model.get();
     } else {
       model = stream_model.get();
-      snap = model->snapshot();
+      if (!opt_shared) snap = model->snapshot();
     }
 
     int mb_count, drop;
@@ -359,8 +374,9 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope) {
                     per_slice);
       mb_count = p.parse_slice_data(-1);
       if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
-      if (!per_slice) model->commit(snap);
+      if (!per_slice && !opt_shared) model->commit(snap);
     } catch (const ParseError&) {
+      if (opt_shared) throw OptimisticAbort{};
       if (!per_slice) model->rollback(snap);
       return;  // literal fallback
     }
@@ -452,9 +468,10 @@ struct GopJob {
   std::vector<uint8_t> ok;
 };
 
-static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
-                        GopJob* job) {
+static void process_gop_impl(const uint8_t* data, std::vector<SliceRec>& sl,
+                             GopJob* job, bool optimistic) {
   RecodeModel model;
+  model.set_optimistic(optimistic);
   std::unique_ptr<PicState> cur, prev;
   int slice_id = 0;
   int first_ok = -1;
@@ -485,7 +502,8 @@ static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
     int idc = rec.hdr.slice_type == SLICE_I || rec.hdr.slice_type == SLICE_SI
                   ? -1
                   : rec.hdr.cabac_init_idc;
-    RecodeModel::Snapshot snap = model.snapshot();
+    RecodeModel::Snapshot snap{};
+    if (!optimistic) snap = model.snapshot();
     int mb_count, drop;
     Bytes tail;
     try {
@@ -496,8 +514,9 @@ static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
                     false);
       mb_count = p.parse_slice_data(-1);
       if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
-      model.commit(snap);
+      if (!optimistic) model.commit(snap);
     } catch (const ParseError&) {
+      if (optimistic) throw OptimisticAbort{};
       model.rollback(snap);
       continue;
     }
@@ -517,6 +536,15 @@ static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
     if (first_ok < 0) first_ok = (int)k;
   }
   if (first_ok >= 0) job->blocks[first_ok].sstream = model.finish();
+}
+
+static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
+                        GopJob* job) {
+  try {
+    process_gop_impl(data, sl, job, /*optimistic=*/true);
+  } catch (const OptimisticAbort&) {
+    process_gop_impl(data, sl, job, /*optimistic=*/false);
+  }
 }
 
 // GOP-range container fragment (multi-host sharding, SURVEY.md §2/§7 B6):
@@ -648,8 +676,10 @@ struct XtractResult {
   bool want_slots = true;
 };
 
-static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
+static XtractResult extract_open_impl(const uint8_t* data, size_t size,
+                                      int scope, bool optimistic) {
   bool per_gop = scope == SCOPE_GOP;
+  bool opt_shared = optimistic && per_gop;
   Walker w(data, size);
   struct XBlock {
     BlockRec b;
@@ -667,6 +697,7 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
         (rec.hdr.idr && rec.hdr.first_mb_in_slice == 0));
     if (gop_start) {
       gop_rec = std::make_shared<RecodeModel>(true);
+      gop_rec->set_optimistic(opt_shared);
       gop_emitted = false;
       cur.reset();
       prev.reset();
@@ -694,10 +725,13 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
                   : rec.hdr.cabac_init_idc;
     std::shared_ptr<RecodeModel> recorder =
         per_gop ? gop_rec : std::make_shared<RecodeModel>(true);
+    if (!per_gop) recorder->set_optimistic(true);  // discarded on failure
     recorder->reserve_trace(payload_size * 20);  // ~18.5 bins/payload byte
-    // the recorder adapts estimators (for the p1 field), so a failed slice
-    // must roll back counters as well as recorded bins
-    RecodeModel::Snapshot snap = recorder->snapshot();
+    // the recorder adapts estimators (for the p1 field), so in journaled
+    // mode a failed slice must roll back counters as well as recorded bins
+    RecodeModel::Snapshot snap{};
+    bool journaled = !per_gop ? false : !opt_shared;
+    if (journaled) snap = recorder->snapshot();
     int mb_count, drop;
     Bytes tail;
     try {
@@ -709,10 +743,11 @@ static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
       mb_count = p.parse_slice_data(-1);
       if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
     } catch (const ParseError&) {
-      recorder->rollback(snap);
+      if (opt_shared) throw OptimisticAbort{};
+      if (journaled) recorder->rollback(snap);
       return;
     }
-    recorder->commit(snap);
+    if (journaled) recorder->commit(snap);
     if (advance) prev = std::move(cur);
     cur = std::make_unique<PicState>(std::move(scratch));
     slice_id = sid;
@@ -788,10 +823,11 @@ struct XGopJob {
   int first_ok = -1;
 };
 
-static void process_gop_x(const uint8_t* data,
-                          const std::vector<SliceRec>& sl, XGopJob* job,
-                          bool want_slots) {
+static void process_gop_x_impl(const uint8_t* data,
+                               const std::vector<SliceRec>& sl, XGopJob* job,
+                               bool want_slots, bool optimistic) {
   auto recorder = std::make_shared<RecodeModel>(true);
+  recorder->set_optimistic(optimistic);
   std::unique_ptr<PicState> cur, prev;
   int slice_id = 0;
   job->blocks.resize(job->end - job->begin);
@@ -821,7 +857,8 @@ static void process_gop_x(const uint8_t* data,
                   ? -1
                   : rec.hdr.cabac_init_idc;
     recorder->reserve_trace(payload_size * 20);
-    RecodeModel::Snapshot snap = recorder->snapshot();
+    RecodeModel::Snapshot snap{};
+    if (!optimistic) snap = recorder->snapshot();
     int mb_count, drop;
     Bytes tail;
     try {
@@ -833,10 +870,11 @@ static void process_gop_x(const uint8_t* data,
       mb_count = p.parse_slice_data(-1);
       if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
     } catch (const ParseError&) {
+      if (optimistic) throw OptimisticAbort{};
       recorder->rollback(snap);
       continue;
     }
-    recorder->commit(snap);
+    if (!optimistic) recorder->commit(snap);
     if (advance) prev = std::move(cur);
     cur = std::make_unique<PicState>(std::move(scratch));
     slice_id = sid;
@@ -855,6 +893,18 @@ static void process_gop_x(const uint8_t* data,
   if (job->first_ok >= 0) {
     if (want_slots) recorder->finalize_trace();  // slot remap in the worker
     job->rec = recorder;
+  }
+}
+
+static void process_gop_x(const uint8_t* data,
+                          const std::vector<SliceRec>& sl, XGopJob* job,
+                          bool want_slots) {
+  try {
+    process_gop_x_impl(data, sl, job, want_slots, /*optimistic=*/true);
+  } catch (const OptimisticAbort&) {
+    job->rec = nullptr;
+    job->first_ok = -1;
+    process_gop_x_impl(data, sl, job, want_slots, /*optimistic=*/false);
   }
 }
 
@@ -938,6 +988,14 @@ static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
   return res;
 }
 
+static XtractResult extract_open(const uint8_t* data, size_t size, int scope) {
+  try {
+    return extract_open_impl(data, size, scope, /*optimistic=*/true);
+  } catch (const OptimisticAbort&) {
+    return extract_open_impl(data, size, scope, /*optimistic=*/false);
+  }
+}
+
 static void dump_bill() {
   fprintf(stderr, "%12s %12s %12s %10s\n", "class", "cabac_bits", "recode_bits",
           "delta");
@@ -963,7 +1021,11 @@ Bytes compress(const uint8_t* data, size_t size, int scope, int threads) {
                            : std::min(16u, std::thread::hardware_concurrency());
       return compress_gop_mt(data, size, std::max(1, nt));
     }
-    return compress_inner(data, size, scope);
+    try {
+      return compress_inner(data, size, scope, /*optimistic=*/true);
+    } catch (const OptimisticAbort&) {
+      return compress_inner(data, size, scope, /*optimistic=*/false);
+    }
   } catch (...) {
     return literal_container(data, size);
   }

@@ -55,7 +55,7 @@ enum KeyCls : uint32_t {
 struct KeySpace {
   uint32_t dims[K_NCLS][4];
   uint32_t base[K_NCLS];
-  uint32_t stride[K_NCLS][3];  // a, b, c strides (d stride is 1)
+  uint32_t stride[K_NCLS][4];
   uint32_t total;
 
   constexpr KeySpace() : dims{}, base{}, stride{}, total(0) {
@@ -99,13 +99,35 @@ struct KeySpace {
     set(K_FIELDF, 4);
     set(K_PCM, 8);
     set(K_SIMBTYPE, 4);
+    // Per-class axis order, slowest -> fastest.  The dense index is an
+    // internal bijection (estimator identity is the (cls,a,b,c,d) tuple,
+    // so axis order is byte-neutral); ordering the axes so the one that
+    // varies per bin INSIDE a block is fastest turns a block's cell
+    // accesses into adjacent-cache-line runs — the big classes
+    // (SIG/LVLG/LVL1/NNZ, most of the pool and most of the bins) were
+    // L2-miss-per-bin under the a-major layout.
+    uint32_t perm[K_NCLS][4] = {};
+    for (uint32_t i = 0; i < K_NCLS; i++) {
+      perm[i][0] = 0; perm[i][1] = 1; perm[i][2] = 2; perm[i][3] = 3;
+    }
+    auto ord = [&](uint32_t cls, uint32_t p0, uint32_t p1, uint32_t p2,
+                   uint32_t p3) {
+      perm[cls][0] = p0; perm[cls][1] = p1; perm[cls][2] = p2;
+      perm[cls][3] = p3;
+    };
+    ord(K_SIG, 0, 2, 3, 1);   // (a, found, need | pos): scan pos fastest
+    ord(K_LVL1, 0, 2, 3, 1);  // (cat, intra, nzb | ctx+posbucket)
+    ord(K_LVLG, 0, 3, 1, 2);  // (a, nzb | ctx+posbucket, coeff)
+    ord(K_NNZ, 0, 3, 1, 2);   // (cat, prior | bit idx, prefix)
     uint32_t off = 0;
     for (uint32_t i = 0; i < K_NCLS; i++) {
       base[i] = off;
-      stride[i][2] = dims[i][3];
-      stride[i][1] = dims[i][2] * stride[i][2];
-      stride[i][0] = dims[i][1] * stride[i][1];
-      off += dims[i][0] * stride[i][0];
+      uint32_t s = 1;
+      for (int k = 3; k >= 0; k--) {
+        stride[i][perm[i][k]] = s;
+        s *= dims[i][perm[i][k]];
+      }
+      off += s;
     }
     total = off;
   }
@@ -128,7 +150,8 @@ inline uint64_t mkey(uint32_t cls, uint32_t a = 0, uint32_t b = 0,
          c < kKeys.dims[cls][2] && dd < kKeys.dims[cls][3]);
   return ((uint64_t)cls << 40) |
          (kKeys.base[cls] + a * kKeys.stride[cls][0] +
-          b * kKeys.stride[cls][1] + c * kKeys.stride[cls][2] + dd);
+          b * kKeys.stride[cls][1] + c * kKeys.stride[cls][2] +
+          dd * kKeys.stride[cls][3]);
 }
 
 // exact (pos << 16) / total for all reachable (pos, total) pairs
@@ -159,25 +182,26 @@ struct DivStretchTab {
 inline const DivStretchTab kDivStretch{};
 
 // Thread-local estimator pool: generation stamps make per-model init O(1).
-// One 12-byte cell per key (slow + fast counters + gen; the recorder slot
-// id lives in an export-time remap pass, out of the per-bin path).
-// gen is u32: the counter advances
-// once per model/snapshot (one per slice), so wrap needs 4e9 slices — the
-// ensure() guard resets the pool long before.
+// One 8-byte cell per key — one cache line holds 8 cells, which is what
+// makes the axis-ordered layouts above pay (the pool is ~6.5 MB, bigger
+// than L2; per-bin cell loads are the dominant hot-path memory traffic).
+// Counts fit u8 exactly: the halving limits bound pos/neg at
+// kHalveDefault+1 = 97.  meta packs gen(28) | last(2)<<28 | last2(2)<<30;
+// gen advances once per model/snapshot (one per slice), and ensure()
+// resets the pool with a 64k-epoch safety margin below the 28-bit wrap.
 struct EstPool {
   struct Cell {
-    uint16_t pos, neg;
+    uint8_t pos, neg;
     uint8_t fpos, fneg;  // fast second counter (halve at kHalveFast <= 25)
-    uint8_t last;        // previous bit of this key (2 = no history yet)
-    uint8_t last2;       // second-previous bit (model v7; 2 = none)
-    uint32_t gen;
+    uint32_t meta;       // gen(28) | last<<28 | last2<<30 (2 = no history)
   };
+  static constexpr uint32_t kGenMask = 0x0FFFFFFF;
   std::vector<Cell> cells;
   uint32_t gen_counter = 0;
 
   void ensure() {
-    if (cells.empty() || gen_counter > 0xFFFFFF00u) {
-      cells.assign(kKeys.total, Cell{0, 0, 0, 0, 0, 0, 0});
+    if (cells.empty() || gen_counter > 0x0FFF0000u) {
+      cells.assign(kKeys.total, Cell{0, 0, 0, 0, 0});
       gen_counter = 0;
     }
   }
@@ -284,18 +308,31 @@ class RecodeModel {
       return;
     }
     size_t n0 = bill ? enc_->out_size() : 0;
+#ifndef AVT_AB_NOENC
     enc_->put(bit, pp.p1);
+#endif
     if (bill) bill[key >> 40] += (enc_->out_size() - n0) * 8;
     update_mix(pp, bit);
     adapt(*pp.cell, pp.cls, bit);
   }
   void put_bit(uint64_t key, int bit, int pcab = 0) {
+#ifdef AVT_AB_NOMODEL
+    return;
+#endif
     commit(prepare(key, pcab), key, bit);
   }
 
   // optional per-class recode-bit ledger (the "Avrecode Bill",
   // recode.cpp:642-668): caller-provided uint64[K_NCLS]
   uint64_t* bill = nullptr;
+
+  // Optimistic mode (compress/extract drivers): skip the rollback journal
+  // entirely — parse failures are rare (zero on the corpus), so drivers run
+  // the scope optimistically and REDO the whole unit journaled if any slice
+  // fails verify (process_gop / compress_inner).  snapshot()/rollback() must
+  // not be called while set.  State evolution on the success path is
+  // IDENTICAL to journaled mode, so streams are byte-identical.
+  void set_optimistic(bool on) { optimistic_ = on; }
   int get_bit(uint64_t key, int pcab = 0) {
     if (B_) {
       if (cur_bins_ == B_) {
@@ -346,6 +383,7 @@ class RecodeModel {
   };
 
   Snapshot snapshot() {
+    assert(!optimistic_ && "snapshot/rollback invalid in optimistic mode");
     // bump generation: future touches journal their prior state exactly once
     epoch_ = ++pool_->gen_counter;
     Snapshot s{};
@@ -368,9 +406,7 @@ class RecodeModel {
       cc.neg = u.neg;
       cc.fpos = u.fpos;
       cc.fneg = u.fneg;
-      cc.last = u.last;
-      cc.last2 = u.last2;
-      cc.gen = u.prev_gen;
+      cc.meta = u.meta;
     }
     journal_.resize(s.journal_len);
     if (enc_) enc_->restore(s.low, s.range, s.cache, s.cache_size, s.out_len);
@@ -468,14 +504,23 @@ class RecodeModel {
     uint32_t i = kKeys.index(key);
     *idx_out = i;
     EstPool::Cell& c = pool_->cells[i];
-    uint32_t g = c.gen;
-    if (g == epoch_) return &c;
-    journal_.push_back({i, c.pos, c.neg, c.fpos, c.fneg, c.last, c.last2, g});
+    uint32_t m = c.meta;
+    // One compare covers both modes: journaled mode stamps epoch_ on touch
+    // (gen <= epoch_ always, so >= means == epoch_); optimistic mode never
+    // bumps past start_gen_ == epoch_, so >= means "touched by this model".
+    uint32_t g = m & EstPool::kGenMask;
+    if (g >= epoch_) return &c;
+    if (optimistic_) {  // miss == first touch for this model: init, stamp
+      c.pos = c.neg = c.fpos = c.fneg = 1;
+      c.meta = (2u << 28) | (2u << 30) | epoch_;
+      return &c;
+    }
+    journal_.push_back({i, c.pos, c.neg, c.fpos, c.fneg, m});
     if (g < start_gen_) {  // fresh for this model
       c.pos = c.neg = c.fpos = c.fneg = 1;
-      c.last = c.last2 = 2;
+      m = (2u << 28) | (2u << 30);
     }
-    c.gen = epoch_;
+    c.meta = (m & ~EstPool::kGenMask) | epoch_;
     return &c;
   }
 
@@ -492,14 +537,19 @@ class RecodeModel {
   // guarded by the Python differential suite and hash_corpus.py.
   uint32_t mix_prob(const EstPool::Cell& c, uint32_t cls, int pcab,
                     Prep* pp) {
+#ifdef AVT_AB_NOMIX  // ablation build (timing experiments only)
+    pp->x[0] = pp->x[1] = pp->x[3] = pp->x[4] = pp->x[5] = 0;
+    pp->x[2] = 77; pp->x[6] = pp->x[7] = 0;
+    return 0x8000;
+#endif
     int32_t x0 = kDivStretch.t[(c.pos + c.neg) * 97 + c.pos];
     int32_t x1 = pcab > 0 ? kStretch12[pcab >> 4] : 0;
     int32_t x3 = kDivStretch.t[(c.fpos + c.fneg) * 97 + c.fpos];
     // history inputs via direct index (last/last2 in {0,1,2}; 2 = none)
     static constexpr int32_t kHistLut[3] = {-kHistMag, kHistMag, 0};
     static constexpr int32_t kHist2Lut[3] = {-kHist2Mag, kHist2Mag, 0};
-    int32_t x4 = kHistLut[c.last];
-    int32_t x5 = kHist2Lut[c.last2];
+    int32_t x4 = kHistLut[(c.meta >> 28) & 3];
+    int32_t x5 = kHist2Lut[c.meta >> 30];
     int32_t* x = pp->x;
     x[0] = x0; x[1] = x1; x[2] = 77; x[3] = x3; x[4] = x4; x[5] = x5;
     x[6] = 0; x[7] = 0;
@@ -516,6 +566,9 @@ class RecodeModel {
     return kSquash[dot + 2048];
   }
   void update_mix(const Prep& pp, int bit) {
+#ifdef AVT_AB_NOUPD
+    return;
+#endif
     int32_t err = (bit << 16) - (int32_t)pp.p1;
     int32_t* w = &wmix_[pp.cls * 8];
 #ifdef AVT_AVX
@@ -541,8 +594,12 @@ class RecodeModel {
     return w < -(1 << 24) ? -(1 << 24) : w > (1 << 24) ? (1 << 24) : w;
   }
   static void adapt(EstPool::Cell& c, uint32_t cls, int bit) {
-    c.last2 = c.last;  // model v7: shift the 2-bit history register
-    c.last = (uint8_t)bit;
+#ifdef AVT_AB_NOADAPT
+    return;
+#endif
+    // model v7: shift the 2-bit history register (last -> last2, bit -> last)
+    c.meta = (c.meta & EstPool::kGenMask) | ((c.meta << 2) & 0xC0000000u) |
+             ((uint32_t)bit << 28);
     if (bit) {
       c.pos++;
       c.fpos++;
@@ -563,14 +620,14 @@ class RecodeModel {
 
   struct Undo {
     uint32_t idx;
-    uint16_t pos, neg;
-    uint8_t fpos, fneg, last, last2;
-    uint32_t prev_gen;
+    uint8_t pos, neg, fpos, fneg;
+    uint32_t meta;
   };
 
   EstPool* pool_ = nullptr;
   int32_t wmix_[K_NCLS * 8];
   uint32_t start_gen_ = 0, epoch_ = 0;
+  bool optimistic_ = false;
   std::vector<Undo> journal_;
   RangeEncoder* enc_ = nullptr;
   RangeDecoder* dec_ = nullptr;

@@ -243,6 +243,9 @@ struct Coder {
   // decode so the two serial dependency chains overlap (model.h::prepare).
   int bin(int ctx, uint64_t key) {
     if (is_compress) {
+#ifdef AVT_AB_NOMODEL
+      return raw_bin(ctx);
+#endif
       int pcab = cabac_p1(ctx);
       RecodeModel::Prep pp;
       if (model) pp = model->prepare(key, pcab);
@@ -260,6 +263,9 @@ struct Coder {
   }
   int bypass(uint64_t key) {
     if (is_compress) {
+#ifdef AVT_AB_NOMODEL
+      return raw_bypass();
+#endif
       RecodeModel::Prep pp;
       if (model) pp = model->prepare(key, 0);
       int b = raw_bypass();
