@@ -48,6 +48,55 @@ CHUNK = 256      # bins per Pallas grid step (VMEM window)
 LANES = 1024     # lanes per Pallas grid row: one (8, 128) int32 vreg
 
 
+# ---------------------------------------------------------------------------
+# 12-bit probability transfer: every recorded p1 is kSquash[dot + 2048]
+# (model.h::mix_prob / h264_model.mix_prob), i.e. lies in the 4096-entry
+# squash table's image.  The host therefore ships the 12-bit table INDEX
+# (1.5 B/bin packed) instead of the 16-bit p1 (2 B/bin) and the device
+# reconstructs the EXACT p1 with one take() before the kernel — a ~21%
+# cut of host->device bytes on the ~27-45 MB/s tunnel, with containers
+# byte-identical.  The reverse map picks any index with SQUASH[i] == p1
+# (the logistic flattens into runs of equal values near the rails; all
+# such indices are equivalent to the coder).
+
+def _squash_tables():
+    global _SQ_NP, _SQ_REV, _SQ_OK
+    if _SQ_NP is None:
+        from ._mix_tables import SQUASH
+
+        _SQ_NP = np.asarray(SQUASH, np.int32)
+        _SQ_REV = np.zeros(1 << 16, np.uint16)
+        _SQ_OK = np.zeros(1 << 16, bool)
+        _SQ_REV[_SQ_NP] = np.arange(4096, dtype=np.uint16)
+        _SQ_OK[_SQ_NP] = True
+        # p1 == 0 appears only in lane/bin padding (real probabilities are
+        # clamped to [1, 65535] and the squash image is [22, 65514]); map
+        # it to index 0 — those bins are masked off by lens in the kernel
+        _SQ_REV[0] = 0
+        _SQ_OK[0] = True
+    return _SQ_NP, _SQ_REV, _SQ_OK
+
+
+_SQ_NP = _SQ_REV = _SQ_OK = None
+
+
+def pack_p1_idx(p1u16):
+    """uint16 p1 [L, B] -> (packed uint8 [L, 3*B//2], ok).  Two 12-bit
+    squash indices per 3 bytes; ok=False when some p1 is outside the
+    squash image (foreign trace source) — caller keeps the u16 path."""
+    _, rev, okt = _squash_tables()
+    if not okt[p1u16].all():
+        return None, False
+    idx = rev[p1u16].astype(np.uint16)
+    ev, od = idx[:, 0::2], idx[:, 1::2]
+    L, H = ev.shape
+    out = np.empty((L, H, 3), np.uint8)
+    out[:, :, 0] = ev & 0xFF
+    out[:, :, 1] = (ev >> 8) | ((od & 0xF) << 4)
+    out[:, :, 2] = od >> 4
+    return out.reshape(L, 3 * H), True
+
+
 def _ult(a, b):
     """Unsigned int32 a < b."""
     return (a ^ jnp.int32(SIGN)) < (b ^ jnp.int32(SIGN))
@@ -374,6 +423,28 @@ def _finalize_device(tok, car, ftok, fcar, max_bytes):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_bytes"))
+def _lane_pipeline_idx_jit(p1pk, bitw, lens, interpret, max_bytes):
+    """_lane_pipeline_jit on the 12-bit squash-index upload (pack_p1_idx):
+    unpack two indices per 3 bytes, reconstruct the exact p1 with one
+    take() from the 4096-entry squash table, then the same kernel +
+    on-device finalize.  1.625 B/bin over the tunnel vs 2.0625."""
+    L, W = p1pk.shape  # W = 3 * B // 2
+    b = p1pk.astype(jnp.int32).reshape(L, W // 3, 3)
+    ev = b[:, :, 0] | ((b[:, :, 1] & 0xF) << 8)
+    od = (b[:, :, 1] >> 4) | (b[:, :, 2] << 4)
+    idx = jnp.stack([ev, od], axis=-1).reshape(L, -1)
+    sq, _, _ = _squash_tables()
+    p1 = jnp.take(jnp.asarray(sq), idx, axis=0)
+    B = p1.shape[1]
+    bits = (bitw[:, :, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+    bitp1 = p1 | (bits.reshape(L, B) << 16)
+    tok, car, ftok, fcar = _lane_encode_pallas_jit(bitp1, lens,
+                                                   interpret=interpret)
+    out, nbytes, overflow = _finalize_device(tok, car, ftok, fcar, max_bytes)
+    return out, nbytes, overflow, (tok, car, ftok, fcar)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "max_bytes"))
 def _lane_pipeline_jit(p1u16, bitw, lens, interpret, max_bytes):
     """Device pipeline: unpack compact upload -> kernel -> finalize.
 
@@ -553,27 +624,34 @@ def lane_dispatch_compact(p1u16, bitw, lens, interpret=False,
     """Dispatch phase of lane_streams_device_compact: launch every lane
     group asynchronously and return the pending handles WITHOUT reading any
     result back — callers overlap host work (extraction/packing of the next
-    file) with device compute, then drain with lane_collect."""
+    file) with device compute, then drain with lane_collect.
+
+    Uploads 12-bit squash indices (pack_p1_idx) when every p1 is in the
+    squash image (always, for traces this framework recorded), falling
+    back to the uint16 upload otherwise."""
     L, Bp = p1u16.shape
     assert Bp <= 1 << 15
     M = -(-Bp // bits_per_byte // 8) * 8 + 8
     big = GROUP_LB * LANES
+    p1pk, idx_ok = pack_p1_idx(p1u16)
     pending = []
     lo = 0
     while lo < L:
         g = big if L - lo >= big else LANES
         hi = min(lo + g, L)
-        pu, bw, lp = p1u16[lo:hi], bitw[lo:hi], lens[lo:hi]
+        pu = p1pk[lo:hi] if idx_ok else p1u16[lo:hi]
+        bw, lp = bitw[lo:hi], lens[lo:hi]
         if hi - lo < g:
             pad = g - (hi - lo)
             pu = np.pad(pu, ((0, pad), (0, 0)))
             bw = np.pad(bw, ((0, pad), (0, 0)))
             lp = np.pad(lp, (0, pad))
+        fn = _lane_pipeline_idx_jit if idx_ok else _lane_pipeline_jit
         pending.append(
             (
                 hi - lo,
                 lens[lo:hi],
-                _lane_pipeline_jit(
+                fn(
                     jnp.asarray(pu), jnp.asarray(bw), jnp.asarray(lp),
                     interpret, M,
                 ),

@@ -162,3 +162,58 @@ def test_real_clip_gop_scope_envelopes():
             nb += 1
         streams.append(rc.finish())
         assert env == _make_envelope(streams)
+
+
+def test_p1_idx_pack_roundtrip():
+    """12-bit squash-index transfer (pack_p1_idx): exact p1 reconstruction
+    for every value in the squash image, zeros treated as padding, and a
+    clean fallback signal for foreign p1 values."""
+    from avrecode_tpu.ops.lane_coder import _squash_tables, pack_p1_idx
+
+    sq, _, _ = _squash_tables()
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 4096, size=(4, 512))
+    p1 = sq[idx].astype(np.uint16)
+    p1[0, :10] = 0  # lane/bin padding
+    pk, ok = pack_p1_idx(p1)
+    assert ok and pk.shape == (4, 512 // 2 * 3) and pk.dtype == np.uint8
+    # numpy mirror of the device unpack in _lane_pipeline_idx_jit
+    b = pk.astype(np.int64).reshape(4, -1, 3)
+    ev = b[:, :, 0] | ((b[:, :, 1] & 0xF) << 8)
+    od = (b[:, :, 1] >> 4) | (b[:, :, 2] << 4)
+    rec = sq[np.stack([ev, od], axis=-1).reshape(4, -1)]
+    mask = p1 != 0
+    assert (rec[mask] == p1[mask]).all()
+    bad = p1.copy()
+    bad[1, 5] = 2  # below the squash image floor (22): foreign source
+    _, ok2 = pack_p1_idx(bad)
+    assert not ok2
+
+
+def test_compact_idx_pipeline_matches_host():
+    """The real-TPU dispatch path (split_lanes_recs -> pack_p1_idx ->
+    _lane_pipeline_idx_jit, interpret mode) must produce envelopes
+    byte-identical to the host coder on a real clip's native traces."""
+    from avrecode_tpu.host import native
+    from avrecode_tpu.models.h264_model import _make_envelope
+    from avrecode_tpu.ops.lane_coder import (
+        lane_streams_device_compact, split_lanes_recs)
+
+    if not native.available():
+        pytest.skip("native library not built")
+    path = os.path.join(DATA, "rt_gop.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "192", "160", "12", "30", "4", "1", "26", "9", "1"],
+            check=True,
+            capture_output=True,
+        )
+    data = open(path, "rb").read()
+    B = 512
+    _, _, _, traces = native.extract(data, "gop", want_slots=False)
+    assert traces and all(hasattr(t, "recs32") for t in traces)
+    host_envs = encode_traces_lanes(traces, B, use_pallas=False)
+    p1u16, bitw, lens, spans = split_lanes_recs(traces, B)
+    streams = lane_streams_device_compact(p1u16, bitw, lens, interpret=True)
+    envs = [_make_envelope(streams[lo:hi]) for lo, hi in spans]
+    assert envs == host_envs
