@@ -60,6 +60,10 @@ class MixLab {
     std::fill(w2init_, w2init_ + K_NCLS, 0);
     wqp_.clear();
     wqpinit_.clear();
+    apmi_.clear();
+    std::fill(apmi_init_, apmi_init_ + K_NCLS, 0);
+    apmi2_.clear();
+    std::fill(apmi2_init_, apmi2_init_ + K_NCLS * 5, 0);
     for (uint32_t c = 0; c < K_NCLS; c++) {
       wi_[(size_t)c * 3 + 0] = 24576;  // 0.375
       wi_[(size_t)c * 3 + 1] = 24576;
@@ -217,6 +221,158 @@ class MixLab {
         int32_t wn = w[k] + ((err * xs[k]) >> 14);
         w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
       }
+      bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+      n_bins++;
+      adapt_only(i, cls, bit);
+      return;
+    }
+    if (variant >= 17 && variant <= 20) {
+      // Round-4 candidate, SHIP-EXACT integerization of variant 15: the
+      // production v7 6-input mixer -> integer APM (33 cells per class
+      // over the 12-bit stretch domain, interpolated rate-5 update) ->
+      // blend (3*p + apm) >> 2 -> requantize onto the squash grid
+      // (kSquash[kStretch12[p >> 4] + 2048]) so every emitted p1 stays in
+      // the squash image and the device's 12-bit index transfer holds.
+      init_int_tables();
+      if (fpos_.empty()) {
+        fpos_.assign(kKeys.total, 1);
+        fneg_.assign(kKeys.total, 1);
+      }
+      if (lastb_.empty()) lastb_.assign(kKeys.total, 2);
+      if (lastb2_.empty()) lastb2_.assign(kKeys.total, 2);
+      int32_t* w = &wi6_[(size_t)cls * 6];
+      if (!w6init_[cls]) {
+        w6init_[cls] = 1;
+        w[0] = 24576; w[1] = 24576; w[2] = 0; w[3] = 0; w[4] = 0; w[5] = 0;
+      }
+      int fp = fpos_[i], fn = fneg_[i];
+      int32_t pe = (int32_t)(((int64_t)pos << 16) / total);
+      pe = pe > 0xFFFF ? 0xFFFF : pe < 1 ? 1 : pe;
+      int32_t pf = (int32_t)(((int64_t)fp << 16) / (fp + fn));
+      pf = pf > 0xFFFF ? 0xFFFF : pf < 1 ? 1 : pf;
+      int32_t x0 = kStretch[pe >> 4];
+      int32_t x1 = pcab > 0 ? kStretch[pcab >> 4] : 0;
+      int32_t x3 = kStretch[pf >> 4];
+      int lb = lastb_[i], lb2 = lastb2_[i];
+      int32_t x4 = lb == 2 ? 0 : lb ? 256 : -256;
+      int32_t x5 = lb2 == 2 ? 0 : lb2 ? 128 : -128;
+      int32_t dot = ((w[0] >> 6) * x0 + (w[1] >> 6) * x1 + (w[2] >> 6) * 77 +
+                     (w[3] >> 6) * x3 + (w[4] >> 6) * x4 +
+                     (w[5] >> 6) * x5) >> 10;
+      dot = dot < -2048 ? -2048 : dot > 2047 ? 2047 : dot;
+      int32_t p16 = kSquash[dot + 2048];
+      // integer APM keyed on (class, stretch bucket of the mixer output)
+      if (apmi_.empty()) apmi_.assign((size_t)K_NCLS * 33, 0);
+      int32_t* a = &apmi_[(size_t)cls * 33];
+      if (!apmi_init_[cls]) {
+        apmi_init_[cls] = 1;
+        for (int k = 0; k < 33; k++) {
+          int32_t sc = k * 128 - 2048;
+          sc = sc < -2047 ? -2047 : sc > 2047 ? 2047 : sc;
+          a[k] = kSquash[sc + 2048];
+        }
+      }
+      int32_t u = kStretch[p16 >> 4] + 2048;  // [1, 4095]
+      int j = u >> 7;
+      if (j > 31) j = 31;
+      int32_t frac = u - (j << 7);
+      if (variant == 20) {
+        // single APM keyed on (cls, history, bucket): half the loads of
+        // the two-stage chain — how much of the gain survives?
+        int h = (lb == 2 || lb2 == 2) ? 4 : (lb * 2 + lb2);
+        if (apmi2_.empty()) apmi2_.assign((size_t)K_NCLS * 5 * 33, 0);
+        int32_t* ah = &apmi2_[((size_t)cls * 5 + h) * 33];
+        if (!apmi2_init_[(size_t)cls * 5 + h]) {
+          apmi2_init_[(size_t)cls * 5 + h] = 1;
+          for (int k = 0; k < 33; k++) {
+            int32_t sc = k * 128 - 2048;
+            sc = sc < -2047 ? -2047 : sc > 2047 ? 2047 : sc;
+            ah[k] = kSquash[sc + 2048];
+          }
+        }
+        int32_t pah = (ah[j] * (128 - frac) + ah[j + 1] * frac) >> 7;
+        int32_t pbh = (3 * p16 + pah) >> 2;
+        pbh = pbh < 1 ? 1 : pbh > 65535 ? 65535 : pbh;
+        pm = kSquash[kStretch[pbh >> 4] + 2048] / 65536.0;
+        int32_t tgth = bit << 16;
+        ah[j] += ((tgth - ah[j]) * (128 - frac)) >> 12;
+        ah[j + 1] += ((tgth - ah[j + 1]) * frac) >> 12;
+        int32_t errh = (bit << 16) - p16;
+        int32_t xsh[6] = {x0, x1, 77, x3, x4, x5};
+        for (int k = 0; k < 6; k++) {
+          int32_t wn = w[k] + ((errh * xsh[k]) >> 14);
+          w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24)
+                                                              : wn;
+        }
+        lastb2_[i] = lastb_[i];
+        bits_mix += -std::log2(bit ? pm : 1.0 - pm);
+        n_bins++;
+        adapt_only(i, cls, bit);
+        return;
+      }
+      int32_t pa = (a[j] * (128 - frac) + a[j + 1] * frac) >> 7;
+      int32_t pb = (3 * p16 + pa) >> 2;
+      pb = pb < 1 ? 1 : pb > 65535 ? 65535 : pb;
+      int32_t tgt = bit << 16;
+      // variant 18: second APM in the chain, keyed on (cls, 2-bit key
+      // history); its vote averages in before requantization
+      int j2 = 0, frac2 = 0;
+      int32_t* a2 = nullptr;
+      if (variant == 19) {
+        // latency-optimized chain: stage 2 keyed on the SAME stage-1
+        // bucket (from p16, not pb) so both APM loads issue in parallel
+        int h = (lb == 2 || lb2 == 2) ? 4 : (lb * 2 + lb2);
+        if (apmi2_.empty()) apmi2_.assign((size_t)K_NCLS * 5 * 33, 0);
+        a2 = &apmi2_[((size_t)cls * 5 + h) * 33];
+        if (!apmi2_init_[(size_t)cls * 5 + h]) {
+          apmi2_init_[(size_t)cls * 5 + h] = 1;
+          for (int k = 0; k < 33; k++) {
+            int32_t sc = k * 128 - 2048;
+            sc = sc < -2047 ? -2047 : sc > 2047 ? 2047 : sc;
+            a2[k] = kSquash[sc + 2048];
+          }
+        }
+        j2 = j;
+        frac2 = frac;
+        int32_t pa2 = (a2[j2] * (128 - frac2) + a2[j2 + 1] * frac2) >> 7;
+        pb = (3 * pb + pa2) >> 2;
+        pb = pb < 1 ? 1 : pb > 65535 ? 65535 : pb;
+      }
+      if (variant == 18) {
+        int h = (lb == 2 || lb2 == 2) ? 4 : (lb * 2 + lb2);  // 0..4
+        if (apmi2_.empty()) apmi2_.assign((size_t)K_NCLS * 5 * 33, 0);
+        a2 = &apmi2_[((size_t)cls * 5 + h) * 33];
+        if (!apmi2_init_[(size_t)cls * 5 + h]) {
+          apmi2_init_[(size_t)cls * 5 + h] = 1;
+          for (int k = 0; k < 33; k++) {
+            int32_t sc = k * 128 - 2048;
+            sc = sc < -2047 ? -2047 : sc > 2047 ? 2047 : sc;
+            a2[k] = kSquash[sc + 2048];
+          }
+        }
+        int32_t u2 = kStretch[pb >> 4] + 2048;
+        j2 = u2 >> 7;
+        if (j2 > 31) j2 = 31;
+        frac2 = u2 - (j2 << 7);
+        int32_t pa2 = (a2[j2] * (128 - frac2) + a2[j2 + 1] * frac2) >> 7;
+        pb = (3 * pb + pa2) >> 2;
+        pb = pb < 1 ? 1 : pb > 65535 ? 65535 : pb;
+      }
+      int32_t pq = kSquash[kStretch[pb >> 4] + 2048];  // squash-grid requant
+      pm = pq / 65536.0;
+      a[j] += ((tgt - a[j]) * (128 - frac)) >> 12;  // >> (7 + sse_rate 5)
+      a[j + 1] += ((tgt - a[j + 1]) * frac) >> 12;
+      if (a2) {
+        a2[j2] += ((tgt - a2[j2]) * (128 - frac2)) >> 12;
+        a2[j2 + 1] += ((tgt - a2[j2 + 1]) * frac2) >> 12;
+      }
+      int32_t err = (bit << 16) - p16;  // mixer learns on its own output
+      int32_t xs[6] = {x0, x1, 77, x3, x4, x5};
+      for (int k = 0; k < 6; k++) {
+        int32_t wn = w[k] + ((err * xs[k]) >> 14);
+        w[k] = wn < -(1 << 24) ? -(1 << 24) : wn > (1 << 24) ? (1 << 24) : wn;
+      }
+      lastb2_[i] = lastb_[i];
       bits_mix += -std::log2(bit ? pm : 1.0 - pm);
       n_bins++;
       adapt_only(i, cls, bit);
@@ -640,6 +796,10 @@ class MixLab {
   uint8_t w5init_[K_NCLS] = {};
   int32_t wi6_[K_NCLS * 6] = {};
   int32_t wi2b_[K_NCLS * 3] = {};  // variant 16 stage-2 weights
+  std::vector<int32_t> apmi_;      // variant 17 integer APM cells
+  uint8_t apmi_init_[K_NCLS] = {};
+  std::vector<int32_t> apmi2_;     // variant 18 second-stage APM cells
+  uint8_t apmi2_init_[K_NCLS * 5] = {};
   uint8_t w2init_[K_NCLS] = {};
   uint8_t w6init_[K_NCLS] = {};
   std::vector<int32_t> wqp_;   // variant 14: (cls x qp bucket) weights

@@ -29,6 +29,10 @@ constexpr int kHalveSig = 0x50;
 constexpr int kHalveFast = 0x18;  // model v4: fast mixer-input counter
 constexpr int32_t kHistMag = 256;   // model v5: last-bit history input
 constexpr int32_t kHist2Mag = 128;  // model v7: second-last-bit input
+constexpr int kApmCells = 33;       // model v10: APM buckets per class
+constexpr int kApmRate = 5;         // APM adaptation shift
+constexpr int kApmHist = 5;         // stage-2 APM history contexts
+                                    // (last,last2 in {00,01,10,11,none})
 
 // model key classes (order is internal; independent per-key streams)
 enum KeyCls : uint32_t {
@@ -181,6 +185,18 @@ struct DivStretchTab {
 };
 inline const DivStretchTab kDivStretch{};
 
+// Fused squash-grid requantization: kRequant12[p >> 4] ==
+// kSquash[kStretch12[p >> 4] + 2048] exactly (one load instead of two on
+// the per-bin critical path; the device mirrors compute the two lookups
+// separately and stay bit-identical).
+struct RequantTab {
+  uint16_t t[4096];
+  RequantTab() {
+    for (int i = 0; i < 4096; i++) t[i] = kSquash[kStretch12[i] + 2048];
+  }
+};
+inline const RequantTab kRequant12{};
+
 // Thread-local estimator pool: generation stamps make per-model init O(1).
 // One 8-byte cell per key — one cache line holds 8 cells, which is what
 // makes the axis-ordered layouts above pay (the pool is ~6.5 MB, bigger
@@ -254,11 +270,16 @@ class RecodeModel {
         return v;
       };
       uint64_t n = varint();
+      // corrupted envelope defense: the stream count and every length are
+      // attacker-controlled varints — clamp to what the blob can hold so
+      // sub-stream spans never point past the buffer (fuzz finding)
+      if (n > size) n = size;
       std::vector<uint64_t> lens(n);
       for (uint64_t i = 0; i < n; i++) lens[i] = varint();
       for (uint64_t i = 0; i < n; i++) {
-        subs_.emplace_back(data + pos, lens[i]);
-        pos += lens[i];
+        size_t len = (size_t)std::min<uint64_t>(lens[i], size - pos);
+        subs_.emplace_back(data + pos, len);
+        pos += len;
       }
       if (subs_.empty()) subs_.emplace_back(data, (size_t)0);
       dec_ = new RangeDecoder(subs_[0].first, subs_[0].second);
@@ -281,9 +302,12 @@ class RecodeModel {
   struct Prep {
     EstPool::Cell* cell;  // resolved once; commit()/adapt() reuse it
     uint32_t idx;
-    uint32_t p1;
+    uint32_t p1;    // final coded probability (post-APM, squash-grid)
+    uint32_t pmix;  // mixer output (pre-APM): the mixer learns on this
     int pcab;
     uint32_t cls;
+    int32_t aj;     // APM cell index ((cls*kApmHist + h)*kApmCells + bucket)
+    int32_t afrac;  // APM interpolation fraction (0..127)
     // mixer input vector (x[2] is the constant bias input 77; x[6], x[7]
     // are zero padding so the weight update can run as one 8-lane op)
     alignas(32) int32_t x[8];
@@ -337,7 +361,12 @@ class RecodeModel {
     if (B_) {
       if (cur_bins_ == B_) {
         si_++;
-        *dec_ = RangeDecoder(subs_[si_].first, subs_[si_].second);
+        // corrupted envelope: fewer sub-streams than the bin count needs —
+        // zero-fill (the outer parse/verify rejects the garbage loudly)
+        if (si_ < subs_.size())
+          *dec_ = RangeDecoder(subs_[si_].first, subs_[si_].second);
+        else
+          *dec_ = RangeDecoder(nullptr, 0);
         cur_bins_ = 0;
       }
       cur_bins_++;
@@ -380,6 +409,7 @@ class RecodeModel {
     size_t out_len;
     size_t rec_len, lim_len;  // trace mode
     int32_t wmix[K_NCLS * 8];  // mixer weights (small: full copy)
+    uint16_t apm[K_NCLS * kApmHist * kApmCells];  // v10 APM (full copy)
   };
 
   Snapshot snapshot() {
@@ -395,6 +425,7 @@ class RecodeModel {
       s.lim_len = trace_->limits.size();
     }
     std::copy(wmix_, wmix_ + K_NCLS * 8, s.wmix);
+    std::copy(apm_, apm_ + K_NCLS * kApmHist * kApmCells, s.apm);
     return s;
   }
   void commit(const Snapshot& s) { journal_.resize(s.journal_len); }
@@ -416,6 +447,7 @@ class RecodeModel {
       trace_->cls.resize(s.lim_len);
     }
     std::copy(s.wmix, s.wmix + K_NCLS * 8, wmix_);
+    std::copy(s.apm, s.apm + K_NCLS * kApmHist * kApmCells, apm_);
   }
 
   Bytes finish() { return enc_->finish(); }
@@ -495,6 +527,16 @@ class RecodeModel {
       wmix_[c * 8 + 6] = 0;  // pad lanes (SIMD width); never move: x=0
       wmix_[c * 8 + 7] = 0;
     }
+    // model v10: APM cells start at the identity map (squash of each
+    // bucket's stretch-domain center), one 33-cell row per class
+    uint16_t row[kApmCells];
+    for (int k = 0; k < kApmCells; k++) {
+      int32_t sc = k * 128 - 2048;
+      sc = sc < -2047 ? -2047 : sc > 2047 ? 2047 : sc;
+      row[k] = (uint16_t)kSquash[sc + 2048];
+    }
+    for (uint32_t c = 0; c < K_NCLS * kApmHist; c++)
+      std::copy(row, row + kApmCells, &apm_[c * kApmCells]);
   }
 
   // Resolve key -> dense index, initializing / journaling as needed.
@@ -540,6 +582,7 @@ class RecodeModel {
 #ifdef AVT_AB_NOMIX  // ablation build (timing experiments only)
     pp->x[0] = pp->x[1] = pp->x[3] = pp->x[4] = pp->x[5] = 0;
     pp->x[2] = 77; pp->x[6] = pp->x[7] = 0;
+    pp->pmix = 0x8000; pp->aj = 0; pp->afrac = 0;
     return 0x8000;
 #endif
     int32_t x0 = kDivStretch.t[(c.pos + c.neg) * 97 + c.pos];
@@ -563,13 +606,41 @@ class RecodeModel {
          (w[3] >> 6) * x3 + (w[4] >> 6) * x4 + (w[5] >> 6) * x5) >> 10;
     if (dot < -2048) dot = -2048;
     if (dot > 2047) dot = 2047;
-    return kSquash[dot + 2048];
+    // model v10: APM/SSE stage — a secondary probability map keyed on
+    // (class, 2-bit key history, stretch bucket of the mixer output)
+    // refines the mixer probability ((3p + apm) / 4), and the blend is
+    // requantized onto the squash grid so every emitted p1 stays in the
+    // squash image (the device's 12-bit index transfer relies on it).
+    // Lab: mixlab variant 20, +0.59% of stream bytes; the two-stage chain
+    // (variants 18/19) bought +0.68% but with twice the loads/updates on
+    // the per-bin critical path — this keeps 87% of the gain at half the
+    // cost.  kRequant12 fuses the stretch+squash requant into one load.
+    int32_t p16 = kSquash[dot + 2048];
+    pp->pmix = p16;
+    int32_t u = kStretch12[p16 >> 4] + 2048;  // [1, 4095]
+    int32_t j = u >> 7;                       // 0..31
+    int32_t frac = u - (j << 7);
+    int32_t lh = (c.meta >> 28) & 3, lh2 = c.meta >> 30;
+    int32_t h = (lh == 2 || lh2 == 2) ? 4 : lh * 2 + lh2;
+    pp->aj = ((int32_t)cls * kApmHist + h) * kApmCells + j;
+    pp->afrac = frac;
+    const uint16_t* a = &apm_[pp->aj];
+    int32_t pa = (a[0] * (128 - frac) + a[1] * frac) >> 7;
+    int32_t pb = (3 * p16 + pa) >> 2;
+    pb = pb < 1 ? 1 : pb > 65535 ? 65535 : pb;
+    return kRequant12.t[pb >> 4];
   }
   void update_mix(const Prep& pp, int bit) {
 #ifdef AVT_AB_NOUPD
     return;
 #endif
-    int32_t err = (bit << 16) - (int32_t)pp.p1;
+    // model v10: APM cells adapt toward the observed bit (rate kApmRate,
+    // interpolation-weighted); the mixer learns on its own pre-APM output
+    uint16_t* a = &apm_[pp.aj];
+    int32_t tgt = bit << 16;
+    a[0] = (uint16_t)(a[0] + (((tgt - a[0]) * (128 - pp.afrac)) >> (7 + kApmRate)));
+    a[1] = (uint16_t)(a[1] + (((tgt - a[1]) * pp.afrac) >> (7 + kApmRate)));
+    int32_t err = (bit << 16) - (int32_t)pp.pmix;
     int32_t* w = &wmix_[pp.cls * 8];
 #ifdef AVT_AVX
     __m256i xv = _mm256_load_si256((const __m256i*)pp.x);
@@ -626,6 +697,8 @@ class RecodeModel {
 
   EstPool* pool_ = nullptr;
   int32_t wmix_[K_NCLS * 8];
+  // model v10 secondary probability map, keyed (class, history, bucket)
+  uint16_t apm_[K_NCLS * kApmHist * kApmCells];
   uint32_t start_gen_ = 0, epoch_ = 0;
   bool optimistic_ = false;
   std::vector<Undo> journal_;

@@ -32,6 +32,20 @@ HALVE_SIG = 0x50
 HALVE_FAST = 0x18  # model v4: fast mixer-input counter
 HIST_MAG = 256  # model v5: last-bit history input magnitude
 HIST2_MAG = 128  # model v7: second-last-bit input magnitude
+APM_CELLS = 33  # model v10: APM buckets per class
+APM_RATE = 5    # APM adaptation shift
+APM_HIST = 5    # stage-2 APM history contexts ({00,01,10,11,none})
+
+
+def _apm_row():
+    """Identity-initialized APM row: squash of each bucket's stretch-domain
+    center (mirror of model.h::init_pool)."""
+    row = []
+    for k in range(APM_CELLS):
+        sc = k * 128 - 2048
+        sc = -2047 if sc < -2047 else (2047 if sc > 2047 else sc)
+        row.append(SQUASH[sc + 2048])
+    return row
 
 
 class RecodeModel:
@@ -61,6 +75,7 @@ class RecodeModel:
             self.rc = RangeDecoder(data)
         self.est = {}  # key -> [pos, neg]
         self.wmix = {}  # key class -> [w_est, w_cab, w_bias] (16-frac)
+        self.apm = {}  # (key class, history ctx) -> 33-cell APM row (v10)
         self.bill = {}  # key-class -> recoded bits (approx, for the ledger)
 
     def _boundary(self):
@@ -72,7 +87,11 @@ class RecodeModel:
                 self.rc = RangeEncoder()
             else:
                 self.si += 1
-                self.rc = RangeDecoder(self.streams[self.si])
+                # corrupted envelope: fewer sub-streams than the bin count
+                # needs — zero-fill (the outer parse rejects it loudly)
+                self.rc = RangeDecoder(
+                    self.streams[self.si]
+                    if self.si < len(self.streams) else b"")
             self.cur_bins = 0
         self.cur_bins += 1
 
@@ -102,13 +121,32 @@ class RecodeModel:
                + (w[3] >> 6) * x3 + (w[4] >> 6) * x4
                + (w[5] >> 6) * x5) >> 10
         dot = -2048 if dot < -2048 else (2047 if dot > 2047 else dot)
-        p1 = SQUASH[dot + 2048]
-        return e, p1, (w, x0, x1, x3, x4, x5)
+        # model v10: APM/SSE stage (mirror of model.h::mix_prob) — blend
+        # the mixer output with a secondary map keyed on (class, 2-bit key
+        # history, stretch bucket), then requantize onto the squash grid
+        # so every emitted p1 stays in the squash image (12-bit device
+        # transfer invariant)
+        pmix = SQUASH[dot + 2048]
+        u = STRETCH12[pmix >> 4] + 2048
+        j = u >> 7
+        frac = u - (j << 7)
+        h = 4 if (e[4] == 2 or e[5] == 2) else e[4] * 2 + e[5]
+        a = self.apm.get((key[0], h))
+        if a is None:
+            a = self.apm[(key[0], h)] = _apm_row()
+        pa = (a[j] * (128 - frac) + a[j + 1] * frac) >> 7
+        pb = (3 * pmix + pa) >> 2
+        pb = 1 if pb < 1 else (65535 if pb > 65535 else pb)
+        p1 = SQUASH[STRETCH12[pb >> 4] + 2048]
+        return e, p1, (w, x0, x1, x3, x4, x5, pmix, a, j, frac)
 
     @staticmethod
     def _update_mix(mixctx, p1, bit):
-        w, x0, x1, x3, x4, x5 = mixctx
-        err = (bit << 16) - p1
+        w, x0, x1, x3, x4, x5, pmix, a, j, frac = mixctx
+        tgt = bit << 16
+        a[j] += ((tgt - a[j]) * (128 - frac)) >> (7 + APM_RATE)
+        a[j + 1] += ((tgt - a[j + 1]) * frac) >> (7 + APM_RATE)
+        err = tgt - pmix  # the mixer learns on its own pre-APM output
         for k, x in ((0, x0), (1, x1), (2, 77), (3, x3), (4, x4), (5, x5)):
             wn = w[k] + ((err * x) >> 14)
             w[k] = -(1 << 24) if wn < -(1 << 24) else (
@@ -180,12 +218,15 @@ class RecodeModel:
             dict(self.bill),
             (rc, len(self.closed), self.cur_bins),
             {k: list(v) for k, v in self.wmix.items()},
+            {k: list(v) for k, v in self.apm.items()},
         )
 
     def rollback(self, snap):
-        est, (low, rng, cache, csize, outlen), bill, (rc, ncl, cb), wmix = snap
+        (est, (low, rng, cache, csize, outlen), bill, (rc, ncl, cb), wmix,
+         apm) = snap
         self.est = {k: list(v) for k, v in est.items()}
         self.wmix = {k: list(v) for k, v in wmix.items()}
+        self.apm = {k: list(v) for k, v in apm.items()}
         # the active encoder at snapshot time may have been closed since;
         # restoring its registers + out length reopens it (finish() only
         # appends flush bytes past outlen and mutates registers)

@@ -21,8 +21,8 @@ the per-bin std::map path called out as the reference's hotspot
 """
 
 from ..ops._mix_tables import SQUASH, STRETCH12
-from .h264_model import (HALVE_DEFAULT, HALVE_FAST, HALVE_SIG, HIST2_MAG,
-                         HIST_MAG)
+from .h264_model import (APM_RATE, HALVE_DEFAULT, HALVE_FAST, HALVE_SIG,
+                         HIST2_MAG, HIST_MAG, _apm_row)
 
 # key class name -> numeric id for the device mixer weight table; MUST
 # follow host/src/model.h::KeyCls order (the native extractor exports the
@@ -57,6 +57,7 @@ class TraceModel:
         self.p1s = []
         self.est = {}  # slot -> [pos, neg]; adapted exactly like RecodeModel
         self.wmix = {}  # class id -> [w_est, w_cab, w_bias]
+        self.apm = {}  # (class id, history ctx) -> 33-cell APM row (v10)
 
     def _slot(self, key):
         s = self.slot_of.get(key)
@@ -91,9 +92,25 @@ class TraceModel:
                + (w[3] >> 6) * x3 + (w[4] >> 6) * x4
                + (w[5] >> 6) * x5) >> 10
         dot = -2048 if dot < -2048 else (2047 if dot > 2047 else dot)
-        p1 = SQUASH[dot + 2048]
+        # model v10 APM stage (RecodeModel._prob_update mirror): secondary
+        # map keyed on (class, 2-bit key history, stretch bucket)
+        pmix = SQUASH[dot + 2048]
+        u = STRETCH12[pmix >> 4] + 2048
+        j = u >> 7
+        frac = u - (j << 7)
+        h = 4 if (e[4] == 2 or e[5] == 2) else e[4] * 2 + e[5]
+        a = self.apm.get((c, h))
+        if a is None:
+            a = self.apm[(c, h)] = _apm_row()
+        pa = (a[j] * (128 - frac) + a[j + 1] * frac) >> 7
+        pb = (3 * pmix + pa) >> 2
+        pb = 1 if pb < 1 else (65535 if pb > 65535 else pb)
+        p1 = SQUASH[STRETCH12[pb >> 4] + 2048]
         bit = int(bit)
-        err = (bit << 16) - p1
+        tgt = bit << 16
+        a[j] += ((tgt - a[j]) * (128 - frac)) >> (7 + APM_RATE)
+        a[j + 1] += ((tgt - a[j + 1]) * frac) >> (7 + APM_RATE)
+        err = tgt - pmix  # the mixer learns on its pre-APM output
         for k, x in ((0, x0), (1, x1), (2, 77), (3, x3), (4, x4), (5, x5)):
             wn = w[k] + ((err * x) >> 14)
             w[k] = -(1 << 24) if wn < -(1 << 24) else (
@@ -123,10 +140,12 @@ class TraceModel:
             len(self.limits),
             {s: e[:] for s, e in self.est.items()},
             {c: w[:] for c, w in self.wmix.items()},
+            {c: a[:] for c, a in self.apm.items()},
         )
 
     def rollback(self, snap):
-        nbits, nslots, est, wmix = snap
+        nbits, nslots, est, wmix, apm = snap
+        self.apm = apm
         del self.slots[nbits:], self.bits[nbits:]
         del self.pcabs[nbits:], self.p1s[nbits:]
         if len(self.limits) > nslots:

@@ -46,6 +46,16 @@ from ..models.trace import N_CLS  # model.h::K_NCLS (single source of truth)
 HALVE_FAST = 0x18  # model v4 fast-counter halving (model.h::kHalveFast)
 HIST_MAG = 256  # model v5 last-bit history magnitude (model.h::kHistMag)
 HIST2_MAG = 128  # model v7 second-last-bit magnitude (model.h::kHist2Mag)
+APM_CELLS = 33  # model v10 APM buckets per class (model.h::kApmCells)
+APM_RATE = 5    # model v10 APM adaptation shift (model.h::kApmRate)
+APM_HIST = 5    # stage-2 APM history contexts (model.h::kApmHist)
+
+
+def _apm_init():
+    """Identity-initialized APM row (h264_model._apm_row mirror)."""
+    from ..models.h264_model import _apm_row
+
+    return np.asarray(_apm_row(), np.int32)
 
 
 def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
@@ -57,7 +67,7 @@ def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
     stretch, squash = _mix_tables()
 
     def step(carry, x):
-        est, w = carry
+        est, w, apm = carry
         slot, bit, pcab, v = x
         e = est[slot]
         e0, e1, f0, f1, lb, lb2 = e[0], e[1], e[2], e[3], e[4], e[5]
@@ -75,8 +85,26 @@ def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
                + (wr[3] >> 6) * x3 + (wr[4] >> 6) * x4
                + (wr[5] >> 6) * x5) >> 10
         dot = jnp.clip(dot, -2048, 2047)
-        p1 = squash[dot + 2048]
-        err = (bit << 16) - p1
+        # model v10 APM stage (model.h::mix_prob mirror): blend with a map
+        # keyed (class, 2-bit key history, stretch bucket), requantize onto
+        # the squash grid
+        pmix = squash[dot + 2048]
+        u = stretch[pmix >> 4] + 2048
+        j = u >> 7
+        frac = u - (j << 7)
+        h = jnp.where(jnp.logical_or(lb == 2, lb2 == 2), 4, lb * 2 + lb2)
+        ci = c * APM_HIST + h
+        a0 = apm[ci, j]
+        a1 = apm[ci, j + 1]
+        pa = (a0 * (128 - frac) + a1 * frac) >> 7
+        pb = jnp.clip((3 * pmix + pa) >> 2, 1, 65535)
+        p1 = squash[stretch[pb >> 4] + 2048]
+        tgt = bit << 16
+        a0n = a0 + (((tgt - a0) * (128 - frac)) >> (7 + APM_RATE))
+        a1n = a1 + (((tgt - a1) * frac) >> (7 + APM_RATE))
+        apm = apm.at[ci, j].set(jnp.where(v == 1, a0n, a0))
+        apm = apm.at[ci, j + 1].set(jnp.where(v == 1, a1n, a1))
+        err = tgt - pmix  # the mixer learns on its pre-APM output
         wn = jnp.clip(
             wr + ((err * jnp.stack([x0, x1, jnp.int32(77), x3, x4, x5]))
                   >> 14),
@@ -94,7 +122,7 @@ def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
         f1n = jnp.where(fhalve, (f1n + 1) >> 1, f1n)
         new = jnp.where(v == 1, jnp.stack([e0n, e1n, f0n, f1n, bit, lb]), e)
         est = est.at[slot].set(new)
-        return (est, w), jnp.where(v == 1, p1, 0x8000)
+        return (est, w, apm), jnp.where(v == 1, p1, 0x8000)
 
     est0 = _vlike(
         jnp.concatenate(
@@ -107,8 +135,13 @@ def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
                  (N_CLS, 1)),
         slots,
     )
-    (_, _), p1s = jax.lax.scan(
-        step, (est0, w0), (slots, bits, pcabs, valid), unroll=SCAN_UNROLL
+    apm0 = _vlike(
+        jnp.tile(jnp.asarray(_apm_init())[None, :], (N_CLS * APM_HIST, 1)),
+        slots,
+    )
+    (_, _, _), p1s = jax.lax.scan(
+        step, (est0, w0, apm0), (slots, bits, pcabs, valid),
+        unroll=SCAN_UNROLL,
     )
     return p1s
 

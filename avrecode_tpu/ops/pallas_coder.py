@@ -37,8 +37,12 @@ def _ult(a, b):
     return (a ^ jnp.int32(SIGN)) < (b ^ jnp.int32(SIGN))
 
 
+APM_STRIDE = 40  # APM rows per class in the (R, 1) scratch (33 cells, padded)
+
+
 def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
-            tok_out, carry_out, count_out, est_ref, w_ref, state_ref):
+            apm_init_ref, tok_out, carry_out, count_out, est_ref, w_ref,
+            apm_ref, state_ref):
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -51,6 +55,13 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         # w_hist, w_hist2, pad...]
         colw = jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 1)
         w_ref[:, :] = jnp.where(colw < 2, 24576, 0)
+        # model v10 APM cells: one APM_STRIDE-row block per (class, history
+        # ctx), each initialized to the identity row (squash of centers)
+        def initcls(k, acc):
+            apm_ref[pl.ds(k * APM_STRIDE, APM_STRIDE), :] = apm_init_ref[:, :]
+            return acc
+
+        jax.lax.fori_loop(0, apm_ref.shape[0] // APM_STRIDE, initcls, 0)
         state_ref[0] = 0   # low
         state_ref[1] = 0   # pend
         state_ref[2] = -1  # rng = 0xFFFFFFFF
@@ -103,8 +114,30 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         dot = ((w0 >> 6) * x0 + (w1 >> 6) * x1 + (w2 >> 6) * 77
                + (w3 >> 6) * x3 + (w4 >> 6) * x4 + (w5 >> 6) * x5) >> 10
         dot = jnp.clip(dot, -2048, 2047)
-        p1 = tbl_ref[pl.ds(dot + 2048, 1), :][0, 1]
-        err = (bit << 16) - p1
+        # model v10 APM stage (model.h::mix_prob mirror): map keyed on
+        # (class, 2-bit key history, stretch bucket)
+        pmix = tbl_ref[pl.ds(dot + 2048, 1), :][0, 1]
+        u = tbl_ref[pl.ds(pmix >> 4, 1), :][0, 0] + 2048
+        aj = u >> 7
+        frac = u - (aj << 7)
+        h = jnp.where(jnp.logical_or(lb == 2, lb2 == 2), 4, lb * 2 + lb2)
+        arow = (cls * 5 + h) * APM_STRIDE + aj
+        a0 = apm_ref[pl.ds(arow, 1), :][0, 0]
+        a1 = apm_ref[pl.ds(arow + 1, 1), :][0, 0]
+        pa = (a0 * (128 - frac) + a1 * frac) >> 7
+        pb = jnp.clip((3 * pmix + pa) >> 2, 1, 65535)
+        p1 = tbl_ref[pl.ds(tbl_ref[pl.ds(pb >> 4, 1), :][0, 0] + 2048, 1),
+                     :][0, 1]
+        tgt = bit << 16
+        a0n = a0 + (((tgt - a0) * (128 - frac)) >> 12)  # >> (7 + kApmRate)
+        a1n = a1 + (((tgt - a1) * frac) >> 12)
+
+        @pl.when(v == 1)
+        def _():
+            apm_ref[pl.ds(arow, 1), :] = a0n.reshape(1, 1)
+            apm_ref[pl.ds(arow + 1, 1), :] = a1n.reshape(1, 1)
+
+        err = tgt - pmix  # the mixer learns on its pre-APM output
         w0n = jnp.clip(w0 + ((err * x0) >> 14), -(1 << 24), 1 << 24)
         w1n = jnp.clip(w1 + ((err * x1) >> 14), -(1 << 24), 1 << 24)
         w2n = jnp.clip(w2 + ((err * 77) >> 14), -(1 << 24), 1 << 24)
@@ -218,6 +251,7 @@ def _encode_raw(slots, bits, pcabs, limits, valid, cls, interpret=False):
             bin_spec,
             pl.BlockSpec((NS, 2), lambda s, c: (s, 0)),
             pl.BlockSpec((4096, 2), lambda s, c: (0, 0)),
+            pl.BlockSpec((APM_STRIDE, 1), lambda s, c: (0, 0)),
         ],
         out_specs=[
             seg_spec,
@@ -234,11 +268,15 @@ def _encode_raw(slots, bits, pcabs, limits, valid, cls, interpret=False):
             # per-class mixer weight rows; must hold N_CLS rows (rounded to
             # the 8-row VMEM tile)
             pltpu.VMEM((max(64, -(-N_CLS // 8) * 8), 8), jnp.int32),
+            # model v10 APM cells: APM_STRIDE rows per (class, history
+            # ctx), (R, 1) layout
+            pltpu.VMEM((max(64, -(-N_CLS // 8) * 8) * 5 * APM_STRIDE, 1),
+                       jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ],
         interpret=interpret,
     )(col(slots), col(bits), col(pcabs), col(valid), _limits2(limits, cls),
-      _mix_tbl())
+      _mix_tbl(), _apm_init_col())
     return (
         toks.reshape(S, NC, CAP),
         carrs.reshape(S, NC, CAP),
@@ -262,6 +300,15 @@ def _mix_tbl():
         [jnp.asarray(STRETCH12, jnp.int32), jnp.asarray(SQUASH, jnp.int32)],
         axis=-1,
     )
+
+
+def _apm_init_col():
+    """[APM_STRIDE, 1] int32: the identity APM row (model v10), padded."""
+    from ..models.h264_model import _apm_row
+
+    row = np.zeros((APM_STRIDE, 1), np.int32)
+    row[: len(_apm_row()), 0] = _apm_row()
+    return jnp.asarray(row)
 
 
 def finalize_streams(toks, carrs, counts):

@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 10  # v10: model v9 (i16 cbp-chroma + qp-delta-magnitude keys)
+VERSION = 11  # v11: model v10 (APM/SSE secondary-map stage)
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 
