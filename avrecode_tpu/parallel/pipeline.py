@@ -214,26 +214,85 @@ def device_compress(data, mesh=None, use_pallas=None, scope=None,
     return serialize_container(scope_id, sps, pps, blocks, None, finisher=finisher)
 
 
+class _LaneBatcher:
+    """Cross-file lane accumulator: files append their lane rows to one
+    global row stream; full GROUP_LB-sized dispatch groups flush as they
+    fill, so many small files share dispatches instead of each paying the
+    ~1 s tunnel round-trip for a padded tail group (the 17-file corpus
+    dropped from 23 dispatches to ~4).  Row order is append order, so each
+    file's lanes occupy one contiguous global range."""
+
+    def __init__(self, dispatch_fn, big):
+        self.dispatch = dispatch_fn
+        self.big = big
+        self.segs = []  # undispatched (p1u16, bitw, lens) row segments
+        self.acc = 0
+        self.pending = []  # dispatched group handles, global row order
+        self.rows = 0  # total rows appended
+
+    def add(self, p1u16, bitw, lens):
+        """Append one file's rows; returns (global_lo, global_hi)."""
+        lo = self.rows
+        self.rows += p1u16.shape[0]
+        self.segs.append([p1u16, bitw, lens])
+        self.acc += p1u16.shape[0]
+        while self.acc >= self.big:
+            self._flush(self.big)
+        return lo, self.rows
+
+    def _take(self, g):
+        """Pop exactly g rows off the segment queue (splitting the last)."""
+        parts = [[], [], []]
+        need = g
+        while need:
+            seg = self.segs[0]
+            n = seg[0].shape[0]
+            if n <= need:
+                for k in range(3):
+                    parts[k].append(seg[k])
+                self.segs.pop(0)
+                need -= n
+            else:
+                for k in range(3):
+                    parts[k].append(seg[k][:need])
+                    seg[k] = seg[k][need:]
+                need = 0
+        self.acc -= g
+        return (np.concatenate(parts[0]), np.concatenate(parts[1]),
+                np.concatenate(parts[2]))
+
+    def _flush(self, g):
+        p1u16, bitw, lens = self._take(g)
+        self.pending.extend(self.dispatch(p1u16, bitw, lens))
+
+    def finish(self):
+        """Dispatch the remainder, then collect -> global stream list."""
+        from ..ops.lane_coder import lane_collect
+
+        if self.acc:
+            self._flush(self.acc)
+        return lane_collect(self.pending)
+
+
 def device_compress_corpus(inputs, scope="gop", substream_bins=4096,
                            use_pallas=None, stats=None):
     """Batch-directory device compression (BASELINE config 4): compress many
     files through ONE overlapped device pipeline instead of per-file
     device_compress calls.
 
-    Per file the host extracts + packs, then DISPATCHES its lane groups
-    asynchronously and immediately moves on to extracting the next file —
-    host parse (CPU threads) overlaps device compute/transfer, and the
-    per-file dispatch/readback round trips (the dominant cost on a ~1 s
-    latency tunnel) collapse into one pipelined stream drained at the end.
-    Output containers are byte-identical to
-    device_compress(f, scope=..., substream_bins=...) per file.
+    Per file the host extracts + packs, then APPENDS its lanes to the
+    cross-file batcher — full dispatch groups launch asynchronously as
+    they fill, so host parse (CPU threads) overlaps device
+    compute/transfer AND small files share dispatch round trips (the
+    dominant cost on a ~1 s latency tunnel).  Output containers are
+    byte-identical to device_compress(f, scope=..., substream_bins=...)
+    per file.
 
     inputs: list of paths or bytes.  Returns list of container bytes.
     stats (optional dict) receives {'dispatches': N, 'bins': M}."""
     from ..host import native
     from ..models.h264_model import _make_envelope
-    from ..ops.lane_coder import (lane_collect, lane_dispatch_compact,
-                                  split_lanes_recs)
+    from ..ops.lane_coder import lane_dispatch_compact, split_lanes_recs
 
     datas = [
         open(x, "rb").read() if isinstance(x, str) else bytes(x)
@@ -249,9 +308,10 @@ def device_compress_corpus(inputs, scope="gop", substream_bins=4096,
     # so file i+1 parses while file i packs/dispatches
     import concurrent.futures as _fut
 
+    from ..ops.lane_coder import GROUP_LB, LANES
+
     metas_by_idx = [None] * len(datas)
-    pendings = []
-    n_dispatch = 0
+    batcher = _LaneBatcher(lane_dispatch_compact, GROUP_LB * LANES)
     n_bins = 0
     with _fut.ThreadPoolExecutor(max_workers=1) as pool:
         nxt = None
@@ -268,19 +328,17 @@ def device_compress_corpus(inputs, scope="gop", substream_bins=4096,
             if traces and use_p and all(hasattr(t, "recs32") for t in traces):
                 p1u16, bitw, lens, spans = split_lanes_recs(
                     traces, substream_bins)
-                pend = lane_dispatch_compact(p1u16, bitw, lens)
-                n_dispatch += len(pend)
+                rows = batcher.add(p1u16, bitw, lens)
                 n_bins += sum(len(t) for t in traces)
                 metas_by_idx[idx] = ("pend", data, sps, pps, blocks, traces,
-                                     spans, len(pendings))
-                pendings.append(pend)
+                                     spans, rows)
             else:
                 metas_by_idx[idx] = ("host", data, sps, pps, blocks, traces,
                                      None, None)
     # drain all device work (transfers/compute progressed in the background)
-    streams_per_file = [lane_collect(p) for p in pendings]
+    all_streams = batcher.finish()
     outs = []
-    for kind, data, sps, pps, blocks, traces, spans, pi in metas_by_idx:
+    for kind, data, sps, pps, blocks, traces, spans, rows in metas_by_idx:
         if kind == "host":
             if traces:
                 from ..ops.lane_coder import encode_traces_lanes
@@ -294,7 +352,7 @@ def device_compress_corpus(inputs, scope="gop", substream_bins=4096,
                                      substream_bins=substream_bins))
                 continue
         else:
-            streams = streams_per_file[pi]
+            streams = all_streams[rows[0]:rows[1]]
             envs = [_make_envelope(streams[lo:hi]) for lo, hi in spans]
         finmap = {id(t): envs[i] for i, t in enumerate(traces)}
 
@@ -306,7 +364,7 @@ def device_compress_corpus(inputs, scope="gop", substream_bins=4096,
             substream_bins=substream_bins,
         ))
     if stats is not None:
-        stats["dispatches"] = n_dispatch
+        stats["dispatches"] = len(batcher.pending)
         stats["bins"] = n_bins
     return outs
 

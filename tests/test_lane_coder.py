@@ -217,3 +217,41 @@ def test_compact_idx_pipeline_matches_host():
     streams = lane_streams_device_compact(p1u16, bitw, lens, interpret=True)
     envs = [_make_envelope(streams[lo:hi]) for lo, hi in spans]
     assert envs == host_envs
+
+
+def test_cross_file_lane_batcher_matches_per_file():
+    """Corpus lane batching (_LaneBatcher): lanes of several 'files' share
+    dispatch groups; the global stream list must equal the per-file
+    dispatch results row for row."""
+    from avrecode_tpu.host import native
+    from avrecode_tpu.ops.lane_coder import (
+        lane_dispatch_compact, lane_streams_device_compact, split_lanes_recs)
+    from avrecode_tpu.parallel.pipeline import _LaneBatcher
+
+    if not native.available():
+        pytest.skip("native library not built")
+    path = os.path.join(DATA, "rt_gop.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "192", "160", "12", "30", "4", "1", "26", "9", "1"],
+            check=True, capture_output=True,
+        )
+    data = open(path, "rb").read()
+    B = 512
+    _, _, _, traces = native.extract(data, "gop", want_slots=False)
+    p1u16, bitw, lens, _ = split_lanes_recs(traces, B)
+    per_file = lane_streams_device_compact(p1u16, bitw, lens, interpret=True)
+
+    def dispatch(p, b, l):
+        return lane_dispatch_compact(p, b, l, interpret=True)
+
+    # tiny group size (two rows) forces splits across segment boundaries
+    bat = _LaneBatcher(dispatch, 2)
+    ranges = []
+    for lo in range(0, p1u16.shape[0], 3):  # three "files" of 3 rows each
+        hi = min(lo + 3, p1u16.shape[0])
+        ranges.append(bat.add(p1u16[lo:hi], bitw[lo:hi], lens[lo:hi]))
+    streams = bat.finish()
+    assert len(streams) == len(per_file)
+    assert streams == per_file
+    assert ranges[0][0] == 0 and ranges[-1][1] == p1u16.shape[0]
