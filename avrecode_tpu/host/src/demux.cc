@@ -673,6 +673,159 @@ static std::optional<H264Stream> demux_ts(const uint8_t* d, size_t n) {
   return stream;
 }
 
+// ------------------------------------------------------------------ avi --
+// Mirror of utils/avi.py: classic AVI wraps H.264 as Annex-B inside the
+// movi LIST's per-frame 'NNdc'/'NNdb' chunks (SPS/PPS in-band).
+static void scan_annexb_range(const uint8_t* d, uint64_t s, uint64_t e,
+                              H264Stream* stream) {
+  std::vector<uint64_t> starts;
+  for (uint64_t i = s; i + 3 <= e;) {
+    if (d[i] == 0 && d[i + 1] == 0) {
+      if (d[i + 2] == 1) {
+        starts.push_back(i + 3);
+        i += 3;
+        continue;
+      }
+      if (i + 4 <= e && d[i + 2] == 0 && d[i + 3] == 1) {
+        starts.push_back(i + 4);
+        i += 4;
+        continue;
+      }
+    }
+    i++;
+  }
+  for (size_t k = 0; k < starts.size(); k++) {
+    uint64_t ns = starts[k];
+    uint64_t ne;
+    if (k + 1 == starts.size()) {
+      ne = e;
+    } else {
+      ne = starts[k + 1] - 3;
+      if (ne >= ns + 1 && d[ne - 1] == 0) ne -= 1;  // 4-byte prefix
+    }
+    if (ne <= ns) continue;
+    uint8_t hdr = d[ns];
+    NalSpan span{ns, ne - ns, hdr & 0x1F, (hdr >> 5) & 3};
+    stream->nals.push_back(span);
+    if (span.nal_type == 7) stream->sps_list.emplace_back(d + ns, d + ne);
+    if (span.nal_type == 8) stream->pps_list.emplace_back(d + ns, d + ne);
+  }
+}
+
+static uint32_t rd32le(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
+template <class F>
+static void riff_chunks(const uint8_t* d, uint64_t pos, uint64_t end, F f) {
+  while (pos + 8 <= end) {
+    const uint8_t* ckid = d + pos;
+    uint64_t size = rd32le(d + pos + 4);
+    uint64_t body = pos + 8;
+    if (body + size > end) break;
+    f(ckid, body, body + size);
+    pos = body + size + (size & 1);  // chunks pad to even
+  }
+}
+
+static void avi_movi(const uint8_t* d, uint64_t s, uint64_t e,
+                     const char* tag_dc, const char* tag_db,
+                     H264Stream* stream) {
+  riff_chunks(d, s, e, [&](const uint8_t* ckid, uint64_t cs, uint64_t ce) {
+    if (!memcmp(ckid, "LIST", 4)) {  // 'rec ' grouping
+      avi_movi(d, cs + 4, ce, tag_dc, tag_db, stream);
+    } else if (!memcmp(ckid, tag_dc, 4) || !memcmp(ckid, tag_db, 4)) {
+      scan_annexb_range(d, cs, ce, stream);
+    }
+  });
+}
+
+static std::optional<H264Stream> demux_avi(const uint8_t* d, size_t n) {
+  if (n < 16 || memcmp(d, "RIFF", 4) || memcmp(d + 8, "AVI ", 4))
+    return std::nullopt;
+  int video_idx = -1;
+  std::vector<std::pair<uint64_t, uint64_t>> movi;
+  riff_chunks(d, 12, n, [&](const uint8_t* ckid, uint64_t s, uint64_t e) {
+    if (memcmp(ckid, "LIST", 4) || e - s < 4) return;
+    if (!memcmp(d + s, "hdrl", 4)) {
+      int idx = 0;
+      riff_chunks(d, s + 4, e, [&](const uint8_t* c2, uint64_t s2,
+                                   uint64_t e2) {
+        if (!memcmp(c2, "LIST", 4) && e2 - s2 >= 4 &&
+            !memcmp(d + s2, "strl", 4)) {
+          riff_chunks(d, s2 + 4, e2, [&](const uint8_t* c3, uint64_t s3,
+                                         uint64_t e3) {
+            if (!memcmp(c3, "strh", 4) && e3 - s3 >= 4 &&
+                !memcmp(d + s3, "vids", 4) && video_idx < 0)
+              video_idx = idx;
+          });
+          idx++;
+        }
+      });
+    } else if (!memcmp(d + s, "movi", 4)) {
+      movi.emplace_back(s + 4, e);
+    }
+  });
+  if (video_idx < 0 || movi.empty()) return std::nullopt;
+  char tag_dc[5], tag_db[5];
+  snprintf(tag_dc, sizeof tag_dc, "%02ddc", video_idx);
+  snprintf(tag_db, sizeof tag_db, "%02ddb", video_idx);
+  H264Stream stream;
+  for (auto& me : movi) avi_movi(d, me.first, me.second, tag_dc, tag_db,
+                                 &stream);
+  if (stream.nals.empty()) return std::nullopt;
+  return stream;
+}
+
+// ------------------------------------------------------------------ flv --
+// Mirror of utils/flv.py: video tags (type 9, codec 7) — the sequence
+// header carries the avcC, NALU packets carry length-prefixed units.
+static std::optional<H264Stream> demux_flv(const uint8_t* d, size_t n) {
+  if (n < 13 || memcmp(d, "FLV", 3)) return std::nullopt;
+  uint64_t pos = ((uint64_t)d[5] << 24) | ((uint64_t)d[6] << 16) |
+                 ((uint64_t)d[7] << 8) | d[8];
+  pos += 4;  // PreviousTagSize0
+  H264Stream stream;
+  int length_size = 4;
+  bool have_avcc = false;
+  while (pos + 11 <= n) {
+    int ttype = d[pos] & 0x1F;
+    uint64_t dsize = ((uint64_t)d[pos + 1] << 16) |
+                     ((uint64_t)d[pos + 2] << 8) | d[pos + 3];
+    uint64_t body = pos + 11;
+    uint64_t end = body + dsize;
+    if (end > n) break;
+    if (ttype == 9 && dsize >= 5 && (d[body] & 0x0F) == 7) {
+      int pkt = d[body + 1];
+      uint64_t p = body + 5;  // frame/codec, AVCPacketType, CompositionTime
+      if (pkt == 0) {  // AVC sequence header: avcC record
+        try {
+          parse_avcc_field(d + p, end - p, &length_size, &stream.sps_list,
+                           &stream.pps_list);
+          have_avcc = true;
+        } catch (const ParseError&) {
+          return std::nullopt;
+        }
+      } else if (pkt == 1) {  // NALU packet: length-prefixed units
+        while (p + (uint64_t)length_size <= end) {
+          uint64_t ln = 0;
+          for (int k = 0; k < length_size; k++) ln = (ln << 8) | d[p + k];
+          p += length_size;
+          if (ln == 0 || p + ln > end) break;
+          uint8_t hdr = d[p];
+          NalSpan span{p, ln, hdr & 0x1F, (hdr >> 5) & 3};
+          stream.nals.push_back(span);
+          p += ln;
+        }
+      }
+    }
+    pos = end + 4;  // PreviousTagSize
+  }
+  if (stream.nals.empty() || !have_avcc) return std::nullopt;
+  return stream;
+}
+
 std::optional<H264Stream> demux(const uint8_t* data, size_t size) {
   if (size > 12) {
     const char* k = (const char*)data + 4;
@@ -691,6 +844,14 @@ std::optional<H264Stream> demux(const uint8_t* data, size_t size) {
   }
   if (size >= 188 * 4 && data[0] == 0x47) {
     auto s = demux_ts(data, size);
+    if (s) return s;
+  }
+  if (size > 12 && !memcmp(data, "RIFF", 4) && !memcmp(data + 8, "AVI ", 4)) {
+    auto s = demux_avi(data, size);
+    if (s) return s;
+  }
+  if (size > 13 && !memcmp(data, "FLV", 3)) {
+    auto s = demux_flv(data, size);
     if (s) return s;
   }
   return demux_annexb(data, size);

@@ -417,4 +417,18 @@ def demux(data):
         if r:
             sps, pps, nals = r
             return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
+    if len(data) > 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from .avi import demux_avi
+
+        r = demux_avi(data, NalSpan)
+        if r:
+            sps, pps, nals = r
+            return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
+    if len(data) > 13 and data[:3] == b"FLV":
+        from .flv import demux_flv
+
+        r = demux_flv(data, NalSpan, _parse_avcc)
+        if r:
+            sps, pps, nals = r
+            return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
     return demux_annexb(data)
