@@ -585,6 +585,13 @@ class RecodeModel {
     pp->pmix = 0x8000; pp->aj = 0; pp->afrac = 0;
     return 0x8000;
 #endif
+    // the APM row base depends only on (cls, history) — both known here —
+    // so it resolves off the post-squash critical chain (explicit
+    // prefetching of the row measured neutral: it stays cache-resident)
+    int32_t lh = (c.meta >> 28) & 3, lh2 = c.meta >> 30;
+    int32_t h = (lh == 2 || lh2 == 2) ? 4 : lh * 2 + lh2;
+    const uint16_t* arow =
+        &apm_[((int32_t)cls * kApmHist + h) * kApmCells];
     int32_t x0 = kDivStretch.t[(c.pos + c.neg) * 97 + c.pos];
     int32_t x1 = pcab > 0 ? kStretch12[pcab >> 4] : 0;
     int32_t x3 = kDivStretch.t[(c.fpos + c.fneg) * 97 + c.fpos];
@@ -620,11 +627,9 @@ class RecodeModel {
     int32_t u = kStretch12[p16 >> 4] + 2048;  // [1, 4095]
     int32_t j = u >> 7;                       // 0..31
     int32_t frac = u - (j << 7);
-    int32_t lh = (c.meta >> 28) & 3, lh2 = c.meta >> 30;
-    int32_t h = (lh == 2 || lh2 == 2) ? 4 : lh * 2 + lh2;
     pp->aj = ((int32_t)cls * kApmHist + h) * kApmCells + j;
     pp->afrac = frac;
-    const uint16_t* a = &apm_[pp->aj];
+    const uint16_t* a = arow + j;
     int32_t pa = (a[0] * (128 - frac) + a[1] * frac) >> 7;
     int32_t pb = (3 * p16 + pa) >> 2;
     pb = pb < 1 ? 1 : pb > 65535 ? 65535 : pb;
