@@ -226,7 +226,7 @@ class MixLab {
       adapt_only(i, cls, bit);
       return;
     }
-    if (variant >= 17 && variant <= 20) {
+    if (variant >= 17 && variant <= 25) {
       // Round-4 candidate, SHIP-EXACT integerization of variant 15: the
       // production v7 6-input mixer -> integer APM (33 cells per class
       // over the 12-bit stretch domain, interpolated rate-5 update) ->
@@ -276,9 +276,11 @@ class MixLab {
       int j = u >> 7;
       if (j > 31) j = 31;
       int32_t frac = u - (j << 7);
-      if (variant == 20) {
+      if (variant >= 20 && variant <= 25) {
         // single APM keyed on (cls, history, bucket): half the loads of
         // the two-stage chain — how much of the gain survives?
+        // 21/22: blend-weight sweep ((p+apm)/2, (p+3apm)/4 vs 20's
+        // (3p+apm)/4)
         int h = (lb == 2 || lb2 == 2) ? 4 : (lb * 2 + lb2);
         if (apmi2_.empty()) apmi2_.assign((size_t)K_NCLS * 5 * 33, 0);
         int32_t* ah = &apmi2_[((size_t)cls * 5 + h) * 33];
@@ -291,12 +293,15 @@ class MixLab {
           }
         }
         int32_t pah = (ah[j] * (128 - frac) + ah[j + 1] * frac) >> 7;
-        int32_t pbh = (3 * p16 + pah) >> 2;
+        int32_t pbh = variant == 20 ? (3 * p16 + pah) >> 2
+                      : variant == 22 ? (p16 + 3 * pah) >> 2
+                                      : (p16 + pah) >> 1;  // 21/23/24
         pbh = pbh < 1 ? 1 : pbh > 65535 ? 65535 : pbh;
         pm = kSquash[kStretch[pbh >> 4] + 2048] / 65536.0;
         int32_t tgth = bit << 16;
-        ah[j] += ((tgth - ah[j]) * (128 - frac)) >> 12;
-        ah[j + 1] += ((tgth - ah[j + 1]) * frac) >> 12;
+        int rsh = variant == 23 ? 11 : variant == 24 ? 13 : variant == 25 ? 14 : 12;
+        ah[j] += ((tgth - ah[j]) * (128 - frac)) >> rsh;
+        ah[j + 1] += ((tgth - ah[j + 1]) * frac) >> rsh;
         int32_t errh = (bit << 16) - p16;
         int32_t xsh[6] = {x0, x1, 77, x3, x4, x5};
         for (int k = 0; k < 6; k++) {

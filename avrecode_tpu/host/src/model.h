@@ -30,7 +30,7 @@ constexpr int kHalveFast = 0x18;  // model v4: fast mixer-input counter
 constexpr int32_t kHistMag = 256;   // model v5: last-bit history input
 constexpr int32_t kHist2Mag = 128;  // model v7: second-last-bit input
 constexpr int kApmCells = 33;       // model v10: APM buckets per class
-constexpr int kApmRate = 5;         // APM adaptation shift
+constexpr int kApmRate = 6;         // APM adaptation shift (lab rate sweep: 6 > 5 > 4)
 constexpr int kApmHist = 5;         // stage-2 APM history contexts
                                     // (last,last2 in {00,01,10,11,none})
 
@@ -631,7 +631,7 @@ class RecodeModel {
     pp->afrac = frac;
     const uint16_t* a = arow + j;
     int32_t pa = (a[0] * (128 - frac) + a[1] * frac) >> 7;
-    int32_t pb = (3 * p16 + pa) >> 2;
+    int32_t pb = (p16 + pa) >> 1;
     pb = pb < 1 ? 1 : pb > 65535 ? 65535 : pb;
     return kRequant12.t[pb >> 4];
   }

@@ -33,7 +33,7 @@ HALVE_FAST = 0x18  # model v4: fast mixer-input counter
 HIST_MAG = 256  # model v5: last-bit history input magnitude
 HIST2_MAG = 128  # model v7: second-last-bit input magnitude
 APM_CELLS = 33  # model v10: APM buckets per class
-APM_RATE = 5    # APM adaptation shift
+APM_RATE = 6    # APM adaptation shift (lab rate sweep: 6 > 5 > 4)
 APM_HIST = 5    # stage-2 APM history contexts ({00,01,10,11,none})
 
 
@@ -135,7 +135,7 @@ class RecodeModel:
         if a is None:
             a = self.apm[(key[0], h)] = _apm_row()
         pa = (a[j] * (128 - frac) + a[j + 1] * frac) >> 7
-        pb = (3 * pmix + pa) >> 2
+        pb = (pmix + pa) >> 1
         pb = 1 if pb < 1 else (65535 if pb > 65535 else pb)
         p1 = SQUASH[STRETCH12[pb >> 4] + 2048]
         return e, p1, (w, x0, x1, x3, x4, x5, pmix, a, j, frac)

@@ -103,7 +103,7 @@ class TraceModel:
         if a is None:
             a = self.apm[(c, h)] = _apm_row()
         pa = (a[j] * (128 - frac) + a[j + 1] * frac) >> 7
-        pb = (3 * pmix + pa) >> 2
+        pb = (pmix + pa) >> 1
         pb = 1 if pb < 1 else (65535 if pb > 65535 else pb)
         p1 = SQUASH[STRETCH12[pb >> 4] + 2048]
         bit = int(bit)

@@ -47,7 +47,7 @@ HALVE_FAST = 0x18  # model v4 fast-counter halving (model.h::kHalveFast)
 HIST_MAG = 256  # model v5 last-bit history magnitude (model.h::kHistMag)
 HIST2_MAG = 128  # model v7 second-last-bit magnitude (model.h::kHist2Mag)
 APM_CELLS = 33  # model v10 APM buckets per class (model.h::kApmCells)
-APM_RATE = 5    # model v10 APM adaptation shift (model.h::kApmRate)
+APM_RATE = 6    # model v10 APM adaptation shift (model.h::kApmRate)
 APM_HIST = 5    # stage-2 APM history contexts (model.h::kApmHist)
 
 
@@ -97,7 +97,7 @@ def model_probs(slots, bits, pcabs, limits, cls, valid, n_slots):
         a0 = apm[ci, j]
         a1 = apm[ci, j + 1]
         pa = (a0 * (128 - frac) + a1 * frac) >> 7
-        pb = jnp.clip((3 * pmix + pa) >> 2, 1, 65535)
+        pb = jnp.clip((pmix + pa) >> 1, 1, 65535)
         p1 = squash[stretch[pb >> 4] + 2048]
         tgt = bit << 16
         a0n = a0 + (((tgt - a0) * (128 - frac)) >> (7 + APM_RATE))

@@ -125,12 +125,12 @@ def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,
         a0 = apm_ref[pl.ds(arow, 1), :][0, 0]
         a1 = apm_ref[pl.ds(arow + 1, 1), :][0, 0]
         pa = (a0 * (128 - frac) + a1 * frac) >> 7
-        pb = jnp.clip((3 * pmix + pa) >> 2, 1, 65535)
+        pb = jnp.clip((pmix + pa) >> 1, 1, 65535)
         p1 = tbl_ref[pl.ds(tbl_ref[pl.ds(pb >> 4, 1), :][0, 0] + 2048, 1),
                      :][0, 1]
         tgt = bit << 16
-        a0n = a0 + (((tgt - a0) * (128 - frac)) >> 12)  # >> (7 + kApmRate)
-        a1n = a1 + (((tgt - a1) * frac) >> 12)
+        a0n = a0 + (((tgt - a0) * (128 - frac)) >> 13)  # >> (7 + kApmRate)
+        a1n = a1 + (((tgt - a1) * frac) >> 13)
 
         @pl.when(v == 1)
         def _():
