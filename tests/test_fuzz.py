@@ -38,3 +38,26 @@ def test_fuzz_asan():
     assert r.returncode == 0 and "FUZZ_OK" in r.stdout, (
         f"fuzz failed (rc={r.returncode}):\n{r.stderr[-3000:]}"
     )
+
+
+@pytest.mark.parametrize("ext", ["avi", "flv"])
+def test_fuzz_asan_containers(ext):
+    """Mutated AVI/FLV inputs through the ASan build: the owned demuxers
+    must never read out of bounds or crash (round-4 demux breadth)."""
+    harness = os.path.join(HOST, "fuzz_harness")
+    r = subprocess.run(["make", "-C", HOST, "fuzz"], capture_output=True,
+                       text=True)
+    if r.returncode != 0:
+        pytest.skip(f"asan harness build failed: {r.stderr[-500:]}")
+    clip = os.path.join(ROOT, "data", "rt_ctr." + ext)
+    if not os.path.exists(clip):
+        pytest.skip("container fixture missing (built by test_containers)")
+    env = dict(os.environ)
+    env["ASAN_OPTIONS"] = "detect_leaks=0"
+    r = subprocess.run(
+        [harness, clip, "4242", "40"],
+        env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0 and "FUZZ_OK" in r.stdout, (
+        f"fuzz failed (rc={r.returncode}):\n{r.stderr[-3000:]}"
+    )
