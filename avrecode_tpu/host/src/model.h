@@ -197,6 +197,21 @@ struct RequantTab {
 };
 inline const RequantTab kRequant12{};
 
+// Fused APM-bucket table: kSquashU[dot + 2048] ==
+// kStretch12[kSquash[dot + 2048] >> 4] + 2048 exactly — the squash and
+// its stretch re-bucketing both depend only on `dot`, so the fused load
+// issues in PARALLEL with the kSquash load instead of chaining after it
+// (one level off the per-bin serial chain; device mirrors compute the
+// two lookups separately and stay bit-identical).
+struct SquashUTab {
+  int16_t t[4096];
+  SquashUTab() {
+    for (int i = 0; i < 4096; i++)
+      t[i] = (int16_t)(kStretch12[kSquash[i] >> 4] + 2048);
+  }
+};
+inline const SquashUTab kSquashU{};
+
 // Thread-local estimator pool: generation stamps make per-model init O(1).
 // One 8-byte cell per key — one cache line holds 8 cells, which is what
 // makes the axis-ordered layouts above pay (the pool is ~6.5 MB, bigger
@@ -624,7 +639,7 @@ class RecodeModel {
     // cost.  kRequant12 fuses the stretch+squash requant into one load.
     int32_t p16 = kSquash[dot + 2048];
     pp->pmix = p16;
-    int32_t u = kStretch12[p16 >> 4] + 2048;  // [1, 4095]
+    int32_t u = kSquashU.t[dot + 2048];  // == stretch12[p16>>4]+2048
     int32_t j = u >> 7;                       // 0..31
     int32_t frac = u - (j << 7);
     pp->aj = ((int32_t)cls * kApmHist + h) * kApmCells + j;
