@@ -4,9 +4,12 @@
 // leaves the slice in the literal stream, so decompress(compress(x)) == x is
 // structural.  Byte-compatible with the Python codec (differential-tested).
 #include <atomic>
+#include <condition_variable>
 #include <cstring>
+#include <deque>
 #include <map>
 #include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <cstdio>
@@ -466,12 +469,59 @@ struct GopJob {
   size_t begin, end;  // range into the slice vector
   std::vector<BlockRec> blocks;          // per slice (kind SLICE); ok flag via mb_count>0
   std::vector<uint8_t> ok;
+  int first_ok = -1;  // pipelined mode: sstream target (filled post-join)
 };
 
-static void process_gop_impl(const uint8_t* data, std::vector<SliceRec>& sl,
-                             GopJob* job, bool optimistic) {
+// Two-pass compression (the parse/model split): pass A parses + CABAC
+// decode/verifies the slice with the model DEFERRED — per-bin
+// (key, pcab, bit) records land in a flat buffer and the model's tables
+// stay untouched — then pass B replays the records through the model as a
+// tight prefetched array loop (model.h::replay_records).  A failed slice
+// truncates the buffer, so the journal/redo machinery is gone entirely:
+// the model only ever sees verified slices.  Streams are byte-identical
+// to the single-pass interleaved path (same put_bit sequence).
+// `pipe` (optional) moves replay to a dedicated model thread: the parse
+// thread hands off per-slice record chunks and the pipeline overlaps
+// parse of slice k+1 with model coding of slice k (the 2-thread mode for
+// files with fewer GOPs than cores).
+struct ReplayPipe {
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<std::vector<uint64_t>> q;
+  bool done = false;
+  static constexpr size_t kMaxDepth = 4;
+
+  void push(std::vector<uint64_t>&& recs) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_push.wait(lk, [&] { return q.size() < kMaxDepth; });
+    q.push_back(std::move(recs));
+    cv_pop.notify_one();
+  }
+  void finish() {
+    std::lock_guard<std::mutex> lk(mu);
+    done = true;
+    cv_pop.notify_one();
+  }
+  bool pop(std::vector<uint64_t>* out) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_pop.wait(lk, [&] { return !q.empty() || done; });
+    if (q.empty()) return false;
+    *out = std::move(q.front());
+    q.pop_front();
+    cv_push.notify_one();
+    return true;
+  }
+};
+
+static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
+                        GopJob* job, ReplayPipe* pipe = nullptr) {
+  // In pipelined mode this model is only the parse thread's defer sink
+  // (put_bit appends records; no estimator/pool access) — the replaying
+  // model lives on the model thread, so thread-local pools never cross.
   RecodeModel model;
-  model.set_optimistic(optimistic);
+  model.set_optimistic(true);  // replay never rolls back (records are
+                               // only replayed after the slice verifies)
+  std::vector<uint64_t> recs;
   std::unique_ptr<PicState> cur, prev;
   int slice_id = 0;
   int first_ok = -1;
@@ -502,10 +552,11 @@ static void process_gop_impl(const uint8_t* data, std::vector<SliceRec>& sl,
     int idc = rec.hdr.slice_type == SLICE_I || rec.hdr.slice_type == SLICE_SI
                   ? -1
                   : rec.hdr.cabac_init_idc;
-    RecodeModel::Snapshot snap{};
-    if (!optimistic) snap = model.snapshot();
     int mb_count, drop;
     Bytes tail;
+    recs.clear();
+    recs.reserve(payload_size * 20);  // ~18.5 bins/payload byte
+    model.set_defer(&recs);
     try {
       Coder c;
       c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
@@ -514,12 +565,15 @@ static void process_gop_impl(const uint8_t* data, std::vector<SliceRec>& sl,
                     false);
       mb_count = p.parse_slice_data(-1);
       if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
-      if (!optimistic) model.commit(snap);
     } catch (const ParseError&) {
-      if (optimistic) throw OptimisticAbort{};
-      model.rollback(snap);
-      continue;
+      model.set_defer(nullptr);
+      continue;  // literal fallback; model state untouched
     }
+    model.set_defer(nullptr);
+    if (pipe)
+      pipe->push(std::move(recs));
+    else
+      model.replay_records(recs.data(), recs.size());
     if (advance) prev = std::move(cur);
     cur = std::make_unique<PicState>(std::move(scratch));
     slice_id = sid;
@@ -535,15 +589,10 @@ static void process_gop_impl(const uint8_t* data, std::vector<SliceRec>& sl,
     job->ok[k] = 1;
     if (first_ok < 0) first_ok = (int)k;
   }
-  if (first_ok >= 0) job->blocks[first_ok].sstream = model.finish();
-}
-
-static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
-                        GopJob* job) {
-  try {
-    process_gop_impl(data, sl, job, /*optimistic=*/true);
-  } catch (const OptimisticAbort&) {
-    process_gop_impl(data, sl, job, /*optimistic=*/false);
+  if (pipe) {
+    job->first_ok = first_ok;  // sstream assigned after the model thread
+  } else if (first_ok >= 0) {
+    job->blocks[first_ok].sstream = model.finish();
   }
 }
 
@@ -601,19 +650,44 @@ static Bytes compress_gops_range(const uint8_t* data, size_t size,
   hi = std::max(lo, std::min(hi < 0 ? total : hi, total));
   if (lo == hi) return out.out;  // empty shard (more hosts than GOPs)
 
-  std::atomic<size_t> next{(size_t)lo};
-  auto worker = [&]() {
-    for (;;) {
-      size_t j = next.fetch_add(1);
-      if (j >= (size_t)hi) return;
-      process_gop(data, sl, &jobs[j]);
-    }
-  };
-  int nt = std::max(1, std::min<int>(threads, hi - lo));
-  std::vector<std::thread> pool;
-  for (int t = 1; t < nt; t++) pool.emplace_back(worker);
-  worker();
-  for (auto& t : pool) t.join();
+  if (hi - lo == 1 && threads >= 2) {
+    // single GOP, spare core: 2-thread parse/model pipeline.  The parse
+    // thread records per-slice (key, pcab, bit) chunks; the model thread
+    // replays them in order — the two serial chains (parser + CABAC
+    // xcoder vs model + range encoder) run concurrently.
+    GopJob* job = &jobs[lo];
+    ReplayPipe pipe;
+    Bytes sstream;
+    std::thread model_thread([&] {
+      RecodeModel model;
+      model.set_optimistic(true);
+      std::vector<uint64_t> recs;
+      bool any = false;
+      while (pipe.pop(&recs)) {
+        model.replay_records(recs.data(), recs.size());
+        any = true;
+      }
+      if (any) sstream = model.finish();
+    });
+    process_gop(data, sl, job, &pipe);
+    pipe.finish();
+    model_thread.join();
+    if (job->first_ok >= 0) job->blocks[job->first_ok].sstream = sstream;
+  } else {
+    std::atomic<size_t> next{(size_t)lo};
+    auto worker = [&]() {
+      for (;;) {
+        size_t j = next.fetch_add(1);
+        if (j >= (size_t)hi) return;
+        process_gop(data, sl, &jobs[j]);
+      }
+    };
+    int nt = std::max(1, std::min<int>(threads, hi - lo));
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+    worker();
+    for (auto& t : pool) t.join();
+  }
 
   // literals between recoded NALs + slice blocks in order
   uint64_t pos = lo == 0 ? 0 : sl[jobs[lo].begin].offset;
@@ -725,13 +799,13 @@ static XtractResult extract_open_impl(const uint8_t* data, size_t size,
                   : rec.hdr.cabac_init_idc;
     std::shared_ptr<RecodeModel> recorder =
         per_gop ? gop_rec : std::make_shared<RecodeModel>(true);
-    if (!per_gop) recorder->set_optimistic(true);  // discarded on failure
+    recorder->set_optimistic(true);
     recorder->reserve_trace(payload_size * 20);  // ~18.5 bins/payload byte
-    // the recorder adapts estimators (for the p1 field), so in journaled
-    // mode a failed slice must roll back counters as well as recorded bins
-    RecodeModel::Snapshot snap{};
-    bool journaled = !per_gop ? false : !opt_shared;
-    if (journaled) snap = recorder->snapshot();
+    // two-pass: pass A defers raw records into the trace buffer; a failed
+    // slice truncates them (per-slice recorders are discarded wholesale),
+    // so the model/counters never see unverified slices — no journal
+    size_t mark = recorder->trace_mark();
+    recorder->set_defer_trace(true);
     int mb_count, drop;
     Bytes tail;
     try {
@@ -743,11 +817,12 @@ static XtractResult extract_open_impl(const uint8_t* data, size_t size,
       mb_count = p.parse_slice_data(-1);
       if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
     } catch (const ParseError&) {
-      if (opt_shared) throw OptimisticAbort{};
-      if (journaled) recorder->rollback(snap);
+      recorder->set_defer_trace(false);
+      recorder->truncate_trace(mark);
       return;
     }
-    if (journaled) recorder->commit(snap);
+    recorder->set_defer_trace(false);
+    recorder->replay_trace_tail(mark);
     if (advance) prev = std::move(cur);
     cur = std::make_unique<PicState>(std::move(scratch));
     slice_id = sid;
@@ -823,11 +898,16 @@ struct XGopJob {
   int first_ok = -1;
 };
 
+// Two-pass trace extraction (same split as process_gop): pass A parses
+// with the recorder deferred — raw records append straight into the trace
+// buffer — pass B replays the verified slice's records through the model,
+// rewriting them in place with the exact p1.  Failed slices truncate the
+// buffer; no journal, no redo.
 static void process_gop_x_impl(const uint8_t* data,
                                const std::vector<SliceRec>& sl, XGopJob* job,
-                               bool want_slots, bool optimistic) {
+                               bool want_slots) {
   auto recorder = std::make_shared<RecodeModel>(true);
-  recorder->set_optimistic(optimistic);
+  recorder->set_optimistic(true);
   std::unique_ptr<PicState> cur, prev;
   int slice_id = 0;
   job->blocks.resize(job->end - job->begin);
@@ -857,8 +937,8 @@ static void process_gop_x_impl(const uint8_t* data,
                   ? -1
                   : rec.hdr.cabac_init_idc;
     recorder->reserve_trace(payload_size * 20);
-    RecodeModel::Snapshot snap{};
-    if (!optimistic) snap = recorder->snapshot();
+    size_t mark = recorder->trace_mark();
+    recorder->set_defer_trace(true);
     int mb_count, drop;
     Bytes tail;
     try {
@@ -870,11 +950,12 @@ static void process_gop_x_impl(const uint8_t* data,
       mb_count = p.parse_slice_data(-1);
       if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
     } catch (const ParseError&) {
-      if (optimistic) throw OptimisticAbort{};
-      recorder->rollback(snap);
+      recorder->set_defer_trace(false);
+      recorder->truncate_trace(mark);
       continue;
     }
-    if (!optimistic) recorder->commit(snap);
+    recorder->set_defer_trace(false);
+    recorder->replay_trace_tail(mark);
     if (advance) prev = std::move(cur);
     cur = std::make_unique<PicState>(std::move(scratch));
     slice_id = sid;
@@ -899,13 +980,7 @@ static void process_gop_x_impl(const uint8_t* data,
 static void process_gop_x(const uint8_t* data,
                           const std::vector<SliceRec>& sl, XGopJob* job,
                           bool want_slots) {
-  try {
-    process_gop_x_impl(data, sl, job, want_slots, /*optimistic=*/true);
-  } catch (const OptimisticAbort&) {
-    job->rec = nullptr;
-    job->first_ok = -1;
-    process_gop_x_impl(data, sl, job, want_slots, /*optimistic=*/false);
-  }
+  process_gop_x_impl(data, sl, job, want_slots);
 }
 
 static XtractResult extract_open_gop_mt(const uint8_t* data, size_t size,
@@ -1016,7 +1091,10 @@ static void dump_bill() {
 
 Bytes compress(const uint8_t* data, size_t size, int scope, int threads) {
   try {
-    if (scope == SCOPE_GOP && threads != 1) {
+    if (scope == SCOPE_GOP) {
+      // all gop-scope compression rides the GOP-job path (two-pass
+      // parse/model split; threads==1 runs the jobs serially) — outputs
+      // are byte-identical to the legacy interleaved path
       int nt = threads > 0 ? threads
                            : std::min(16u, std::thread::hardware_concurrency());
       return compress_gop_mt(data, size, std::max(1, nt));
@@ -1434,7 +1512,9 @@ void* avtpu_xopen(const uint8_t* data, size_t size, int scope, int threads,
                   int want_slots, const uint8_t** meta, size_t* meta_len,
                   size_t* n_traces) {
   try {
-    if (scope == avtpu::SCOPE_GOP && threads != 1) {
+    if (scope == avtpu::SCOPE_GOP) {
+      // all gop-scope extraction rides the GOP-job two-pass path
+      // (threads==1 runs the jobs serially)
       int nt = threads > 0
                    ? threads
                    : std::min(16u, std::thread::hardware_concurrency());

@@ -732,13 +732,22 @@ static void riff_chunks(const uint8_t* d, uint64_t pos, uint64_t end, F f) {
 static void avi_movi(const uint8_t* d, uint64_t s, uint64_t e,
                      const char* tag_dc, const char* tag_db,
                      H264Stream* stream) {
-  riff_chunks(d, s, e, [&](const uint8_t* ckid, uint64_t cs, uint64_t ce) {
-    if (!memcmp(ckid, "LIST", 4)) {  // 'rec ' grouping
-      avi_movi(d, cs + 4, ce, tag_dc, tag_db, stream);
-    } else if (!memcmp(ckid, tag_dc, 4) || !memcmp(ckid, tag_db, 4)) {
-      scan_annexb_range(d, cs, ce, stream);
-    }
-  });
+  // Iterative worklist: nested LIST chunks ('rec ' groupings) are walked
+  // without recursion so a crafted AVI with thousands of nesting levels
+  // cannot overflow the stack (it falls back to literal like any other
+  // malformed input).
+  std::vector<std::pair<uint64_t, uint64_t>> work{{s, e}};
+  while (!work.empty()) {
+    auto [ws, we] = work.back();
+    work.pop_back();
+    riff_chunks(d, ws, we, [&](const uint8_t* ckid, uint64_t cs, uint64_t ce) {
+      if (!memcmp(ckid, "LIST", 4)) {  // 'rec ' grouping
+        if (ce > cs + 4) work.emplace_back(cs + 4, ce);
+      } else if (!memcmp(ckid, tag_dc, 4) || !memcmp(ckid, tag_db, 4)) {
+        scan_annexb_range(d, cs, ce, stream);
+      }
+    });
+  }
 }
 
 static std::optional<H264Stream> demux_avi(const uint8_t* d, size_t n) {

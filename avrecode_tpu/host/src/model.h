@@ -358,7 +358,69 @@ class RecodeModel {
 #ifdef AVT_AB_NOMODEL
     return;
 #endif
+    if (defer_) {
+      defer_->push_back(pack_rec(key, bit, pcab));
+      return;
+    }
     commit(prepare(key, pcab), key, bit);
+  }
+
+  // --- two-pass (record/replay) split ------------------------------------
+  // Pass A (parse): put_bit appends a packed record and touches NO model
+  // state — the parser runs free of the model's tables and registers, and
+  // a failed slice just truncates the buffer (no journal, no redo).
+  // Pass B (replay_records): the model runs as a tight array loop over the
+  // records; every future cell index is known, so the estimator pool
+  // (~6.6 MB, the dominant per-bin memory traffic) is prefetched ahead of
+  // use.  Record layout (superset of the trace record):
+  //   bits 0..23  dense key index     bits 32..47  pcab
+  //   bit  24     bin value           bits 48..63  p1 (filled by replay)
+  //   bits 25..30 key class (cleared by trace replay)
+  // State evolution in pass B is the exact put_bit sequence, so streams
+  // are byte-identical to the single-pass interleaved path.
+  static uint64_t pack_rec(uint64_t key, int bit, int pcab) {
+    return (key & 0xFFFFFF) | ((uint64_t)(uint32_t)bit << 24) |
+           ((key >> 40) << 25) | ((uint64_t)(uint32_t)pcab << 32);
+  }
+  void set_defer(std::vector<uint64_t>* buf) { defer_ = buf; }
+  bool deferred() const { return defer_ != nullptr; }
+  // trace-mode two-pass: pass A appends raw records straight into the
+  // trace buffer (zero-copy — the pass-A buffer IS the trace), pass B
+  // rewrites them in place with the exact p1 via replay_records
+  size_t trace_mark() const { return trace_->recs.size(); }
+  void set_defer_trace(bool on) { defer_ = on ? &trace_->recs : nullptr; }
+  void truncate_trace(size_t mark) { trace_->recs.resize(mark); }
+  void replay_trace_tail(size_t mark) {
+    replay_records(trace_->recs.data() + mark, trace_->recs.size() - mark);
+  }
+  void replay_records(uint64_t* r, size_t n) {
+    static_assert(K_NCLS <= 64, "cls must fit the 6-bit record field");
+    constexpr size_t kPF = 24;  // cell prefetch distance (bins)
+    for (size_t i = 0; i < n; i++) {
+      if (i + kPF < n)
+        __builtin_prefetch(&pool_->cells[(uint32_t)r[i + kPF] & 0xFFFFFF]);
+      uint64_t v = r[i];
+      uint32_t idx = (uint32_t)v & 0xFFFFFF;
+      int bit = (int)(v >> 24) & 1;
+      uint32_t cls = ((uint32_t)v >> 25) & 0x3F;
+      int pcab = (int)((v >> 32) & 0xFFFF);
+      uint64_t key = ((uint64_t)cls << 40) | idx;
+      Prep pp = prepare(key, pcab);
+      if (trace_) {
+        // rewrite in place into the finalized trace record (the pass-A
+        // buffer IS the trace buffer; finalize_trace slot-remaps later)
+        r[i] = (uint64_t)(idx | ((uint32_t)bit << 24)) |
+               ((uint64_t)(uint32_t)pcab << 32) | ((uint64_t)pp.p1 << 48);
+      } else {
+        size_t n0 = bill ? enc_->out_size() : 0;
+#ifndef AVT_AB_NOENC
+        enc_->put(bit, pp.p1);
+#endif
+        if (bill) bill[cls] += (enc_->out_size() - n0) * 8;
+      }
+      update_mix(pp, bit);
+      adapt(*pp.cell, cls, bit);
+    }
   }
 
   // optional per-class recode-bit ledger (the "Avrecode Bill",
@@ -630,13 +692,15 @@ class RecodeModel {
     if (dot > 2047) dot = 2047;
     // model v10: APM/SSE stage — a secondary probability map keyed on
     // (class, 2-bit key history, stretch bucket of the mixer output)
-    // refines the mixer probability ((3p + apm) / 4), and the blend is
-    // requantized onto the squash grid so every emitted p1 stays in the
-    // squash image (the device's 12-bit index transfer relies on it).
-    // Lab: mixlab variant 20, +0.59% of stream bytes; the two-stage chain
-    // (variants 18/19) bought +0.68% but with twice the loads/updates on
-    // the per-bin critical path — this keeps 87% of the gain at half the
-    // cost.  kRequant12 fuses the stretch+squash requant into one load.
+    // refines the mixer probability (equal blend (p + apm) / 2 at
+    // adaptation rate kApmRate=6 — mixlab variant 24, the blend/rate
+    // sweep over the variant-20 base: equal blend +0.16% and rate 6
+    // +0.04% over the shipped-first (3p+apm)/4 @ rate 5), and the blend
+    // is requantized onto the squash grid so every emitted p1 stays in
+    // the squash image (the device's 12-bit index transfer relies on it).
+    // The two-stage chain (variants 18/19) bought more still but with
+    // twice the loads/updates on the per-bin critical path.
+    // kRequant12 fuses the stretch+squash requant into one load.
     int32_t p16 = kSquash[dot + 2048];
     pp->pmix = p16;
     int32_t u = kSquashU.t[dot + 2048];  // == stretch12[p16>>4]+2048
@@ -725,6 +789,7 @@ class RecodeModel {
   RangeEncoder* enc_ = nullptr;
   RangeDecoder* dec_ = nullptr;
   Trace* trace_ = nullptr;
+  std::vector<uint64_t>* defer_ = nullptr;  // two-pass pass-A record sink
   // v2 sub-stream decode state
   uint32_t B_ = 0, cur_bins_ = 0;
   size_t si_ = 0;

@@ -246,7 +246,16 @@ struct Coder {
 #ifdef AVT_AB_NOMODEL
       return raw_bin(ctx);
 #endif
-      int pcab = cabac_p1(ctx);
+      int pcab = cabac_p1(ctx);  // read BEFORE decision updates states
+      if (model && model->deferred()) {  // two-pass: record only (pass A)
+        int b = raw_bin(ctx);
+        if (__builtin_expect(cabac_bill != nullptr, 0))
+          bill_mark((uint32_t)(key >> 40));
+        if (__builtin_expect(ref != nullptr, 0)) ref->ctx_bin(ctx, b);
+        if (__builtin_expect(mix != nullptr, 0)) mix->on_bin(key, pcab, b);
+        model->put_bit(key, b, pcab);
+        return b;
+      }
       RecodeModel::Prep pp;
       if (model) pp = model->prepare(key, pcab);
       int b = raw_bin(ctx);
@@ -266,6 +275,15 @@ struct Coder {
 #ifdef AVT_AB_NOMODEL
       return raw_bypass();
 #endif
+      if (model && model->deferred()) {  // two-pass: record only (pass A)
+        int b = raw_bypass();
+        if (__builtin_expect(cabac_bill != nullptr, 0))
+          bill_mark((uint32_t)(key >> 40));
+        if (__builtin_expect(ref != nullptr, 0)) ref->bypass_bin(b);
+        if (__builtin_expect(mix != nullptr, 0)) mix->on_bin(key, 0, b);
+        model->put_bit(key, b, 0);
+        return b;
+      }
       RecodeModel::Prep pp;
       if (model) pp = model->prepare(key, 0);
       int b = raw_bypass();

@@ -80,11 +80,18 @@ def demux_avi(data, NalSpan):
     spans = []
 
     def walk_movi(s, e):
-        for ckid, cs, ce in _chunks(data, s, e):
-            if ckid == b"LIST":  # 'rec ' grouping
-                walk_movi(cs + 4, ce)
-            elif ckid in (tag_dc, tag_db):
-                _scan_annexb(data, cs, ce, spans)
+        # Iterative worklist: nested LIST ('rec ') groupings are walked
+        # without recursion so a crafted AVI with thousands of nesting
+        # levels cannot raise RecursionError out of demux.
+        work = [(s, e)]
+        while work:
+            ws, we = work.pop()
+            for ckid, cs, ce in _chunks(data, ws, we):
+                if ckid == b"LIST":  # 'rec ' grouping
+                    if ce > cs + 4:
+                        work.append((cs + 4, ce))
+                elif ckid in (tag_dc, tag_db):
+                    _scan_annexb(data, cs, ce, spans)
 
     for s, e in movi:
         walk_movi(s, e)

@@ -35,7 +35,14 @@ def demux_flv(data, NalSpan, parse_avcc):
             pkt = data[body + 1]
             p = body + 5  # frame/codec byte, AVCPacketType, CompositionTime
             if pkt == 0:  # AVC sequence header: avcC record
-                length_size, s_l, p_l = parse_avcc(data[p:end])
+                # A malformed avcC must mean "not demuxable" (literal
+                # fallback), not an exception out of demux — mirrors the
+                # C++ demux_flv's ParseError -> nullopt behavior.
+                try:
+                    length_size, s_l, p_l = parse_avcc(data[p:end])
+                except (struct.error, AssertionError, IndexError,
+                        ValueError):
+                    return None
                 sps += s_l
                 pps += p_l
                 have_avcc = True
