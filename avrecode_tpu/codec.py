@@ -17,6 +17,11 @@ Compression pipeline per slice:
 
 import copy
 
+from .h264.cavlc import (
+    CavlcCompressCoder,
+    CavlcDecompressCoder,
+    CavlcSliceParser,
+)
 from .h264.coders import CompressCoder, DecompressCoder
 from .h264.mbparse import ParseDesync, PicState
 from .h264.params import UnsupportedStream, mb_height, parse_pps, parse_sps
@@ -43,6 +48,19 @@ from .utils.container import (
 
 def _try_slice(rec, cur_pic, prev_pic, slice_id, model, isolate=False):
     """Model-pass parse of one slice. Returns (mb_count, tail) or raises."""
+    if rec.header.cavlc:
+        # CAVLC slices model the bitstream bits themselves (cavlc.py):
+        # regeneration is identity by construction, so there is no
+        # re-encode verification step — only the trailing-bits check
+        coder = CavlcCompressCoder(rec.rbsp[1:], rec.header.data_bit_offset,
+                                   model=model)
+        parser = CavlcSliceParser(
+            rec.sps, rec.pps, rec.header, cur_pic, prev_pic, coder,
+            slice_id, isolate=isolate
+        )
+        n_mbs = parser.parse_slice_data()
+        tail = coder.finish()
+        return n_mbs, 0, tail, coder
     payload = rec.rbsp[rec.cabac_offset :]
     idc = None if rec.header.slice_type in (2, 4) else rec.header.cabac_init_idc
     coder = CompressCoder(payload, rec.header.slice_qp, idc, model=model)
@@ -350,18 +368,35 @@ def decompress(blob):
             cur_pic = PicState(sps.pic_width_in_mbs,
                                mb_height(sps) >> int(hdr.field_pic))
         slice_id += 1
-        idc = None if hdr.slice_type in (2, 4) else hdr.cabac_init_idc
-        coder = DecompressCoder(hdr.slice_qp, idc, smodel)
-        parser = SliceParser(
-            sps, pps, hdr, cur_pic, prev_pic, coder, slice_id,
-            isolate=(scope == SCOPE_SLICE),
-        )
-        parser.parse_slice_data(mb_count=mb_count)
-        payload = coder.payload()
-        # apply stored tail: drop re-encoded suffix bytes (the x264-style
-        # final byte) and append the original suffix
-        full = (payload[:-drop] if drop else payload) + tail
-        rbsp = head[1:] + full
+        if hdr.cavlc:
+            # regenerate the bitstream from the modeled bits; the writer is
+            # seeded with the partial byte's header bits, so its first byte
+            # reproduces head's last byte (dropped from head below)
+            pb = hdr.data_bit_offset & 7
+            seed = (head[-1] >> (8 - pb)) if pb else 0
+            coder = CavlcDecompressCoder(smodel, seed, pb)
+            parser = CavlcSliceParser(
+                sps, pps, hdr, cur_pic, prev_pic, coder, slice_id,
+                isolate=(scope == SCOPE_SLICE),
+            )
+            parser.parse_slice_data(mb_count=mb_count)
+            payload = bytes(coder.finish())
+            head_eff = head[:-1] if pb else head
+            full = (payload[:-drop] if drop else payload) + tail
+            rbsp = head_eff[1:] + full
+        else:
+            idc = None if hdr.slice_type in (2, 4) else hdr.cabac_init_idc
+            coder = DecompressCoder(hdr.slice_qp, idc, smodel)
+            parser = SliceParser(
+                sps, pps, hdr, cur_pic, prev_pic, coder, slice_id,
+                isolate=(scope == SCOPE_SLICE),
+            )
+            parser.parse_slice_data(mb_count=mb_count)
+            payload = coder.payload()
+            # apply stored tail: drop re-encoded suffix bytes (the
+            # x264-style final byte) and append the original suffix
+            full = (payload[:-drop] if drop else payload) + tail
+            rbsp = head[1:] + full
         nal = head[0:1] + escape_rbsp(rbsp)
         if len(nal) != nal_size:
             raise ContainerError("reconstructed NAL size mismatch")

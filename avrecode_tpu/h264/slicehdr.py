@@ -34,6 +34,8 @@ class SliceHeader:
     bottom_field: bool = False
     colour_plane_id: int = 0  # separate_colour_plane_flag streams
     cabac_start_byte: int = 0  # offset into unescaped RBSP where CABAC begins
+    cavlc: bool = False  # entropy_coding_mode_flag == 0 (CAVLC slice data)
+    data_bit_offset: int = 0  # CAVLC: RBSP bit position where slice_data begins
 
 
 def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
@@ -54,8 +56,7 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
     sps = sps_map.get(pps.sps_id)
     if sps is None:
         raise UnsupportedStream(f"unknown SPS {pps.sps_id}")
-    if not pps.entropy_coding_mode_flag:
-        raise UnsupportedStream("CAVLC slice (entropy_coding_mode_flag=0)")
+    h.cavlc = not pps.entropy_coding_mode_flag
     if sps.chroma_format_idc not in (0, 1, 2, 3):
         raise UnsupportedStream(f"chroma_format_idc {sps.chroma_format_idc}")
     if sps.separate_colour_plane_flag:
@@ -150,7 +151,8 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
                     if op == 4:
                         r.ue()
 
-    if h.slice_type not in (SLICE_I, SLICE_SI):  # 7.3.3: SI has no idc
+    # 7.3.3: cabac_init_idc present only for CABAC P/SP/B slices
+    if not h.cavlc and h.slice_type not in (SLICE_I, SLICE_SI):
         h.cabac_init_idc = r.ue()
         if h.cabac_init_idc > 2:
             raise UnsupportedStream("bad cabac_init_idc")
@@ -166,9 +168,17 @@ def parse_slice_header(rbsp, nal_type, nal_ref_idc, sps_map, pps_map):
             r.se()
     # num_slice_groups == 1 enforced at PPS parse; no slice_group_change_cycle
 
+    if h.cavlc:
+        # CAVLC slice data starts at the current (unaligned) bit; the
+        # container head spans THROUGH the partial byte so the header
+        # stays parseable, and regeneration re-produces that byte
+        h.data_bit_offset = r.bitpos
+        h.cabac_start_byte = (r.bitpos + 7) >> 3
+        return h, sps, pps
     # cabac_alignment_one_bit: 1-bits until byte aligned (7.3.4)
     while not r.byte_aligned():
         if r.u(1) != 1:
             raise UnsupportedStream("bad cabac_alignment_one_bit")
     h.cabac_start_byte = r.bitpos >> 3
+    h.data_bit_offset = r.bitpos
     return h, sps, pps

@@ -19,6 +19,7 @@
 #include "h264.h"
 #include "model.h"
 #include "parser.h"
+#include "cavlc.h"
 
 namespace avtpu {
 
@@ -273,7 +274,9 @@ static const char* kClsNames[K_NCLS] = {
     "ipredf", "ipredr", "cpred0", "cpred1", "cpred2", "cbpl", "cbpc0",
     "cbpc1", "qpd0", "qpd1", "qpd2", "ref", "mvd", "mvdp", "mvde", "mvdb",
     "mvds", "cbf", "sig", "lvl1", "lvlg", "lvle", "lvlb", "sgn", "nnz",
-    "fieldf", "pcmf", "pcm", "simbtype"};
+    "fieldf", "pcmf", "pcm", "simbtype", "vskip", "vmbt", "vsub", "vcpred",
+    "vcbp", "vdqp", "vmvd", "vref", "vtok", "vtz", "vrun", "vt1", "vlp",
+    "vls", "vipred", "vt8"};
 
 static void dump_bill();
 
@@ -366,17 +369,28 @@ static Bytes compress_inner(const uint8_t* data, size_t size, int scope,
     uint64_t* s_cbill = s_cbill_global;
     static bool s_do_bill = getenv("AVTPU_BILL") != nullptr;
     try {
-      Coder c;
-      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
-      c.model = model;
-      if (s_do_bill) {
-        model->bill = s_bill;
-        c.cabac_bill = s_cbill;
+      if (rec.hdr.cavlc) {
+        if (s_do_bill) model->bill = s_bill;
+        CavlcCoder c;
+        c.init_compress(rec.rbsp.data() + 1, rec.rbsp.size() - 1,
+                        rec.hdr.data_bit_offset, model);
+        CavlcSliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, &c, sid);
+        mb_count = p.parse_slice_data(-1);
+        drop = 0;
+        tail = c.finish_compress();
+      } else {
+        Coder c;
+        c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+        c.model = model;
+        if (s_do_bill) {
+          model->bill = s_bill;
+          c.cabac_bill = s_cbill;
+        }
+        SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c,
+                      sid, per_slice);
+        mb_count = p.parse_slice_data(-1);
+        if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
       }
-      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
-                    per_slice);
-      mb_count = p.parse_slice_data(-1);
-      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
       if (!per_slice && !opt_shared) model->commit(snap);
     } catch (const ParseError&) {
       if (opt_shared) throw OptimisticAbort{};
@@ -558,13 +572,23 @@ static void process_gop(const uint8_t* data, std::vector<SliceRec>& sl,
     recs.reserve(payload_size * 20);  // ~18.5 bins/payload byte
     model.set_defer(&recs);
     try {
-      Coder c;
-      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
-      c.model = &model;
-      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
-                    false);
-      mb_count = p.parse_slice_data(-1);
-      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+      if (rec.hdr.cavlc) {
+        CavlcCoder c;
+        c.init_compress(rec.rbsp.data() + 1, rec.rbsp.size() - 1,
+                        rec.hdr.data_bit_offset, &model);
+        CavlcSliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, &c, sid);
+        mb_count = p.parse_slice_data(-1);
+        drop = 0;
+        tail = c.finish_compress();
+      } else {
+        Coder c;
+        c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+        c.model = &model;
+        SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c,
+                      sid, false);
+        mb_count = p.parse_slice_data(-1);
+        if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+      }
     } catch (const ParseError&) {
       model.set_defer(nullptr);
       continue;  // literal fallback; model state untouched
@@ -809,13 +833,23 @@ static XtractResult extract_open_impl(const uint8_t* data, size_t size,
     int mb_count, drop;
     Bytes tail;
     try {
-      Coder c;
-      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
-      c.model = recorder.get();
-      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
-                    /*isolate=*/!per_gop);
-      mb_count = p.parse_slice_data(-1);
-      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+      if (rec.hdr.cavlc) {
+        CavlcCoder c;
+        c.init_compress(rec.rbsp.data() + 1, rec.rbsp.size() - 1,
+                        rec.hdr.data_bit_offset, recorder.get());
+        CavlcSliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, &c, sid);
+        mb_count = p.parse_slice_data(-1);
+        drop = 0;
+        tail = c.finish_compress();
+      } else {
+        Coder c;
+        c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+        c.model = recorder.get();
+        SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c,
+                      sid, /*isolate=*/!per_gop);
+        mb_count = p.parse_slice_data(-1);
+        if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+      }
     } catch (const ParseError&) {
       recorder->set_defer_trace(false);
       recorder->truncate_trace(mark);
@@ -942,13 +976,23 @@ static void process_gop_x_impl(const uint8_t* data,
     int mb_count, drop;
     Bytes tail;
     try {
-      Coder c;
-      c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
-      c.model = recorder.get();
-      SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c, sid,
-                    false);
-      mb_count = p.parse_slice_data(-1);
-      if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+      if (rec.hdr.cavlc) {
+        CavlcCoder c;
+        c.init_compress(rec.rbsp.data() + 1, rec.rbsp.size() - 1,
+                        rec.hdr.data_bit_offset, recorder.get());
+        CavlcSliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, &c, sid);
+        mb_count = p.parse_slice_data(-1);
+        drop = 0;
+        tail = c.finish_compress();
+      } else {
+        Coder c;
+        c.init_compress(payload, payload_size, rec.hdr.slice_qp, idc);
+        c.model = recorder.get();
+        SliceParser p(rec.sps, rec.pps, rec.hdr, &scratch, cand_prev, &c,
+                      sid, false);
+        mb_count = p.parse_slice_data(-1);
+        if (!c.verify_tail(&drop, &tail)) throw Desync("re-encode mismatch");
+      }
     } catch (const ParseError&) {
       recorder->set_defer_trace(false);
       recorder->truncate_trace(mark);
@@ -1162,19 +1206,35 @@ static void decode_slice_block(const DBlock& b, int scope, uint32_t sub_bins,
                   mb_height(sps) >> (hdr.field_pic ? 1 : 0));
   }
   st->slice_id++;
-  int idc = hdr.slice_type == SLICE_I || hdr.slice_type == SLICE_SI
-                ? -1
-                : hdr.cabac_init_idc;
-  Coder c;
-  c.init_decompress(hdr.slice_qp, idc, model);
-  SliceParser p(sps, pps, hdr, st->cur.get(), st->prev.get(), &c,
-                st->slice_id, scope == SCOPE_SLICE);
-  p.parse_slice_data(b.mb_count);
-  const Bytes& payload = c.enc.bytes();
-  Bytes full(payload.begin(), payload.end() - b.drop);
-  full.insert(full.end(), b.tail.begin(), b.tail.end());
-  Bytes rbsp(b.head.begin() + 1, b.head.end());
-  rbsp.insert(rbsp.end(), full.begin(), full.end());
+  Bytes rbsp;
+  if (hdr.cavlc) {
+    // regenerate the bitstream from the modeled bits; the writer is seeded
+    // with the partial byte's header bits, so its first byte reproduces
+    // head's last byte (dropped from head below)
+    int pb = (int)(hdr.data_bit_offset & 7);
+    uint32_t seed = pb ? (uint32_t)(b.head.back() >> (8 - pb)) : 0;
+    CavlcCoder c;
+    c.init_decompress(model, seed, pb);
+    CavlcSliceParser p(sps, pps, hdr, st->cur.get(), &c, st->slice_id);
+    p.parse_slice_data(b.mb_count);
+    const Bytes& payload = c.finish_decompress();
+    rbsp.assign(b.head.begin() + 1, b.head.end() - (pb ? 1 : 0));
+    rbsp.insert(rbsp.end(), payload.begin(), payload.end() - b.drop);
+    rbsp.insert(rbsp.end(), b.tail.begin(), b.tail.end());
+  } else {
+    int idc = hdr.slice_type == SLICE_I || hdr.slice_type == SLICE_SI
+                  ? -1
+                  : hdr.cabac_init_idc;
+    Coder c;
+    c.init_decompress(hdr.slice_qp, idc, model);
+    SliceParser p(sps, pps, hdr, st->cur.get(), st->prev.get(), &c,
+                  st->slice_id, scope == SCOPE_SLICE);
+    p.parse_slice_data(b.mb_count);
+    const Bytes& payload = c.enc.bytes();
+    rbsp.assign(b.head.begin() + 1, b.head.end());
+    rbsp.insert(rbsp.end(), payload.begin(), payload.end() - b.drop);
+    rbsp.insert(rbsp.end(), b.tail.begin(), b.tail.end());
+  }
   Bytes esc = escape_rbsp(rbsp.data(), rbsp.size());
   if (esc.size() + 1 != b.nal_size) throw ParseError("NAL size mismatch");
   Bytes nal;
@@ -1330,6 +1390,7 @@ static int refscore_run(const uint8_t* data, size_t size, double* out) {
   int slice_id = 0;
 
   w.slices([&](const SliceRec& rec) {
+    if (rec.hdr.cavlc) return;  // reference model scores CABAC bins only
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
       if (!canonical_nal(data, rec, esc)) return;
@@ -1409,6 +1470,7 @@ static int mixlab_run(const uint8_t* data, size_t size, const double* params,
   bool started = false;
 
   w.slices([&](const SliceRec& rec) {
+    if (rec.hdr.cavlc) return;  // the lab A/Bs the CABAC model path only
     {
       Bytes esc = escape_rbsp(rec.rbsp.data() + 1, rec.rbsp.size() - 1);
       if (!canonical_nal(data, rec, esc)) return;

@@ -6,7 +6,7 @@
 
 namespace avtpu {
 
-constexpr uint8_t kVersion = 11;  // v11: model v10 (APM/SSE stage)
+constexpr uint8_t kVersion = 12;  // v12: CAVLC slice blocks (model v10)
 enum { KIND_LITERAL = 0, KIND_SLICE = 1, KIND_END = 2 };
 enum { SCOPE_STREAM = 0, SCOPE_SLICE = 1, SCOPE_GOP = 2 };
 

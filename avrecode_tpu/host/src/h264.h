@@ -82,6 +82,8 @@ struct SliceHeader {
   int num_ref_idx_l0_active = 1, num_ref_idx_l1_active = 1;
   int direct_spatial_mv_pred_flag = 0;
   size_t cabac_start_byte = 0;  // into unescaped RBSP (after NAL hdr byte)
+  bool cavlc = false;           // entropy_coding_mode_flag == 0
+  size_t data_bit_offset = 0;   // CAVLC: RBSP bit where slice_data begins
 };
 
 inline void skip_scaling_list(BitReader& r, int size) {
@@ -191,7 +193,7 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
   auto sit = sps_map.find(pps.sps_id);
   if (sit == sps_map.end()) throw Unsupported("unknown SPS");
   const SPS& sps = sit->second;
-  if (!pps.entropy_coding_mode_flag) throw Unsupported("CAVLC slice");
+  h.cavlc = !pps.entropy_coding_mode_flag;
   if (sps.chroma_format_idc < 0 || sps.chroma_format_idc > 3)
     throw Unsupported("chroma format");
   if (sps.separate_colour_plane_flag) {
@@ -277,8 +279,9 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
       }
     }
   }
-  if (h.slice_type != SLICE_I && h.slice_type != SLICE_SI) {
-    h.cabac_init_idc = r.ue();  // 7.3.3: SI has no cabac_init_idc
+  // 7.3.3: cabac_init_idc present only for CABAC P/SP/B slices
+  if (!h.cavlc && h.slice_type != SLICE_I && h.slice_type != SLICE_SI) {
+    h.cabac_init_idc = r.ue();
     if (h.cabac_init_idc > 2) throw Unsupported("bad cabac_init_idc");
   }
   h.slice_qp = pps.pic_init_qp + r.se();
@@ -293,9 +296,20 @@ inline SliceHeader parse_slice_header(const Bytes& rbsp, int nal_type,
       r.se();
     }
   }
+  if (h.cavlc) {
+    // CAVLC slice data starts at the current (unaligned) bit; the
+    // container head spans THROUGH the partial byte so the header stays
+    // parseable, and regeneration re-produces that byte (cavlc.h)
+    h.data_bit_offset = r.bitpos();
+    h.cabac_start_byte = (r.bitpos() + 7) >> 3;
+    *sps_out = sps;
+    *pps_out = pps;
+    return h;
+  }
   while (!r.byte_aligned())
     if (r.u(1) != 1) throw Unsupported("bad cabac_alignment_one_bit");
   h.cabac_start_byte = r.bitpos() >> 3;
+  h.data_bit_offset = r.bitpos();
   *sps_out = sps;
   *pps_out = pps;
   return h;

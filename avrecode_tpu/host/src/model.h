@@ -49,6 +49,11 @@ enum KeyCls : uint32_t {
   K_FIELDF,  // MBAFF mb_field_decoding_flag (appended: ids stay stable)
   K_PCMF, K_PCM,  // I_PCM escape bin + sample-byte bits
   K_SIMBTYPE,  // SI-slice mb_type prefix bin (appended: ids stay stable)
+  // CAVLC bit-modeling classes (cavlc.h / h264/cavlc.py — appended):
+  // exp-golomb classes key (a, phase prefix/suffix, bit idx); VLC-walk
+  // classes key (table, bit idx); see cavlc.py for the key taxonomy
+  K_VSKIP, K_VMBT, K_VSUB, K_VCPRED, K_VCBP, K_VDQP, K_VMVD, K_VREF,
+  K_VTOK, K_VTZ, K_VRUN, K_VT1, K_VLP, K_VLS, K_VIPRED, K_VT8,
   K_NCLS,
 };
 
@@ -103,6 +108,22 @@ struct KeySpace {
     set(K_FIELDF, 4);
     set(K_PCM, 8);
     set(K_SIMBTYPE, 4);
+    set(K_VSKIP, 1, 2, 16);
+    set(K_VMBT, 3, 2, 16);
+    set(K_VSUB, 2, 2, 16);
+    set(K_VCPRED, 1, 2, 16);
+    set(K_VCBP, 2, 2, 16);
+    set(K_VDQP, 1, 2, 16);
+    set(K_VMVD, 2, 2, 16);
+    set(K_VREF, 2, 2, 16);
+    set(K_VTOK, 6, 16);
+    set(K_VTZ, 28, 16);
+    set(K_VRUN, 8, 16);
+    set(K_VT1, 4);
+    set(K_VLP, 16, 8);
+    set(K_VLS, 16, 8);
+    set(K_VIPRED, 4);
+    set(K_VT8, 4);
     // Per-class axis order, slowest -> fastest.  The dense index is an
     // internal bijection (estimator identity is the (cls,a,b,c,d) tuple,
     // so axis order is byte-neutral); ordering the axes so the one that
@@ -375,7 +396,7 @@ class RecodeModel {
   // use.  Record layout (superset of the trace record):
   //   bits 0..23  dense key index     bits 32..47  pcab
   //   bit  24     bin value           bits 48..63  p1 (filled by replay)
-  //   bits 25..30 key class (cleared by trace replay)
+  //   bits 25..31 key class (cleared by trace replay)
   // State evolution in pass B is the exact put_bit sequence, so streams
   // are byte-identical to the single-pass interleaved path.
   static uint64_t pack_rec(uint64_t key, int bit, int pcab) {
@@ -394,7 +415,7 @@ class RecodeModel {
     replay_records(trace_->recs.data() + mark, trace_->recs.size() - mark);
   }
   void replay_records(uint64_t* r, size_t n) {
-    static_assert(K_NCLS <= 64, "cls must fit the 6-bit record field");
+    static_assert(K_NCLS <= 128, "cls must fit the 7-bit record field");
     constexpr size_t kPF = 24;  // cell prefetch distance (bins)
     for (size_t i = 0; i < n; i++) {
       if (i + kPF < n)
@@ -402,7 +423,7 @@ class RecodeModel {
       uint64_t v = r[i];
       uint32_t idx = (uint32_t)v & 0xFFFFFF;
       int bit = (int)(v >> 24) & 1;
-      uint32_t cls = ((uint32_t)v >> 25) & 0x3F;
+      uint32_t cls = ((uint32_t)v >> 25) & 0x7F;
       int pcab = (int)((v >> 32) & 0xFFFF);
       uint64_t key = ((uint64_t)cls << 40) | idx;
       Prep pp = prepare(key, pcab);

@@ -41,6 +41,10 @@ CLS_IDS = {
         "fieldf",  # MBAFF mb_field_decoding_flag (appended: ids are stable)
         "pcmf", "pcm",  # I_PCM escape bin + sample-byte bits
         "simbtype",  # SI-slice mb_type prefix bin (appended)
+        # CAVLC bit-modeling classes (h264/cavlc.py — appended, same order
+        # as host/src/model.h::KeyCls)
+        "vskip", "vmbt", "vsub", "vcpred", "vcbp", "vdqp", "vmvd", "vref",
+        "vtok", "vtz", "vrun", "vt1", "vlp", "vls", "vipred", "vt8",
     ])
 }
 N_CLS = len(CLS_IDS)

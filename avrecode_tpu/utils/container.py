@@ -24,7 +24,7 @@ re-parallelize identically — SURVEY.md §2 'model scope' note).
 """
 
 MAGIC = b"AVTR"
-VERSION = 11  # v11: model v10 (APM/SSE secondary-map stage)
+VERSION = 12  # v12: CAVLC slice blocks (bit-modeled; model v10 otherwise)
 # become multi-stream envelopes when it is nonzero (see h264_model.py)
 
 

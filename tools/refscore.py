@@ -38,6 +38,8 @@ def main(argv):
         data = open(p, "rb").read()
         d = native.refscore(data)
         ours = len(native.compress(data, scope="gop"))
+        # for CAVLC files the replay scores nothing (the reference recodes
+        # only CABAC): ref_file_bytes == len(data) == literal passthrough
         ref = d["ref_file_bytes"]
         if d["slices_failed"]:
             print(f"{os.path.basename(p):28} SKIP ({d['slices_failed']} "
