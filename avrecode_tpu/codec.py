@@ -296,7 +296,14 @@ def _compress_inner(data, verbose=False, scope=SCOPE_STREAM, slice_model_factory
     return result
 
 
-def decompress(blob):
+def decompress(blob, _model_factory=None):
+    """_model_factory(stream_bytes, substream_bins) -> decode-model object
+    (default RecodeModel('decode', ...)): injection point for the device
+    decompress pipeline (parallel/pipeline.device_decompress), which runs
+    one pass with a probability-recording model and one with a model fed
+    by the device-decoded bins."""
+    mf = _model_factory or (
+        lambda d, B: RecodeModel("decode", d, substream_bins=B))
     r = Reader(blob)
     if blob[:4] != MAGIC:
         raise ContainerError("bad magic (not an AVTR container)")
@@ -334,8 +341,7 @@ def decompress(blob):
             sstream = r.blob() if per_slice else None
             blocks.append((KIND_SLICE, nal_size, head, mb_count, drop, tail,
                            sstream, gaps))
-    model = None if per_slice else RecodeModel(
-        "decode", r.blob(), substream_bins=substream_bins)
+    model = None if per_slice else mf(r.blob(), substream_bins)
 
     out = bytearray()
     cur_pic = prev_pic = None
@@ -351,12 +357,10 @@ def decompress(blob):
             head[1:], nal_type, nal_ref_idc, sps_map, pps_map
         )
         if scope == SCOPE_SLICE:
-            smodel = RecodeModel("decode", sstream,
-                                 substream_bins=substream_bins)
+            smodel = mf(sstream, substream_bins)
         elif scope == SCOPE_GOP:
             if sstream:  # non-empty blob = GOP start: new model, wiped ring
-                model = RecodeModel("decode", sstream,
-                                    substream_bins=substream_bins)
+                model = mf(sstream, substream_bins)
                 cur_pic = prev_pic = None
             smodel = model
         else:

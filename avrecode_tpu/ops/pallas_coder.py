@@ -37,7 +37,12 @@ def _ult(a, b):
     return (a ^ jnp.int32(SIGN)) < (b ^ jnp.int32(SIGN))
 
 
-APM_STRIDE = 40  # APM rows per class in the (R, 1) scratch (33 cells, padded)
+APM_STRIDE = 34  # APM rows per (class, history) block in the (R, 1)
+# scratch: 33 cells (aj <= 31, interpolation reads aj+1 <= 32) + 1 pad.
+# Kept tight deliberately — the scratch is tiled (8, 128) with one live
+# lane, so every extra row costs 512 B of the 16 MB scoped-VMEM stack;
+# the round-5 key-class growth (N_CLS 63 -> 79, CAVLC) overflowed the
+# stack by 376 KB at the old stride of 40.
 
 
 def _kernel(slots_ref, bits_ref, pcabs_ref, valid_ref, limits_ref, tbl_ref,

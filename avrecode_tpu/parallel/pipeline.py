@@ -47,6 +47,7 @@ if not os.environ.get("AVT_NO_JAX_CACHE"):
         pass
 
 from ..codec import _scan_blocks, serialize_container
+from ..models.h264_model import RecodeModel
 from ..models.trace import N_CLS, TraceModel
 from ..ops.estimator_jax import encode_slices, stream_bytes
 from ..utils.container import KIND_SLICE, SCOPE_GOP, SCOPE_SLICE
@@ -390,3 +391,122 @@ def multichip_step(mesh, slots, bits, pcabs, limits, valid, cls=None):
         out_specs=(P("dp"), P("dp"), P()),
     )
     return jax.jit(fn)(slots, bits, pcabs, limits, valid, cls)
+
+
+# ------------------------------------------------------------------------
+# Decode direction: device_decompress — the product mirror of
+# device_compress (reference decompressor parity: recode.cpp:1319-1598 is
+# a first-class driver there).
+#
+# The entropy decode of a recoded container is a serial recurrence through
+# the MODEL (each bin's probability depends on every previously decoded
+# bin via the parser state — DEVICE_DECODE.md), so the probability
+# schedule must be derived host-side.  The pipeline therefore runs three
+# phases:
+#   A  host model pass: decompress the container with a RECORDING model
+#      that captures each scope unit's per-bin probability schedule,
+#   B  device entropy decode: every unit's sub-streams decode
+#      lane-parallel on the chip (ops/lane_decoder.lane_decode_scan, the
+#      exact int32 mirror of the host range decoder),
+#   C  host assembly: the container is decoded AGAIN with the
+#      device-produced bins feeding the parser + CABAC re-encoder (no
+#      model arithmetic at all in this pass), producing the output bytes.
+# The returned file is built from device-decoded bins end-to-end and is
+# byte-identical to codec.decompress(blob).  This is a capability/
+# verification surface, not the speed path: phase A already contains a
+# full host entropy decode (fundamental, not an implementation artifact).
+
+
+class _RecordingModel(RecodeModel):
+    """RecodeModel('decode') that records the (p1, bit) schedule."""
+
+    def __init__(self, data, substream_bins):
+        super().__init__("decode", data, substream_bins=substream_bins)
+        self.raw = data
+        self.rec_p1s = []
+        self.rec_bits = []
+
+    def get_bit(self, key, pcab=None):
+        self._boundary()
+        e, p1, mixctx = self._prob_update(key, pcab)
+        bit = self.rc.get(p1)
+        self.rec_p1s.append(p1)
+        self.rec_bits.append(bit)
+        self._update_mix(mixctx, p1, bit)
+        self._adapt(key, e, bit)
+        return bit
+
+
+class _FeedModel:
+    """Serves pre-decoded bins to the parser; no model arithmetic."""
+
+    def __init__(self, bits):
+        self.bits = bits
+        self.i = 0
+
+    def get_bit(self, key, pcab=None):
+        b = int(self.bits[self.i])
+        self.i += 1
+        return b
+
+    def get_nnz(self, cat, max_coeff, prior):
+        # bit-count mirror of RecodeModel.get_nnz
+        v = 0
+        for _ in range((max_coeff - 1).bit_length()):
+            v = (v << 1) | self.get_bit(None)
+        return v + 1
+
+
+def device_decompress(blob):
+    """Decompress a container with the entropy decode executed on the
+    device (lane-parallel across sub-streams); output is byte-identical
+    to codec.decompress(blob).  Raises if the device decode disagrees
+    with the host model pass (it cannot, short of hardware fault: the
+    kernel is the exact integer mirror)."""
+    from ..codec import decompress as _host_decompress
+    from ..ops.lane_decoder import decode_streams_lanes
+
+    blob = bytes(blob)
+    # phase A: host model pass, recording each unit's probability schedule
+    units = []
+
+    def rec_factory(data, B):
+        m = _RecordingModel(data, B)
+        units.append(m)
+        return m
+
+    host_out = _host_decompress(blob, _model_factory=rec_factory)
+
+    # phase B: device lane decode, one dispatch per scope unit
+    unit_bits = []
+    for m in units:
+        n = len(m.rec_p1s)
+        if n == 0:
+            unit_bits.append([])
+            continue
+        B = m.B or n
+        streams = (m.streams if m.B else [m.raw]) or [b""]
+        n_lanes = -(-n // B)
+        lens = [min(B, n - i * B) for i in range(n_lanes)]
+        p1s = np.zeros((n_lanes, B), np.int32)
+        for i in range(n_lanes):
+            p1s[i, : lens[i]] = m.rec_p1s[i * B : i * B + lens[i]]
+        bits = np.asarray(
+            decode_streams_lanes(list(streams[:n_lanes]), p1s,
+                                 np.asarray(lens, np.int32)))
+        flat = []
+        for i in range(n_lanes):
+            flat.extend(int(b) for b in bits[i, : lens[i]])
+        unit_bits.append(flat)
+
+    # phase C: assembly from the device-decoded bins (parser + CABAC
+    # re-encode only; any divergence surfaces as a parse/size error)
+    it = iter(unit_bits)
+
+    def feed_factory(data, B):
+        return _FeedModel(next(it))
+
+    out = _host_decompress(blob, _model_factory=feed_factory)
+    if out != host_out:
+        raise RuntimeError("device decode diverged from host model pass")
+    return out

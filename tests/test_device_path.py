@@ -201,3 +201,33 @@ def test_device_compress_corpus_matches_per_file():
     for data, comp in zip(datas, outs):
         assert comp == device_compress(data, scope="gop", substream_bins=4096)
         assert decompress(comp) == data
+
+
+def test_device_decompress_end_to_end():
+    """device_decompress: containers decode end-to-end with the entropy
+    stage executed by the lane decoder; output byte-identical to the host
+    decoder, across scopes/envelopes and both entropy modes (CABAC and
+    CAVLC slices)."""
+    from avrecode_tpu.codec import compress, decompress
+    from avrecode_tpu.parallel.pipeline import device_decompress
+
+    path = os.path.join(DATA, "rt_gop.mp4")
+    if not os.path.exists(path):
+        subprocess.run(
+            [GEN, path, "192", "160", "12", "30", "4", "1", "26", "9", "1"],
+            check=True, capture_output=True,
+        )
+    cpath = os.path.join(DATA, "cavlc_rt.mp4")
+    if not os.path.exists(cpath):
+        subprocess.run(
+            [GEN, cpath, "192", "160", "10", "30", "5", "0", "26", "3", "1",
+             "cabac=0"],
+            check=True, capture_output=True,
+        )
+    for f, kw in ((path, dict(scope="gop", substream_bins=4096)),
+                  (path, dict(scope="gop")),
+                  (cpath, dict(scope="slice", substream_bins=512)),
+                  (cpath, dict(scope="stream"))):
+        data = open(f, "rb").read()
+        blob = compress(data, **kw)
+        assert device_decompress(blob) == data == decompress(blob)

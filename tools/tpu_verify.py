@@ -72,6 +72,26 @@ def main(argv):
          native.decompress(c) == data)(
             device_compress(data, scope="gop", substream_bins=4096))))
     check("lane_decoder_inverts_on_chip", lambda: _lane_decode_check(data))
+
+    def _dev_decompress_check():
+        from avrecode_tpu.parallel.pipeline import device_decompress
+
+        blob = codec.compress(sdata, scope="gop", substream_bins=4096)
+        return device_decompress(blob) == sdata
+
+    check("device_decompress_end_to_end", _dev_decompress_check)
+    # CAVLC streams ride the same device pipelines (round 5)
+    cav = os.path.join(ROOT, "data", "cavlc_ipp.mp4")
+    if not os.path.exists(cav):
+        subprocess.run(
+            [os.path.join(ROOT, "tools", "genvideo"), cav,
+             "320", "240", "20", "30", "10", "0", "26", "7", "1", "cabac=0"],
+            check=True, capture_output=True,
+        )
+    cdata = open(cav, "rb").read()
+    check("cavlc_lane_coder_byte_identical", lambda: (
+        device_compress(cdata, scope="gop", substream_bins=4096)
+        == codec.compress(cdata, scope="gop", substream_bins=4096)))
     out["all_ok"] = all(c.get("ok") for c in out["checks"].values())
     path = os.path.join(ROOT, "TPU_VERIFY.json")
     with open(path, "w") as f:
