@@ -292,7 +292,7 @@ class CavlcSliceParser {
   }
 
   // -- residual block (9.2) --------------------------------------------
-  int residual_block(int nc, int max_coeff) {
+  int residual_block(int nc, int max_coeff, int cat) {
     int tab = nc >= 8 ? 3
               : nc >= 4 ? 2
               : nc >= 2 ? 1
@@ -306,7 +306,7 @@ class CavlcSliceParser {
     int sl = (total > 10 && trailing < 3) ? 1 : 0;
     for (int i = 0; i < total - trailing; i++) {
       int prefix = 0;
-      while (c_->bit(mkey(K_VLP, std::min(prefix, 15), sl)) == 0) {
+      while (c_->bit(mkey(K_VLP, std::min(prefix, 15), sl, cat)) == 0) {
         prefix++;
         if (prefix > 31) throw Desync("level_prefix overrun");
       }
@@ -317,7 +317,8 @@ class CavlcSliceParser {
         suffix_size = prefix - 3;
       uint32_t suffix = 0;
       for (int j = 0; j < suffix_size; j++)
-        suffix = (suffix << 1) | c_->bit(mkey(K_VLS, std::min(j, 13), sl));
+        suffix = (suffix << 1) |
+                 c_->bit(mkey(K_VLS, std::min(j, 13), sl, cat));
       uint32_t level_code = ((uint32_t)std::min(15, prefix) << sl) + suffix;
       if (prefix >= 15 && sl == 0) level_code += 15;
       if (prefix >= 16) level_code += (1u << (prefix - 3)) - 4096;
@@ -339,7 +340,7 @@ class CavlcSliceParser {
     int zl = zeros;
     for (int i = 0; i < total - 1 && zl > 0; i++) {
       int run = vlc(kCavlcMaps.rb[std::min(zl, 7) - 1], K_VRUN,
-                    std::min(zl, 7));
+                    std::min(zl, 7) + 8 * std::min(i, 3));
       if (run > zl) throw Desync("run_before exceeds zerosLeft");
       zl -= run;
     }
@@ -386,6 +387,7 @@ class CavlcSliceParser {
       pic_->nnz_chroma_ac[m * 16 + i] = 16;
     }
     pic_->t8x8[m] = 0;
+    pic_->mbclass[m] = 7;  // I_PCM: intra for neighbor ctx
   }
 
   bool t8_allowed(int raw) const {
@@ -485,12 +487,12 @@ class CavlcSliceParser {
 
   void residuals(bool i16, int cbp_luma, int cbp_chroma) {
     size_t m = mb(mbx_, mby_);
-    if (i16) residual_block(nc_luma(0), 16);
+    if (i16) residual_block(nc_luma(0), 16, 2);
     for (int i8 = 0; i8 < 4; i8++) {
       if (!(cbp_luma & (1 << i8))) continue;
       for (int i4 = 0; i4 < 4; i4++) {
         int blk = i8 * 4 + i4;
-        int total = residual_block(nc_luma(blk), i16 ? 15 : 16);
+        int total = residual_block(nc_luma(blk), i16 ? 15 : 16, 0);
         pic_->nnz_luma[m * 16 + blk] = (uint8_t)total;
       }
     }
@@ -498,12 +500,12 @@ class CavlcSliceParser {
     if (cbp_chroma & 3) {
       int nc_dc = ch422_ ? -2 : -1;
       int n_dc = ch422_ ? 8 : 4;
-      for (int comp = 0; comp < 2; comp++) residual_block(nc_dc, n_dc);
+      for (int comp = 0; comp < 2; comp++) residual_block(nc_dc, n_dc, 2);
     }
     if (cbp_chroma & 2) {
       for (int comp = 0; comp < 2; comp++)
         for (int sub = 0; sub < n_chroma_ac_; sub++) {
-          int total = residual_block(nc_chroma(comp, sub), 15);
+          int total = residual_block(nc_chroma(comp, sub), 15, 1);
           pic_->nnz_chroma_ac[m * 16 + comp * 8 + sub] = (uint8_t)total;
         }
     }
@@ -514,6 +516,7 @@ class CavlcSliceParser {
     size_t m = mb(x, y);
     pic_->slice_id[m] = sid_;
     pic_->skip[m] = 1;
+    pic_->mbclass[m] = 1;
     for (int i = 0; i < 16; i++) {
       pic_->nnz_luma[m * 16 + i] = 0;
       pic_->nnz_chroma_ac[m * 16 + i] = 0;
@@ -531,8 +534,13 @@ class CavlcSliceParser {
     }
     pic_->t8x8[m] = 0;
     int st = stype_;
-    uint32_t raw = ue(K_VMBT, st == SLICE_I ? 0 : (st == SLICE_P ? 1 : 2),
-                      63);
+    uint32_t mbt_a = st == SLICE_I ? 0 : (st == SLICE_P ? 1 : 2);
+    int minc = 0;  // neighbor intra-ness: mb_type clusters spatially
+    if (avail(mbx_ - 1, mby_) && pic_->mbclass[mb(mbx_ - 1, mby_)] >= 5)
+      minc++;
+    if (avail(mbx_, mby_ - 1) && pic_->mbclass[mb(mbx_, mby_ - 1)] >= 5)
+      minc++;
+    uint32_t raw = ue(K_VMBT, mbt_a + 3 * minc, 63);
     int intra_base = -1;
     if (st == SLICE_I)
       intra_base = (int)raw;
@@ -586,6 +594,7 @@ class CavlcSliceParser {
           t8_allowed((int)raw))
         t8 = c_->bit(mkey(K_VT8, t8_inc()));
     }
+    pic_->mbclass[m] = is_intra ? 5 : 4;
     pic_->t8x8[m] = (uint8_t)t8;
 
     if (cbp_luma || cbp_chroma || i16) {

@@ -109,7 +109,7 @@ struct KeySpace {
     set(K_PCM, 8);
     set(K_SIMBTYPE, 4);
     set(K_VSKIP, 1, 2, 16);
-    set(K_VMBT, 3, 2, 16);
+    set(K_VMBT, 9, 2, 16);  // (slice family + 3*neighbor-intra inc)
     set(K_VSUB, 2, 2, 16);
     set(K_VCPRED, 1, 2, 16);
     set(K_VCBP, 2, 2, 16);
@@ -118,10 +118,10 @@ struct KeySpace {
     set(K_VREF, 2, 2, 16);
     set(K_VTOK, 6, 16);
     set(K_VTZ, 28, 16);
-    set(K_VRUN, 8, 16);
+    set(K_VRUN, 32, 16);  // (zerosLeft bucket + 8*coeff-index bucket)
     set(K_VT1, 4);
-    set(K_VLP, 16, 8);
-    set(K_VLS, 16, 8);
+    set(K_VLP, 16, 8, 4);  // (prefix pos, suffixLength, block cat)
+    set(K_VLS, 16, 8, 4);
     set(K_VIPRED, 4);
     set(K_VT8, 4);
     // Per-class axis order, slowest -> fastest.  The dense index is an

@@ -61,3 +61,55 @@ def test_fuzz_asan_containers(ext):
     assert r.returncode == 0 and "FUZZ_OK" in r.stdout, (
         f"fuzz failed (rc={r.returncode}):\n{r.stderr[-3000:]}"
     )
+
+
+def test_slice_payload_mutation_fuzz():
+    """Targeted entropy-parser fuzz (round-5 verdict item): mutations
+    INSIDE slice payload byte ranges (not container boxes) drive the
+    CABAC/CAVLC parsers through desync paths with a far higher hit rate
+    than whole-file mutation.  Every mutant must either recode or fall
+    back to literal — and always roundtrip bit-exact; a desync must never
+    produce silently wrong output."""
+    import random
+
+    from avrecode_tpu.h264.stream import StreamWalker
+    from avrecode_tpu.host import native
+    from avrecode_tpu.codec import compress, decompress
+
+    gen = os.path.join(ROOT, "tools", "genvideo")
+    clips = []
+    p = os.path.join(ROOT, "data", "rt_tiny.mp4")
+    if not os.path.exists(p):
+        subprocess.run(
+            [gen, p, "160", "128", "8", "30", "4", "0", "26", "11", "1"],
+            check=True, capture_output=True)
+    clips.append(p)
+    p = os.path.join(ROOT, "data", "cavlc_rt.mp4")
+    if not os.path.exists(p):
+        subprocess.run(
+            [gen, p, "192", "160", "10", "30", "5", "0", "26", "3", "1",
+             "cabac=0"],
+            check=True, capture_output=True)
+    clips.append(p)
+
+    rng = random.Random(11)
+    for clip in clips:
+        base = open(clip, "rb").read()
+        w = StreamWalker(base)
+        spans = [(rec.offset + rec.cabac_offset,
+                  rec.offset + rec.size) for rec in w.slices()]
+        assert spans
+        for _ in range(24):
+            mut = bytearray(base)
+            s, e = spans[rng.randrange(len(spans))]
+            for _k in range(rng.randrange(1, 5)):
+                i = rng.randrange(s, max(s + 1, e))
+                mut[i] ^= 1 << rng.randrange(8)
+            mut = bytes(mut)
+            for comp in (
+                native.compress(mut, scope="gop")
+                if native.available() else compress(mut, scope="gop"),
+            ):
+                assert decompress(comp) == mut
+                if native.available():
+                    assert native.decompress(comp) == mut
