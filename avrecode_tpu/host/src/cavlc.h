@@ -364,9 +364,16 @@ class CavlcSliceParser {
       if (v > 3) throw Desync("chroma pred mode");
     }
   }
+  void mvd1(int comp) {
+    // keyed on the previous |mvd|'s magnitude bucket (shared across
+    // components/MBs within the slice — cavlc.py mirror, A/B +0.11%)
+    int32_t v = se(K_VMVD, comp + 2 * mvd_b_);
+    uint32_t a = v >= 0 ? v : -v;
+    mvd_b_ = a == 0 ? 0 : a < 4 ? 1 : a < 32 ? 2 : 3;
+  }
   void mvd() {
-    se(K_VMVD, 0);
-    se(K_VMVD, 1);
+    mvd1(0);
+    mvd1(1);
   }
   void parse_pcm() {
     CavlcCoder* c = c_;
@@ -615,6 +622,7 @@ class CavlcSliceParser {
   int ch_grid_h_ = 2, n_chroma_ac_ = 4;
   int nref0_ = 1, nref1_ = 1;
   int mbx_ = 0, mby_ = 0;
+  int mvd_b_ = 0;
   int sub_types_[4] = {0, 0, 0, 0};
 };
 

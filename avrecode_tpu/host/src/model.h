@@ -114,7 +114,7 @@ struct KeySpace {
     set(K_VCPRED, 1, 2, 16);
     set(K_VCBP, 2, 2, 16);
     set(K_VDQP, 1, 2, 16);
-    set(K_VMVD, 2, 2, 16);
+    set(K_VMVD, 8, 2, 16);  // (comp + 2*prev-|mvd| bucket)
     set(K_VREF, 2, 2, 16);
     set(K_VTOK, 6, 16);
     set(K_VTZ, 28, 16);

@@ -96,3 +96,43 @@ def test_roundtrip_422():
     assert stats["byte_exact"] == stats["slices"] > 0, stats["errors"][:2]
     ok, ratio, comp, dec = roundtrip(data)
     assert ok
+
+
+def test_roundtrip_encoder_matrix_round5():
+    """Round-5 validation-independence widening: encoder settings that
+    reshape the syntax statistics (trellis RD quantization on/off, AQ
+    variance modes, 8x8dct off, slice-max-size splitting, weightb off)
+    must fully recode — CABAC and CAVLC both — and roundtrip bit-exact."""
+    from avrecode_tpu.h264.stream import validate_file
+    from avrecode_tpu.codec import compress, decompress
+
+    cabac_variants = [
+        ("rt_trellis0.mp4",
+         (256, 192, 10, 30, 5, 2, 24, 41, 1, "trellis=0:aq-mode=0")),
+        ("rt_trellis2.mp4",
+         (256, 192, 10, 30, 5, 2, 24, 42, 1, "trellis=2:aq-mode=2")),
+        ("rt_no8x8.mp4",
+         (256, 192, 10, 30, 5, 1, 24, 43, 1, "8x8dct=0:weightb=0")),
+        ("rt_slicemax.mp4",
+         (320, 240, 8, 30, 4, 0, 24, 44, 1, "slice-max-size=800")),
+    ]
+    for name, args in cabac_variants:
+        data = _clip(name, *args)
+        stats = validate_file(data)
+        assert stats["byte_exact"] == stats["slices"] > 0, (
+            name, stats["errors"][:2])
+        ok, ratio, comp, dec = roundtrip(data)
+        assert ok, name
+
+    cavlc_variants = [
+        ("rt_cv_trellis.mp4",
+         (256, 192, 10, 30, 5, 2, 24, 45, 1, "cabac=0:trellis=2:aq-mode=2")),
+        ("rt_cv_slicemax.mp4",
+         (320, 240, 8, 30, 4, 0, 24, 46, 1, "cabac=0:slice-max-size=800")),
+    ]
+    for name, args in cavlc_variants:
+        data = _clip(name, *args)
+        blob = compress(data, scope="gop")
+        assert decompress(blob) == data, name
+        # real recode, not literal fallback
+        assert len(blob) < len(data) * 0.95, (name, len(blob), len(data))
