@@ -1,8 +1,9 @@
 // H.264 CAVLC slice-data recoding — C++ mirror of h264/cavlc.py (see that
 // module's docstring for the design rationale).  The reference recodes
 // only CABAC payloads (recode.cpp:149-167), so this EXCEEDS its coverage:
-// baseline-profile/`--no-cabac` streams recompress instead of passing
-// through as literals.
+// baseline-profile/`--no-cabac` streams — and x264 LOSSLESS output
+// (High 4:4:4 + CAVLC) — recompress instead of passing through as
+// literals.
 //
 // Bit-level modeling: every bit the parser consumes is entropy-coded
 // through the adaptive model under an element-class key; decompression
@@ -174,9 +175,12 @@ class CavlcSliceParser {
     if (hdr.slice_type != SLICE_I && hdr.slice_type != SLICE_P &&
         hdr.slice_type != SLICE_B)
       throw Unsupported("CAVLC SP/SI slice");
-    if (sps.chroma_format_idc == 3) throw Unsupported("CAVLC 4:4:4");
     stype_ = hdr.slice_type;
     ch422_ = sps.chroma_format_idc == 2;
+    // 4:4:4 (non-separate): Cb/Cr parse as luma-style planes sharing the
+    // luma cbp bits (7.3.5.3 ChromaArrayType==3); separate colour planes
+    // parse as monochrome pictures (ch400)
+    ch444_ = sps.chroma_format_idc == 3 && !sps.separate_colour_plane_flag;
     ch400_ = sps.chroma_format_idc == 0 || sps.separate_colour_plane_flag;
     ch_grid_h_ = ch422_ ? 4 : 2;
     n_chroma_ac_ = ch422_ ? 8 : 4;
@@ -270,13 +274,17 @@ class CavlcSliceParser {
     if (y < 0) { (*ny)--; y += gh; } else if (y > gh - 1) { (*ny)++; y -= gh; }
     *nblk = y * 2 + x;
   }
-  int nc_luma(int blk) const {
+  int nc_luma(int blk, int plane = 0) const {
+    const uint8_t* nmap =
+        plane == 0 ? pic_->nnz_luma.data()
+                   : pic_->nnz_c44.data() +
+                         (size_t)(plane - 1) * pic_->w * pic_->h * 16;
     int lx, ly, lb, ux, uy, ub;
     blk4_nb(mbx_, mby_, blk, -1, 0, &lx, &ly, &lb);
     blk4_nb(mbx_, mby_, blk, 0, -1, &ux, &uy, &ub);
     bool la = avail(lx, ly), ua = avail(ux, uy);
-    int na = la ? pic_->nnz_luma[mb(lx, ly) * 16 + lb] : 0;
-    int nb = ua ? pic_->nnz_luma[mb(ux, uy) * 16 + ub] : 0;
+    int na = la ? nmap[mb(lx, ly) * 16 + lb] : 0;
+    int nb = ua ? nmap[mb(ux, uy) * 16 + ub] : 0;
     if (la && ua) return (na + nb + 1) >> 1;
     return la ? na : (ua ? nb : 0);
   }
@@ -359,7 +367,7 @@ class CavlcSliceParser {
       if (!c_->bit(mkey(K_VIPRED, 0)))
         for (int j = 0; j < 3; j++) c_->bit(mkey(K_VIPRED, 1 + j));
     }
-    if (!ch400_) {
+    if (!ch400_ && !ch444_) {
       uint32_t v = ue(K_VCPRED, 0, 7);
       if (v > 3) throw Desync("chroma pred mode");
     }
@@ -384,7 +392,7 @@ class CavlcSliceParser {
       while (c->w.bitpos() & 7) c->w.u(0, 1);
     }
     int bd_y = sps_.bit_depth_luma, bd_c = sps_.bit_depth_chroma;
-    int n_chroma = ch400_ ? 0 : (ch422_ ? 256 : 128);
+    int n_chroma = ch400_ ? 0 : ch444_ ? 512 : ch422_ ? 256 : 128;
     int n_bytes = (256 * bd_y + n_chroma * bd_c) >> 3;
     for (int k = 0; k < n_bytes; k++)
       for (int i = 0; i < 8; i++) c->bit(mkey(K_PCM, i));
@@ -392,6 +400,12 @@ class CavlcSliceParser {
     for (int i = 0; i < 16; i++) {
       pic_->nnz_luma[m * 16 + i] = 16;
       pic_->nnz_chroma_ac[m * 16 + i] = 16;
+    }
+    {
+      size_t pn = (size_t)pic_->w * pic_->h * 16;
+      for (int pl = 0; pl < 2; pl++)
+        for (int i = 0; i < 16; i++)
+          pic_->nnz_c44[pl * pn + m * 16 + i] = 16;
     }
     pic_->t8x8[m] = 0;
     pic_->mbclass[m] = 7;  // I_PCM: intra for neighbor ctx
@@ -494,6 +508,26 @@ class CavlcSliceParser {
 
   void residuals(bool i16, int cbp_luma, int cbp_chroma) {
     size_t m = mb(mbx_, mby_);
+    if (ch444_) {
+      // ChromaArrayType 3: three luma-style planes share cbp_luma
+      for (int plane = 0; plane < 3; plane++) {
+        uint8_t* nmap =
+            plane == 0 ? pic_->nnz_luma.data()
+                       : pic_->nnz_c44.data() +
+                             (size_t)(plane - 1) * pic_->w * pic_->h * 16;
+        if (i16) residual_block(nc_luma(0, plane), 16, 2);
+        for (int i8 = 0; i8 < 4; i8++) {
+          if (!(cbp_luma & (1 << i8))) continue;
+          for (int i4 = 0; i4 < 4; i4++) {
+            int blk = i8 * 4 + i4;
+            int total = residual_block(nc_luma(blk, plane),
+                                       i16 ? 15 : 16, 0);
+            nmap[m * 16 + blk] = (uint8_t)total;
+          }
+        }
+      }
+      return;
+    }
     if (i16) residual_block(nc_luma(0), 16, 2);
     for (int i8 = 0; i8 < 4; i8++) {
       if (!(cbp_luma & (1 << i8))) continue;
@@ -528,6 +562,11 @@ class CavlcSliceParser {
       pic_->nnz_luma[m * 16 + i] = 0;
       pic_->nnz_chroma_ac[m * 16 + i] = 0;
     }
+    if (ch444_) {
+      size_t pn = (size_t)pic_->w * pic_->h * 16;
+      for (int pl = 0; pl < 2; pl++)
+        for (int i = 0; i < 16; i++) pic_->nnz_c44[pl * pn + m * 16 + i] = 0;
+    }
     pic_->t8x8[m] = 0;
   }
 
@@ -538,6 +577,11 @@ class CavlcSliceParser {
     for (int i = 0; i < 16; i++) {
       pic_->nnz_luma[m * 16 + i] = 0;
       pic_->nnz_chroma_ac[m * 16 + i] = 0;
+    }
+    if (ch444_) {
+      size_t pn = (size_t)pic_->w * pic_->h * 16;
+      for (int pl = 0; pl < 2; pl++)
+        for (int i = 0; i < 16; i++) pic_->nnz_c44[pl * pn + m * 16 + i] = 0;
     }
     pic_->t8x8[m] = 0;
     int st = stype_;
@@ -574,7 +618,7 @@ class CavlcSliceParser {
         int b = intra_base - 1;
         cbp_luma = b >= 12 ? 15 : 0;
         cbp_chroma = (b >> 2) % 3;
-        if (!ch400_) {
+        if (!ch400_ && !ch444_) {
           uint32_t v = ue(K_VCPRED, 0, 7);
           if (v > 3) throw Desync("chroma pred mode");
         }
@@ -588,7 +632,7 @@ class CavlcSliceParser {
     if (!i16) {
       uint32_t cn = ue(K_VCBP, is_intra ? 1 : 0, 63);
       int cbp;
-      if (ch400_) {
+      if (ch400_ || ch444_) {  // ChromaArrayType 0/3: Table 9-4
         if (cn >= 16) throw Desync("cbp codeNum out of range");
         cbp = is_intra ? kCbpIntraMono[cn] : kCbpInterMono[cn];
       } else {
@@ -618,7 +662,7 @@ class CavlcSliceParser {
   int sid_;
   int W_, H_;
   int stype_ = 0;
-  bool ch422_ = false, ch400_ = false;
+  bool ch422_ = false, ch400_ = false, ch444_ = false;
   int ch_grid_h_ = 2, n_chroma_ac_ = 4;
   int nref0_ = 1, nref1_ = 1;
   int mbx_ = 0, mby_ = 0;

@@ -546,62 +546,12 @@ static std::optional<H264Stream> demux_annexb(const uint8_t* d, size_t n) {
 // Mirror of utils/ts.py: PAT -> PMT -> H.264 PID, PES payload segments, then
 // an Annex-B scan over the virtual ES stream; NALs split across packets
 // carry their (offset, length) segment lists.
-static std::optional<H264Stream> demux_ts(const uint8_t* d, size_t n) {
-  constexpr size_t PKT = 188;
-  if (n < PKT || d[0] != 0x47) return std::nullopt;
-  for (size_t k = 1; k < std::min<size_t>(8, n / PKT); k++)
-    if (d[k * PKT] != 0x47) return std::nullopt;
-
-  std::vector<int> pmt_pids;
-  int video_pid = -1;
-  std::vector<std::pair<uint64_t, uint64_t>> es;  // video ES segments
-  for (size_t p = 0; p + PKT <= n; p += PKT) {
-    if (d[p] != 0x47) break;
-    int pid = ((d[p + 1] & 0x1F) << 8) | d[p + 2];
-    bool pusi = d[p + 1] & 0x40;
-    int afc = (d[p + 3] >> 4) & 3;
-    size_t pos = p + 4;
-    if (afc & 2) {
-      if (pos >= p + PKT) continue;
-      pos += 1 + d[pos];
-    }
-    if (!(afc & 1) || pos >= p + PKT) continue;
-    size_t lim = p + PKT;
-    if (pid == 0 && pusi) {  // PAT
-      size_t t = pos + 1 + d[pos];
-      if (t + 12 > lim || d[t] != 0) continue;
-      size_t sect_len = ((d[t + 1] & 0xF) << 8) | d[t + 2];
-      size_t ent = t + 8, end = t + 3 + sect_len - 4;
-      while (ent + 4 <= end && ent + 4 <= lim) {
-        int prog = (d[ent] << 8) | d[ent + 1];
-        int mpid = ((d[ent + 2] & 0x1F) << 8) | d[ent + 3];
-        if (prog != 0) pmt_pids.push_back(mpid);
-        ent += 4;
-      }
-    } else if (pusi && video_pid < 0 &&
-               std::find(pmt_pids.begin(), pmt_pids.end(), pid) !=
-                   pmt_pids.end()) {  // PMT
-      size_t t = pos + 1 + d[pos];
-      if (t + 12 > lim || d[t] != 2) continue;
-      size_t sect_len = ((d[t + 1] & 0xF) << 8) | d[t + 2];
-      size_t pinfo = ((d[t + 10] & 0xF) << 8) | d[t + 11];
-      size_t ent = t + 12 + pinfo, end = t + 3 + sect_len - 4;
-      while (ent + 5 <= end && ent + 5 <= lim) {
-        int stype = d[ent];
-        int epid = ((d[ent + 1] & 0x1F) << 8) | d[ent + 2];
-        size_t eslen = ((d[ent + 3] & 0xF) << 8) | d[ent + 4];
-        if (stype == 0x1B && video_pid < 0) video_pid = epid;
-        ent += 5 + eslen;
-      }
-    } else if (video_pid >= 0 && pid == video_pid) {
-      if (pusi) {
-        if (pos + 9 <= lim && d[pos] == 0 && d[pos + 1] == 0 &&
-            d[pos + 2] == 1)
-          pos = pos + 9 + d[pos + 8];
-      }
-      if (pos < lim) es.push_back({pos, lim - pos});
-    }
-  }
+// Shared TS/PS ES-tail: (file_off, len) video-ES segments -> H264Stream
+// (merge adjacent segments, Annex-B scan over the virtual stream, map
+// each NAL back to file segments; split NALs carry `segs`).
+static std::optional<H264Stream> es_to_stream(
+    const uint8_t* d,
+    std::vector<std::pair<uint64_t, uint64_t>> es) {
   if (es.empty()) return std::nullopt;
   // merge file-adjacent segments
   std::vector<std::pair<uint64_t, uint64_t>> merged{es[0]};
@@ -671,6 +621,121 @@ static std::optional<H264Stream> demux_ts(const uint8_t* d, size_t n) {
     if ((hdr & 0x1F) == 8) stream.pps_list.emplace_back(buf.begin() + s, buf.begin() + e);
   }
   return stream;
+}
+
+
+static std::optional<H264Stream> demux_ts(const uint8_t* d, size_t n) {
+  constexpr size_t PKT = 188;
+  if (n < PKT || d[0] != 0x47) return std::nullopt;
+  for (size_t k = 1; k < std::min<size_t>(8, n / PKT); k++)
+    if (d[k * PKT] != 0x47) return std::nullopt;
+
+  std::vector<int> pmt_pids;
+  int video_pid = -1;
+  std::vector<std::pair<uint64_t, uint64_t>> es;  // video ES segments
+  for (size_t p = 0; p + PKT <= n; p += PKT) {
+    if (d[p] != 0x47) break;
+    int pid = ((d[p + 1] & 0x1F) << 8) | d[p + 2];
+    bool pusi = d[p + 1] & 0x40;
+    int afc = (d[p + 3] >> 4) & 3;
+    size_t pos = p + 4;
+    if (afc & 2) {
+      if (pos >= p + PKT) continue;
+      pos += 1 + d[pos];
+    }
+    if (!(afc & 1) || pos >= p + PKT) continue;
+    size_t lim = p + PKT;
+    if (pid == 0 && pusi) {  // PAT
+      size_t t = pos + 1 + d[pos];
+      if (t + 12 > lim || d[t] != 0) continue;
+      size_t sect_len = ((d[t + 1] & 0xF) << 8) | d[t + 2];
+      size_t ent = t + 8, end = t + 3 + sect_len - 4;
+      while (ent + 4 <= end && ent + 4 <= lim) {
+        int prog = (d[ent] << 8) | d[ent + 1];
+        int mpid = ((d[ent + 2] & 0x1F) << 8) | d[ent + 3];
+        if (prog != 0) pmt_pids.push_back(mpid);
+        ent += 4;
+      }
+    } else if (pusi && video_pid < 0 &&
+               std::find(pmt_pids.begin(), pmt_pids.end(), pid) !=
+                   pmt_pids.end()) {  // PMT
+      size_t t = pos + 1 + d[pos];
+      if (t + 12 > lim || d[t] != 2) continue;
+      size_t sect_len = ((d[t + 1] & 0xF) << 8) | d[t + 2];
+      size_t pinfo = ((d[t + 10] & 0xF) << 8) | d[t + 11];
+      size_t ent = t + 12 + pinfo, end = t + 3 + sect_len - 4;
+      while (ent + 5 <= end && ent + 5 <= lim) {
+        int stype = d[ent];
+        int epid = ((d[ent + 1] & 0x1F) << 8) | d[ent + 2];
+        size_t eslen = ((d[ent + 3] & 0xF) << 8) | d[ent + 4];
+        if (stype == 0x1B && video_pid < 0) video_pid = epid;
+        ent += 5 + eslen;
+      }
+    } else if (video_pid >= 0 && pid == video_pid) {
+      if (pusi) {
+        if (pos + 9 <= lim && d[pos] == 0 && d[pos + 1] == 0 &&
+            d[pos + 2] == 1)
+          pos = pos + 9 + d[pos + 8];
+      }
+      if (pos < lim) es.push_back({pos, lim - pos});
+    }
+  }
+  return es_to_stream(d, std::move(es));
+}
+
+
+
+// ------------------------------------------------------------------- ps --
+// Mirror of utils/ps.py: MPEG program stream — video PES packets (stream
+// ids 0xE0-0xEF) between pack headers carry Annex-B; NALs can span PES
+// packets and ride the shared TS/PS virtual-ES machinery.
+static std::optional<H264Stream> demux_ps(const uint8_t* d, size_t n) {
+  if (n < 16 || d[0] != 0 || d[1] != 0 || d[2] != 1 || d[3] != 0xBA)
+    return std::nullopt;
+  std::vector<std::pair<uint64_t, uint64_t>> es;
+  size_t pos = 0;
+  while (pos + 4 <= n) {
+    if (!(d[pos] == 0 && d[pos + 1] == 0 && d[pos + 2] == 1)) {
+      pos++;  // resync (stuffing/garbage between packs)
+      continue;
+    }
+    uint8_t sid = d[pos + 3];
+    if (sid == 0xBA) {  // pack header
+      if (pos + 14 > n) break;
+      if ((d[pos + 4] >> 6) == 1) {  // MPEG-2: '01' marker
+        pos += 14 + (d[pos + 13] & 7);
+      } else {  // MPEG-1 pack: fixed 12 bytes
+        pos += 12;
+      }
+      continue;
+    }
+    if (sid == 0xB9) break;  // program end
+    if (pos + 6 > n) break;
+    size_t plen = ((size_t)d[pos + 4] << 8) | d[pos + 5];
+    size_t body = pos + 6;
+    size_t end = std::min(body + plen, n);
+    if (sid >= 0xE0 && sid <= 0xEF && body + 3 <= end) {
+      size_t payload;
+      if ((d[body] >> 6) == 2) {  // MPEG-2 PES header
+        payload = body + 3 + d[body + 2];
+      } else {  // MPEG-1: FF* stuffing, optional STD, PTS/DTS
+        size_t q = body;
+        while (q < end && d[q] == 0xFF) q++;
+        if (q < end && (d[q] >> 6) == 1) q += 2;  // STD buffer
+        if (q < end && (d[q] >> 4) == 2)
+          q += 5;
+        else if (q < end && (d[q] >> 4) == 3)
+          q += 10;
+        else
+          q += 1;  // '0000 1111' no-timestamp marker
+        payload = q;
+      }
+      if (payload < end) es.push_back({payload, end - payload});
+    }
+    pos = plen ? end : pos + 6;
+  }
+  if (es.empty()) return std::nullopt;
+  return es_to_stream(d, std::move(es));
 }
 
 // ------------------------------------------------------------------ avi --
@@ -861,6 +926,11 @@ std::optional<H264Stream> demux(const uint8_t* data, size_t size) {
   }
   if (size > 13 && !memcmp(data, "FLV", 3)) {
     auto s = demux_flv(data, size);
+    if (s) return s;
+  }
+  if (size > 16 && data[0] == 0 && data[1] == 0 && data[2] == 1 &&
+      data[3] == 0xBA) {  // MPEG-PS pack header
+    auto s = demux_ps(data, size);
     if (s) return s;
   }
   return demux_annexb(data, size);

@@ -431,4 +431,11 @@ def demux(data):
         if r:
             sps, pps, nals = r
             return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
+    if len(data) > 16 and data[:4] == b"\x00\x00\x01\xba":  # MPEG-PS pack
+        from .ps import demux_ps
+
+        r = demux_ps(data, NalSpan)
+        if r:
+            sps, pps, nals = r
+            return H264Stream(sps_list=sps, pps_list=pps, nals=nals)
     return demux_annexb(data)

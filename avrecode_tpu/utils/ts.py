@@ -86,7 +86,15 @@ def demux_ts(data, nal_span):
             continue
     if not es or video_pid is None:
         return None
+    return es_to_nals(data, es, nal_span)
 
+
+def es_to_nals(data, es, nal_span):
+    """Shared ES-tail: (file_off, len) video-ES segments -> NAL spans.
+
+    Merges file-adjacent segments, scans Annex-B over the virtual ES
+    stream, and maps each NAL back to file segments (the TS/PS common
+    machinery; NALs split across packets carry a `segs` list)."""
     # merge file-adjacent segments, build the virtual ES stream
     merged = [list(es[0])]
     for o, l in es[1:]:

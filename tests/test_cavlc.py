@@ -184,3 +184,24 @@ def test_cavlc_corrupt_input_falls_back():
             mut[i] ^= 1 << rng.randrange(8)
         blob = compress(bytes(mut), scope="gop")
         assert decompress(blob) == bytes(mut)
+
+
+def test_cavlc_444_lossless():
+    """High 4:4:4 Predictive CAVLC — what `x264 --qp 0` (lossless) emits
+    by default.  Three luma-style planes share the luma cbp; per-plane nC
+    maps.  Both implementations byte-identical, real savings on lossless
+    content (the reference: 100% literal)."""
+    p = os.path.join(DATA, "cavlc_ll444.mp4")
+    if not os.path.exists(p):
+        subprocess.run(
+            [GEN, p, "192", "160", "6", "30", "3", "0", "0", "13", "1",
+             "cabac=0:qp=0", "x444"],
+            check=True, capture_output=True)
+    data = open(p, "rb").read()
+    pc = compress(data, scope="gop")
+    if native.available():
+        nc = native.compress(data, scope="gop")
+        assert nc == pc
+        assert native.decompress(nc) == data
+    assert decompress(pc) == data
+    assert len(pc) < len(data) * 0.85, len(pc) / len(data)

@@ -33,8 +33,9 @@ def _remuxed(ext):
         )
     dst = os.path.join(DATA, "rt_ctr." + ext)
     if not os.path.exists(dst):
-        if ext == "avi":
-            # the AVI muxer requires Annex-B input: route through TS
+        if ext in ("avi", "mpg"):
+            # these muxers need Annex-B input: route through TS (the PS
+            # muxer does not auto-insert the mp4->Annex-B filter)
             _remuxed("ts")
             subprocess.run([REMUX, os.path.join(DATA, "rt_ctr.ts"), dst],
                            check=True, capture_output=True)
@@ -43,7 +44,7 @@ def _remuxed(ext):
     return open(src, "rb").read(), open(dst, "rb").read()
 
 
-@pytest.mark.parametrize("ext", ["mkv", "ts", "avi", "flv"])
+@pytest.mark.parametrize("ext", ["mkv", "ts", "avi", "flv", "mpg"])
 def test_demux_same_payloads(ext):
     mp4, other = _remuxed(ext)
     s1, s2 = demux(mp4), demux(other)
@@ -52,7 +53,7 @@ def test_demux_same_payloads(ext):
     assert p1 == p2 and len(p1) > 0
 
 
-@pytest.mark.parametrize("ext", ["mkv", "ts", "avi", "flv"])
+@pytest.mark.parametrize("ext", ["mkv", "ts", "avi", "flv", "mpg"])
 def test_remuxed_same_savings(ext):
     mp4, other = _remuxed(ext)
     c_mp4, c_other = compress(mp4), compress(other)
@@ -64,7 +65,7 @@ def test_remuxed_same_savings(ext):
     assert saved_other > 0.75 * saved_mp4 > 0
 
 
-@pytest.mark.parametrize("ext", ["mkv", "ts", "avi", "flv"])
+@pytest.mark.parametrize("ext", ["mkv", "ts", "avi", "flv", "mpg"])
 def test_remuxed_native_identical(ext):
     _, other = _remuxed(ext)
     pc = compress(other)

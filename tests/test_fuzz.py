@@ -40,7 +40,7 @@ def test_fuzz_asan():
     )
 
 
-@pytest.mark.parametrize("ext", ["avi", "flv"])
+@pytest.mark.parametrize("ext", ["avi", "flv", "mpg"])
 def test_fuzz_asan_containers(ext):
     """Mutated AVI/FLV inputs through the ASan build: the owned demuxers
     must never read out of bounds or crash (round-4 demux breadth)."""
